@@ -1,0 +1,100 @@
+"""Filter configuration — the analogue of LongQC's CLI presets.
+
+The reference bundles thresholds into presets (pb-rs2/pb-sequel/ont-*,
+longQC.py:171-233) and a warn/error rule cascade (longQC.py:784-824).
+Here the same role is played by one frozen dataclass consumed by both
+the Ray engine and the pure-Python oracle — the thresholds ARE the
+spec, so they live in exactly one place.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Codecs the decode stage understands (analogue of guess_format's
+# accepted container set, lq_utils.py:89-134).
+KNOWN_CODECS = ("pcm_s16le", "mulaw")
+
+# Sample rates considered sane for speech clips.
+ALLOWED_SR_HZ = (8000, 16000, 22050, 44100)
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """Thresholds for the keep/drop rule cascade (M15 analogue).
+
+    keep = dur_ok ∧ sr_ok ∧ codec_ok ∧ consistent ∧ snr_ok ∧ rep_ok
+           ∧ lang_ok ∧ ppl_ok ∧ ¬toxic ∧ transcript_ok
+    """
+
+    # --- duration / sanity rules (analogue of the 500 bp short-read
+    # threshold longQC.py:107-112 and format sanity checks) ---
+    min_dur_ms: int = 300
+    max_dur_ms: int = 30_000
+    # |dur_from_bytes - dur_ms| tolerance: max(abs_ms, rel * dur_ms)
+    dur_tol_ms: int = 50
+    dur_tol_rel: float = 0.10
+
+    # --- audio quality (analogue of meanQ / Q7, lqutils.c:26-80) ---
+    snr_min_db: float = 5.0
+    # per-clip work cap: analyze at most this many samples
+    # (deterministic analogue of the COVT=150 coverage cap with
+    # random thinning, esterr.c:85-100 / minimap2-coverage.h:20)
+    snr_max_samples: int = 65_536
+    snr_top_bins: int = 8          # spectral peaks counted as "signal"
+    frame_len: int = 1024          # frames for the active-frame fraction
+    frame_rms_floor: float = 0.01  # frame considered active above this RMS
+    min_active_frame_frac: float = 0.5
+
+    # --- transcript repetition / low-complexity
+    # (analogue of SDUST masking sdust.c:136-177 and the
+    # highly-masked exclusion rule longQC.py:370-372) ---
+    rep_k: int = 3
+    rep_window: int = 64
+    rep_score_threshold: float = 1.5
+    # drop if masked_frac > hard OR (n_chars > long_len ∧ masked_frac > soft)
+    rep_hard_frac: float = 0.40
+    rep_soft_frac: float = 0.25
+    rep_long_len: int = 600
+
+    # --- language id ---
+    target_lang: str = "en"
+    lang_min_conf: float = 0.60
+
+    # --- perplexity (analogue of non-sense-read thresholds,
+    # longQC.py:141-143) ---
+    ppl_max: float = 40.0
+
+    # --- transcript sanity ---
+    min_transcript_chars: int = 8
+
+    # --- scrub / toxicity are parameterized by the pattern / lexicon
+    # modules; the rule here is only "0 toxic hits" ---
+    max_toxic_hits: int = 0
+
+    # --- reservoir sample size for model calibration
+    # (analogue of -n/--n_sample 5000, longQC.py:905-907) ---
+    n_sample: int = 5000
+    sample_seed: int = 7  # the reference's per-chunk seed, lq_utils.py:386
+
+
+DEFAULT_CONFIG = FilterConfig()
+
+
+# Drop-reason labels in evaluation priority order; the first failing
+# rule names the row's drop_reason (the lineage manifest histograms
+# these per partition).
+DROP_REASONS = (
+    "bad_codec",
+    "bad_sr",
+    "too_short",
+    "too_long",
+    "dur_mismatch",
+    "low_snr",
+    "short_transcript",
+    "repetitive",
+    "wrong_lang",
+    "high_ppl",
+    "toxic",
+)

@@ -1,0 +1,112 @@
+"""Audio decode + quality kernels.
+
+The reference computes per-read mean quality in the probability domain
+(`meanQ`, /root/reference/lqutils.c:26-58) and counts bases above a
+quality floor (`get_Qx_bases`, lqutils.c:72-80). The graft analogues:
+
+- decode the binary payload to float PCM in [-1, 1]
+- estimate SNR (dB) from the power spectrum (log-domain quality score)
+- fraction of fixed-length frames whose RMS clears a floor (Q7 analogue)
+
+All functions are deterministic; per-clip work is capped at
+``max_samples`` — the deterministic analogue of LongQC's COVT=150
+coverage cap with random thinning (esterr.c:85-100).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MU = 255.0
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """float PCM in [-1,1] -> uint8 (continuous mu-law companding, G.711-style)."""
+    x = np.clip(x, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(MU * np.abs(x)) / np.log1p(MU)
+    return np.round((y + 1.0) / 2.0 * MU).astype(np.uint8)
+
+
+def mulaw_decode(u: np.ndarray) -> np.ndarray:
+    """uint8 mu-law -> float64 PCM in [-1,1]."""
+    y = 2.0 * (u.astype(np.float64) / MU) - 1.0
+    return np.sign(y) * (np.expm1(np.abs(y) * np.log1p(MU))) / MU
+
+
+def pcm16_encode(x: np.ndarray) -> bytes:
+    x = np.clip(x, -1.0, 1.0)
+    return (np.round(x * 32767.0).astype("<i2")).tobytes()
+
+
+def pcm16_decode(b: bytes) -> np.ndarray:
+    return np.frombuffer(b, dtype="<i2").astype(np.float64) / 32767.0
+
+
+def decode_payload(b: bytes, codec: str) -> np.ndarray | None:
+    """Decode the binary payload per the codec column. None = undecodable
+    (the graft's guess_format -1 'unknown' path, lq_utils.py:131-134)."""
+    if codec == "pcm_s16le":
+        if len(b) % 2:
+            b = b[: len(b) - 1]
+        return pcm16_decode(b)
+    if codec == "mulaw":
+        return mulaw_decode(np.frombuffer(b, dtype=np.uint8))
+    return None
+
+
+def n_samples_for(b: bytes, codec: str) -> int:
+    if codec == "pcm_s16le":
+        return len(b) // 2
+    if codec == "mulaw":
+        return len(b)
+    return 0
+
+
+def estimate_snr_db(
+    pcm: np.ndarray,
+    max_samples: int = 65_536,
+    top_bins: int = 8,
+) -> float:
+    """Spectral-peak SNR estimate in dB.
+
+    Signal power = energy of the ``top_bins`` largest rFFT bins
+    (excluding DC); noise = the rest. Analysis window capped at
+    ``max_samples`` (deterministic per-clip work cap).
+    """
+    x = pcm[:max_samples]
+    if x.size < 16:
+        return -100.0
+    x = x - x.mean()
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    spec = spec[1:]  # drop DC
+    if spec.size <= top_bins:
+        return 100.0
+    # argpartition: O(n) selection of the top bins
+    idx = np.argpartition(spec, -top_bins)[-top_bins:]
+    sig = float(spec[idx].sum())
+    noise = float(spec.sum()) - sig
+    if noise <= 0.0:
+        return 100.0
+    if sig <= 0.0:
+        return -100.0
+    return float(np.clip(10.0 * np.log10(sig / noise), -100.0, 100.0))
+
+
+def active_frame_frac(
+    pcm: np.ndarray,
+    frame_len: int = 1024,
+    rms_floor: float = 0.01,
+    max_samples: int = 65_536,
+) -> float:
+    """Fraction of frames with RMS above the floor (Q7-fraction analogue,
+    get_Qx_bases lqutils.c:72-80)."""
+    x = pcm[:max_samples]
+    n = (x.size // frame_len) * frame_len
+    if n == 0:
+        # short clip: a single partial frame
+        if x.size == 0:
+            return 0.0
+        return 1.0 if float(np.sqrt(np.mean(x * x))) > rms_floor else 0.0
+    frames = x[:n].reshape(-1, frame_len)
+    rms = np.sqrt(np.mean(frames * frames, axis=1))
+    return float(np.mean(rms > rms_floor))

@@ -1,0 +1,36 @@
+"""PII scrub patterns + scrubber.
+
+The graft analogue of LongQC's adapter trimming (`cut_adapter`,
+/root/reference/lq_adapt.py:80-103): instead of edlib-aligning adapter
+sequences against read termini and truncating, we regex-match PII
+spans anywhere in the transcript and replace them with placeholder
+tokens, emitting per-row scrub stats (span count, chars removed) the
+way the reference accumulates max-identity / trimmed-count / cut
+positions (longQC.py:286-292, 348-357).
+
+The patterns are deliberately RE2-compatible (no lookaround) so the
+same pattern strings run verbatim in DuckDB `regexp_replace` for the
+oracle-SQL correctness check.
+"""
+
+from __future__ import annotations
+
+import re
+
+# (name, pattern, replacement) applied in this exact order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+)
+
+_COMPILED = tuple((name, re.compile(pat), rep) for name, pat, rep in PII_PATTERNS)
+
+
+def scrub_text(text: str) -> tuple[str, int]:
+    """Return (scrubbed_text, n_spans_removed)."""
+    total = 0
+    for _name, rx, rep in _COMPILED:
+        text, n = rx.subn(rep, text)
+        total += n
+    return text, total

@@ -1,0 +1,146 @@
+"""Transcript text kernels: repetition mask, n-gram hashing, tokenizing.
+
+The repetition mask re-expresses LongQC's SDUST low-complexity masking
+(/root/reference/sdust.c:136-177: 64 bp window over 3-mers, score
+sum(c*(c-1)/2)/(L-k) vs threshold) for transcript text. The per-row
+summary mirrors the 6-column sdust table (sdust.c:203-218,
+README.md:139-145).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# BPE-ish subword splitter for token counting: words, numbers,
+# punctuation runs (public GPT-2-style pre-tokenizer shape, simplified).
+BPE_ISH_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+
+
+def repetition_score_window(counts: np.ndarray, window_len: int, k: int) -> float:
+    """SDUST-style score: sum c*(c-1)/2 over k-gram counts / (L-k)."""
+    denom = max(window_len - k, 1)
+    return float(np.sum(counts * (counts - 1) / 2.0)) / denom
+
+
+def repetition_mask(
+    text: str,
+    k: int = 3,
+    window: int = 64,
+    threshold: float = 1.5,
+) -> tuple[float, int, int]:
+    """Low-complexity mask over character k-grams.
+
+    Slides windows of ``window`` chars with stride ``window // 2``; a
+    window whose SDUST-style score exceeds ``threshold`` is masked in
+    full; masked regions are the union of masked windows.
+
+    Returns (masked_frac, masked_chars, total_chars) — the per-row
+    summary columns of the sdust table (sdust.c:211-217).
+    """
+    n = len(text)
+    if n < k:
+        return 0.0, 0, n
+    a = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+    m = a.size
+    if m < k:
+        return 0.0, 0, n
+    # rolling k-gram ids over bytes (k<=3 fits in int32 space via int64)
+    ids = np.zeros(m - k + 1, dtype=np.int64)
+    for j in range(k):
+        ids = ids * 256 + a[j : m - k + 1 + j]
+    stride = max(window // 2, 1)
+    masked = np.zeros(m, dtype=bool)
+    start = 0
+    while True:
+        end = min(start + window, m)
+        wlen = end - start
+        if wlen >= k:
+            sl = ids[start : end - k + 1]
+            _, counts = np.unique(sl, return_counts=True)
+            if repetition_score_window(counts.astype(np.float64), wlen, k) > threshold:
+                masked[start:end] = True
+        if end >= m:
+            break
+        start += stride
+    masked_chars = int(masked.sum())
+    return masked_chars / m, masked_chars, n
+
+
+def fnv1a_64(data: bytes) -> int:
+    """FNV-1a 64-bit hash (public domain algorithm)."""
+    h = 0xCBF29CE484222325
+    for byte in data:
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def char_ngram_buckets(text: str, ns: tuple[int, ...] = (2, 3), n_buckets: int = 1 << 16) -> np.ndarray:
+    """Hashed character n-gram bucket ids for a text (lowercased).
+
+    Used by both langid training and scoring; the bucket function is
+    part of the model spec so it lives here once.
+    """
+    t = text.lower()
+    b = t.encode("utf-8", "replace")
+    out = []
+    for n in ns:
+        if len(b) < n:
+            continue
+        for i in range(len(b) - n + 1):
+            out.append(fnv1a_64(b[i : i + n]) % n_buckets)
+    return np.asarray(out, dtype=np.int64)
+
+
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv1a_64_np(windows: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over rows of a (m, n) uint8 window matrix.
+
+    uint64 arithmetic wraps mod 2^64 in numpy, matching the pure-Python
+    ``fnv1a_64`` bit-for-bit (asserted in tests).
+    """
+    h = np.full(windows.shape[0], _FNV_BASIS, dtype=np.uint64)
+    for j in range(windows.shape[1]):
+        h ^= windows[:, j].astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * _FNV_PRIME
+    return h
+
+
+def char_ngram_buckets_np(
+    text: str, ns: tuple[int, ...] = (2, 3), n_buckets: int = 1 << 16
+) -> np.ndarray:
+    """Vectorized twin of ``char_ngram_buckets`` (same output, same order)."""
+    b = np.frombuffer(text.lower().encode("utf-8", "replace"), dtype=np.uint8)
+    out: list[np.ndarray] = []
+    for n in ns:
+        if b.size < n:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(b, n)
+        out.append((_fnv1a_64_np(win) % np.uint64(n_buckets)).astype(np.int64))
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out)
+
+
+def rolling_fingerprint(text: str, mod: int = (1 << 61) - 1, base: int = 257) -> int:
+    """Polynomial rolling-hash document fingerprint over normalized text."""
+    h = 0
+    for byte in text.lower().encode("utf-8", "replace"):
+        h = (h * base + byte) % mod
+    return h
+
+
+def tokenize_words(text: str) -> list[str]:
+    return WORD_RE.findall(text)
+
+
+def count_bpe_ish_tokens(text: str) -> int:
+    return len(BPE_ISH_RE.findall(text))

@@ -1,0 +1,36 @@
+"""Toxicity lexicon classifier.
+
+The graft analogue of LongQC's spike-in control filter: the reference
+maps sampled reads against bundled control references and drops any
+read whose covered fraction is >= 0.5 (/root/reference/
+lq_coverage.py:104-107, minimap2-coverage.c:586-601). Here the
+"control reference" is a small lexicon of (synthetic, non-offensive
+placeholder) terms; membership => drop. The lexicon is the broadcast
+small side of an anti-join, exactly like the control-hit name set.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Deliberately synthetic placeholder terms (no real slurs in a test
+# corpus); the classifier's contract is whole-word case-insensitive
+# membership, mirroring frac>=0.5 membership in the reference.
+TOXIC_LEXICON: tuple[str, ...] = (
+    "gorrafex",
+    "blasturk",
+    "snivmork",
+    "craventhul",
+    "mudgeworth",
+    "fexwardle",
+    "drubnickle",
+    "vilethorp",
+)
+
+TOXIC_RE = re.compile(
+    r"\b(" + "|".join(TOXIC_LEXICON) + r")\b", re.IGNORECASE
+)
+
+
+def toxic_hits(text: str) -> int:
+    return len(TOXIC_RE.findall(text))

@@ -1,0 +1,162 @@
+"""Per-partition lineage + exact resume-from-checkpoint.
+
+The reference has NO checkpoint/resume (crash ⇒ full rerun, partial
+temp files left behind — cleanup only at exit, longQC.py:845-865).
+At 10^12-clip scale that is untenable, so the north rule makes resume
+a first-class requirement: every input shard-group is one unit of
+work; finishing a unit appends a manifest record (rows in/out,
+drop-reason histogram, order-insensitive content hash, wall time);
+resuming skips units already in the manifest. Output files are
+written to a temp dir and renamed into place so a crash mid-write
+never yields a half-partition that looks done.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, DROP_REASONS, FilterConfig
+from .. import fixtures  # noqa: F401  (not used directly; doc link)
+from ..pipelines.quality_filter import dedup_first, label_clips
+
+
+def _content_hash_column(batch: pa.Table) -> pa.Table:
+    """Order-insensitive per-row hash: xor-reducible uint64 over
+    (clip_id, keep, scrubbed_transcript)."""
+    import zlib
+
+    ids = batch.column("clip_id").to_pylist()
+    keeps = batch.column("keep").to_pylist()
+    scr = batch.column("scrubbed_transcript").to_pylist()
+    h = np.array(
+        [
+            zlib.crc32(f"{i}|{int(k)}|{s}".encode()) + (zlib.crc32(s[::-1].encode()) << 32)
+            for i, k, s in zip(ids, keeps, scr)
+        ],
+        dtype=np.uint64,
+    )
+    return batch.append_column("row_hash", pa.array(h, pa.uint64()))
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.jsonl")
+
+
+def completed_units(out_dir: str) -> set[str]:
+    path = manifest_path(out_dir)
+    done: set[str] = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    done.add(json.loads(line)["unit"])
+    return done
+
+
+def run_filter_resumable(
+    input_dir: str,
+    out_dir: str,
+    config: FilterConfig = DEFAULT_CONFIG,
+    shards_per_unit: int = 4,
+    model_refs: dict | None = None,
+    max_units: int | None = None,
+) -> dict:
+    """Run the flagship filter over ``input_dir/*.parquet`` with
+    per-unit lineage; skips units already recorded in the manifest.
+
+    ``max_units`` exists for the kill-and-resume test: process only
+    that many pending units, then stop (simulating a crash between
+    units).
+
+    Returns a summary dict {units_run, units_skipped, rows_out}.
+    """
+    from ..state.scorers import put_model_refs
+
+    shards = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not shards:
+        raise FileNotFoundError(f"no parquet shards under {input_dir}")
+    units = [
+        (f"unit-{u:05d}", shards[u * shards_per_unit : (u + 1) * shards_per_unit])
+        for u in range((len(shards) + shards_per_unit - 1) // shards_per_unit)
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_units(out_dir)
+    refs = model_refs if model_refs is not None else put_model_refs()
+
+    ran = 0
+    skipped = 0
+    rows_out_total = 0
+    for unit, files in units:
+        if unit in done:
+            skipped += 1
+            continue
+        if max_units is not None and ran >= max_units:
+            break
+        t0 = time.time()
+        ds = rd.read_parquet(files)
+        # one unit is bounded by shards_per_unit, so materializing its
+        # *labeled* (payload-free) rows is bounded too — this lets the
+        # write, the histogram and the hash consume one execution
+        # instead of re-running the pipeline per consumer
+        labeled = label_clips(ds, config, model_refs=refs).materialize()
+        rows_in = labeled.count()
+        kept = labeled.map_batches(
+            lambda t: t.filter(t.column("keep")), batch_format="pyarrow"
+        )
+        kept = dedup_first(kept)
+        kept = kept.map_batches(_content_hash_column, batch_format="pyarrow")
+
+        tmp = os.path.join(out_dir, f".tmp-{unit}")
+        final = os.path.join(out_dir, "parts", unit)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        kept.write_parquet(tmp)
+
+        # small driver-side reductions for the manifest (the written
+        # unit is the post-filter minority — cheap to re-read)
+        import pyarrow.parquet as pq
+
+        written = pq.read_table(tmp, columns=["row_hash"])
+        rows_out = written.num_rows
+        xor_hash = int(np.bitwise_xor.reduce(
+            written.column("row_hash").to_numpy().astype(np.uint64), initial=np.uint64(0)
+        ))
+        # drop-reason histogram over ALL labeled rows of the unit
+        reasons = labeled.groupby("drop_reason").count().to_pandas()
+        hist = {
+            r: int(c)
+            for r, c in zip(reasons["drop_reason"], reasons["count()"])
+            if r in DROP_REASONS
+        }
+
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        with open(manifest_path(out_dir), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "unit": unit,
+                        "files": [os.path.basename(p) for p in files],
+                        "rows_in": rows_in,
+                        "rows_out": rows_out,
+                        "drop_reasons": hist,
+                        "content_hash_xor": xor_hash,
+                        "wall_s": round(time.time() - t0, 3),
+                    }
+                )
+                + "\n"
+            )
+        ran += 1
+        rows_out_total += rows_out
+    return {"units_run": ran, "units_skipped": skipped, "rows_out": rows_out_total}

@@ -1,0 +1,105 @@
+"""Unit tests for the pure per-row kernels (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from longqc_ray.kernels.audio import (
+    active_frame_frac,
+    decode_payload,
+    estimate_snr_db,
+    mulaw_decode,
+    mulaw_encode,
+    pcm16_decode,
+    pcm16_encode,
+)
+from longqc_ray.kernels.pii import scrub_text
+from longqc_ray.kernels.text import (
+    char_ngram_buckets,
+    char_ngram_buckets_np,
+    count_bpe_ish_tokens,
+    fnv1a_64,
+    repetition_mask,
+    rolling_fingerprint,
+)
+from longqc_ray.kernels.toxicity import toxic_hits
+from longqc_ray.kernels.wordmodel import make_gibberish, make_repetitive, make_text
+
+
+def test_fnv_vectorized_matches_python():
+    rng = np.random.default_rng(0)
+    for text in [make_text(rng, "en", 120), make_gibberish(rng, 80), "a", "ab", ""]:
+        assert (char_ngram_buckets(text) == char_ngram_buckets_np(text)).all()
+
+
+def test_fnv_known_vector():
+    # FNV-1a 64 reference value for empty input is the offset basis
+    assert fnv1a_64(b"") == 0xCBF29CE484222325
+
+
+def test_mulaw_roundtrip_snr():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-0.9, 0.9, 8000)
+    y = mulaw_decode(mulaw_encode(x))
+    err = x - y
+    snr = 10 * np.log10(np.sum(x**2) / np.sum(err**2))
+    assert snr > 30.0  # BASELINE.md per-row PCM fidelity bar
+
+
+def test_pcm16_roundtrip():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, 1000)
+    y = pcm16_decode(pcm16_encode(x))
+    assert np.allclose(x, y, atol=1.0 / 32767)
+
+
+def test_decode_unknown_codec():
+    assert decode_payload(b"\x00\x01", "opus_unknown") is None
+
+
+def test_snr_estimator_tracks_truth():
+    from longqc_ray.fixtures import _encode, _synth_audio
+
+    for true_snr in (-5.0, 5.0, 25.0):
+        rng = np.random.default_rng(3)
+        x = _synth_audio(rng, 16000, 2000, true_snr, 65536)
+        est = estimate_snr_db(decode_payload(_encode(x, "pcm_s16le"), "pcm_s16le"))
+        assert abs(est - true_snr) < 3.0
+
+
+def test_snr_edge_cases():
+    assert estimate_snr_db(np.zeros(4)) == -100.0
+    assert estimate_snr_db(np.zeros(0)) == -100.0
+
+
+def test_active_frame_frac():
+    x = np.concatenate([np.full(1024, 0.5), np.zeros(1024)])
+    assert active_frame_frac(x) == pytest.approx(0.5)
+
+
+def test_repetition_mask_separates():
+    rng = np.random.default_rng(4)
+    assert repetition_mask(make_text(rng, "en", 300))[0] < 0.1
+    assert repetition_mask(make_repetitive(rng, "en", 300))[0] > 0.6
+    assert repetition_mask("")[1] == 0
+    assert repetition_mask("ab")[0] == 0.0
+
+
+def test_scrub():
+    s, n = scrub_text("mail me at a.b@x.org or 555-123-4567, ssn 123-45-6789")
+    assert n == 3
+    assert "<EMAIL>" in s and "<PHONE>" in s and "<SSN>" in s
+    assert "a.b@x.org" not in s
+    clean = "no personal info here at all"
+    assert scrub_text(clean) == (clean, 0)
+
+
+def test_toxicity():
+    assert toxic_hits("what a Blasturk move") == 1
+    assert toxic_hits("blasturkish is not a whole-word hit") == 0
+    assert toxic_hits("totally fine text") == 0
+
+
+def test_fingerprint_and_tokens():
+    assert rolling_fingerprint("Abc") == rolling_fingerprint("abc")
+    assert rolling_fingerprint("abc") != rolling_fingerprint("abd")
+    assert count_bpe_ish_tokens("hello, world 42!") == 5  # hello , world 42 !

@@ -1,0 +1,71 @@
+"""Kill-and-resume: interrupted run + resume == fresh full run.
+
+BASELINE.md §2 resume gate: per-partition lineage manifest, atomic
+partition rename, skip-if-done. The 'kill' is simulated by max_units.
+"""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from longqc_ray.sources.lineage import (
+    completed_units,
+    manifest_path,
+    run_filter_resumable,
+)
+
+
+def _read_all(out_dir):
+    files = sorted(glob.glob(os.path.join(out_dir, "parts", "*", "*.parquet")))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+    return df.sort_values("clip_id").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def clips_dir(tiny_fixture_dir):
+    return os.path.join(tiny_fixture_dir, "clips")
+
+
+def test_interrupt_then_resume_equals_fresh(clips_dir, tmp_path_factory):
+    fresh_dir = str(tmp_path_factory.mktemp("fresh"))
+    resum_dir = str(tmp_path_factory.mktemp("resumed"))
+
+    full = run_filter_resumable(clips_dir, fresh_dir, shards_per_unit=1)
+    assert full["units_run"] == 4  # tiny fixture has 4 shards
+
+    # simulated crash after 2 units
+    part = run_filter_resumable(clips_dir, resum_dir, shards_per_unit=1, max_units=2)
+    assert part["units_run"] == 2
+    assert len(completed_units(resum_dir)) == 2
+
+    # resume: skips the 2 finished units, runs the rest
+    rest = run_filter_resumable(clips_dir, resum_dir, shards_per_unit=1)
+    assert rest["units_skipped"] == 2
+    assert rest["units_run"] == 2
+
+    a = _read_all(fresh_dir)
+    b = _read_all(resum_dir)
+    assert a["clip_id"].tolist() == b["clip_id"].tolist()
+    assert a["scrubbed_transcript"].tolist() == b["scrubbed_transcript"].tolist()
+
+    # manifests carry matching content hashes per unit
+    def hashes(d):
+        with open(manifest_path(d)) as f:
+            return {
+                j["unit"]: j["content_hash_xor"]
+                for j in (json.loads(line) for line in f if line.strip())
+            }
+
+    assert hashes(fresh_dir) == hashes(resum_dir)
+
+
+def test_rerun_is_noop(clips_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("noop"))
+    run_filter_resumable(clips_dir, out, shards_per_unit=2)
+    again = run_filter_resumable(clips_dir, out, shards_per_unit=2)
+    assert again["units_run"] == 0
+    assert again["units_skipped"] == 2
