@@ -1,0 +1,93 @@
+"""Deterministic sampling.
+
+The reference's reservoir (lq_utils.py:371-411) reseeds
+``np.random.seed(7)`` per chunk, so its output depends on chunk
+boundaries (= the -m memory setting) — a portability bug we do NOT
+replicate (SURVEY.md §7.3 item 1). The engine's canonical sampler is
+**min-wise / bottom-k hash sampling**: per-row priority =
+FNV-1a(key)/2^64; the sample is the n rows with the smallest
+priorities. That is order-independent, chunk-independent,
+deterministic, and trivially distributed (per-batch partial bottom-k →
+tiny driver merge), and it honors exclusion lists the way the
+reference's ``elist`` does (lq_utils.py:393-395).
+
+``reservoir_reference`` is the faithful local twin of the reference
+algorithm for parity tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..kernels.text import _fnv1a_64_np, fnv1a_64
+
+
+def hash_priority(keys: list[str]) -> np.ndarray:
+    """uint64 priority per key (vectorized FNV-1a over the key bytes)."""
+    out = np.empty(len(keys), dtype=np.uint64)
+    for i, k in enumerate(keys):
+        out[i] = fnv1a_64(k.encode())
+    return out
+
+
+def bottomk_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    n: int,
+    exclude: frozenset[str] | set[str] | None = None,
+) -> pa.Table:
+    """Deterministic n-row sample: bottom-k rows by hash priority.
+
+    Per-batch partial bottom-k (map_batches) then one small driver
+    merge — no shuffle, no order dependence. ``exclude`` is the
+    broadcast anti-join key set (J2 in SURVEY.md §2.4).
+    """
+    excl = frozenset(exclude or ())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        prio = hash_priority(keys)
+        mask = np.ones(len(keys), dtype=bool)
+        if excl:
+            mask = np.array([k not in excl for k in keys], dtype=bool)
+        idx = np.nonzero(mask)[0]
+        if idx.size > n:
+            sel = idx[np.argsort(prio[idx], kind="stable")[:n]]
+        else:
+            sel = idx
+        out = batch.take(pa.array(np.sort(sel)))
+        return out.append_column("__prio", pa.array(prio[np.sort(sel)], pa.uint64()))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    parts = parts.sort_values(["__prio", key_col], kind="stable").head(n)
+    return pa.Table.from_pandas(parts.drop(columns="__prio"), preserve_index=False)
+
+
+def reservoir_reference(
+    rows: list, n: int, exclude: set[str] | None = None, chunk_size: int = 1000
+) -> list:
+    """Faithful twin of the reference reservoir (lq_utils.py:371-411):
+    per-chunk ``np.random.seed(7)``, slot rule d=int(h[k]*n_seen),
+    overwrite when d<n; honors the exclusion list. Local-only; kept to
+    document/pin the reference's chunk-boundary dependence."""
+    exclude = exclude or set()
+    s: list = []
+    cum = 0
+    for lo in range(0, len(rows), chunk_size):
+        chunk = rows[lo : lo + chunk_size]
+        np.random.seed(7)
+        h = np.random.uniform(size=len(chunk) + 1)
+        for k, row in enumerate(chunk):
+            if row[0] in exclude:
+                continue
+            if cum < n:
+                s.append(row)
+                cum += 1
+                continue
+            cum += 1
+            d = int(h[k] * cum)
+            if d < n:
+                s[d] = row
+    return s

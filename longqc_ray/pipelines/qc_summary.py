@@ -1,0 +1,161 @@
+"""Grouped QC summary + warn/error report — the Ray-native analogue of
+LongQC's summary JSON assembly and rule cascade (longQC.py:462-518,
+659-831) and its binned boxplot/outlier tables (lq_mask.py:43-66,
+lq_coverage.py:506-529).
+
+Everything wide is a groupby aggregate over a *binned* key; everything
+global is a Dataset.aggregate; the distribution fits consume either
+moment aggregates (gamma — scales to any n) or a deterministic
+bounded sample (GMM / lognormal EM — the reference itself fits on the
+<=10k sampled reads, longQC.py:905-907).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.fits import gamma_fit_moments, gmm2_fit, lognorm_normal_em
+from ..functions.sampling import bottomk_sample
+from ..functions.stats import nxx
+
+DUR_BIN_MS = 1000  # duration-bin interval (reference: 3000 bp or N50/2, longQC.py:478-481)
+
+
+def binned_quality_stats(labeled: rd.Dataset, bin_ms: int = DUR_BIN_MS):
+    """Per-duration-bin QC stats (A13/A14): count, mean/min/max snr,
+    quartiles of snr_db via per-bin numpy (map_groups)."""
+    import pandas as pd
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(pc.cast(t.column("dur_ms"), pa.float64()), bin_ms)), pa.int64())
+        return t.append_column("dur_bin", b)
+
+    ds = labeled.select_columns(["dur_ms", "snr_db", "keep"]).map_batches(
+        add_bin, batch_format="pyarrow"
+    )
+
+    def per_bin(g: pd.DataFrame) -> pd.DataFrame:
+        q = np.quantile(g["snr_db"].values, [0.25, 0.5, 0.75])
+        return pd.DataFrame(
+            {
+                "dur_bin": [g["dur_bin"].iloc[0]],
+                "n": [len(g)],
+                "keep_frac": [float(g["keep"].mean())],
+                "snr_q25": [q[0]],
+                "snr_median": [q[1]],
+                "snr_q75": [q[2]],
+                "snr_mean": [float(g["snr_db"].mean())],
+            }
+        )
+
+    return ds.groupby("dur_bin").map_groups(per_bin, batch_format="pandas").to_pandas()
+
+
+def qc_summary(labeled: rd.Dataset, n_fit_sample: int = 5000) -> dict:
+    """Global QC report dict (JSON-able) with warn/error rules."""
+    # one map to add derived columns needed by the moment aggregates
+    def derive(t: pa.Table) -> pa.Table:
+        dur = pc.cast(t.column("dur_ms"), pa.float64())
+        return t.append_column("log_dur", pc.ln(dur)).append_column(
+            "keep_i", pc.cast(t.column("keep"), pa.int64())
+        )
+
+    ds = labeled.select_columns(
+        ["dur_ms", "snr_db", "active_frame_frac", "masked_frac", "n_pii_spans",
+         "n_toxic", "ppl", "keep", "drop_reason", "clip_id"]
+    ).map_batches(derive, batch_format="pyarrow").materialize()
+
+    agg = ds.aggregate(
+        Count(alias_name="n"),
+        Sum("dur_ms", alias_name="total_dur_ms"),
+        Max("dur_ms", alias_name="longest_ms"),
+        Min("dur_ms", alias_name="shortest_ms"),
+        Mean("dur_ms", alias_name="mean_dur_ms"),
+        Sum("log_dur", alias_name="sum_log_dur"),
+        Mean("snr_db", alias_name="mean_snr_db"),
+        Mean("active_frame_frac", alias_name="mean_active_frac"),
+        Mean("masked_frac", alias_name="mean_masked_frac"),
+        Sum("n_pii_spans", alias_name="total_pii_spans"),
+        Sum("keep_i", alias_name="n_keep"),
+    )
+    n = int(agg["n"])
+    # drop-reason histogram (grouped count — the wide step)
+    hist = {
+        r["drop_reason"]: int(r["count()"])
+        for r in ds.groupby("drop_reason").count().take_all()
+    }
+    nonsense = hist.get("high_ppl", 0) + hist.get("wrong_lang", 0)
+    pii_rate = float(agg["total_pii_spans"]) / max(n, 1)
+
+    # N50-analogue over durations (histogram-refined exact quantile)
+    dur_n50 = nxx(ds, "dur_ms", 0.5)
+
+    # gamma fit on durations from moment aggregates (no collect)
+    shape, scale = gamma_fit_moments(
+        n, float(agg["total_dur_ms"]), float(agg["sum_log_dur"])
+    )
+
+    # mixture fits on a bounded deterministic sample (reference fits on
+    # its <=10k read sample)
+    sample = bottomk_sample(ds, "clip_id", n_fit_sample)
+    snr_sample = sample.column("snr_db").to_numpy(zero_copy_only=False)
+    g = gmm2_fit(snr_sample)
+    ln = lognorm_normal_em(snr_sample[snr_sample > 0], seed=g)
+
+    binned = binned_quality_stats(ds)
+
+    # --- warn/error cascade (thresholds mirror longQC.py:784-824) ---
+    warns: dict[str, str] = {}
+    errors: dict[str, str] = {}
+    active = float(agg["mean_active_frac"])
+    if active <= 0.5:
+        errors["active_frame_frac"] = f"mean active-frame fraction {active:.3f} <= 0.5"
+    elif active <= 0.65:
+        warns["active_frame_frac"] = f"mean active-frame fraction {active:.3f} <= 0.65"
+    nf = nonsense / max(n, 1)
+    if nf >= 0.45:
+        errors["nonsense_frac"] = f"non-sense fraction {nf:.3f} >= 0.45"
+    elif nf >= 0.25:
+        warns["nonsense_frac"] = f"non-sense fraction {nf:.3f} >= 0.25"
+    if pii_rate >= 0.3:
+        warns["pii_rate"] = f"PII spans per clip {pii_rate:.3f} >= 0.3"
+    # binned-median outlier check (lq_coverage.py:517-529: 3σ rule over
+    # bins with enough mass)
+    big = binned[binned["n"] >= 100]
+    if len(big) >= 3:
+        med = big["snr_median"].values
+        mu, sd = med.mean(), med.std()
+        bad_bins = big[np.abs(med - mu) > 3 * sd]["dur_bin"].tolist()
+        if bad_bins:
+            warns["snr_homogeneity"] = f"duration bins {bad_bins} have outlier median SNR"
+
+    return {
+        "n_clips": n,
+        "total_dur_ms": int(agg["total_dur_ms"]),
+        "longest_ms": int(agg["longest_ms"]),
+        "shortest_ms": int(agg["shortest_ms"]),
+        "mean_dur_ms": float(agg["mean_dur_ms"]),
+        "dur_n50_ms": dur_n50,
+        "mean_snr_db": float(agg["mean_snr_db"]),
+        "mean_active_frac": active,
+        "mean_masked_frac": float(agg["mean_masked_frac"]),
+        "n_keep": int(agg["n_keep"]),
+        "keep_frac": int(agg["n_keep"]) / max(n, 1),
+        "drop_reasons": hist,
+        "pii_spans_per_clip": pii_rate,
+        "gamma_fit": {"shape": shape, "scale": scale},
+        "snr_gmm": {
+            "means": g.means.tolist(),
+            "sigmas": g.sigmas.tolist(),
+            "weights": g.weights.tolist(),
+            "main": g.main,
+        },
+        "snr_lognorm_mode": ln.mode(),
+        "binned": binned.to_dict(orient="list"),
+        "warns": warns,
+        "errors": errors,
+    }

@@ -1,0 +1,114 @@
+"""functions layer: NXX, fits, sampling; qc_summary smoke."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from longqc_ray.functions.fits import (
+    digamma,
+    expected_zero_coverage_rate,
+    gamma_fit,
+    gmm2_fit,
+    lognorm_normal_em,
+    trigamma,
+)
+from longqc_ray.functions.sampling import bottomk_sample, reservoir_reference
+from longqc_ray.functions.stats import nxx, nxx_exact_local
+
+
+def test_digamma_trigamma_known_values():
+    # psi(1) = -euler_gamma; psi'(1) = pi^2/6 (A&S 6.3.2 / 6.4.2)
+    assert digamma(1.0) == pytest.approx(-0.5772156649, abs=1e-9)
+    assert trigamma(1.0) == pytest.approx(np.pi**2 / 6, abs=1e-9)
+    assert digamma(10.5) == pytest.approx(2.3030010342976863, abs=1e-9)
+
+
+def test_gamma_fit_recovers_params():
+    rng = np.random.default_rng(0)
+    x = rng.gamma(2.5, 700.0, size=200_000)
+    a, b = gamma_fit(x)
+    assert a == pytest.approx(2.5, rel=0.02)
+    assert b == pytest.approx(700.0, rel=0.02)
+
+
+def test_gmm2_recovers_components():
+    rng = np.random.default_rng(1)
+    x = np.concatenate([rng.normal(0, 1, 3000), rng.normal(10, 2, 7000)])
+    g = gmm2_fit(x)
+    m = np.sort(g.means)
+    assert m[0] == pytest.approx(0.0, abs=0.3)
+    assert m[1] == pytest.approx(10.0, abs=0.3)
+    assert g.main == int(np.argmax(g.weights))
+
+
+def test_gmm2_empty_dummy():
+    g = gmm2_fit(np.array([]))
+    assert not g.converged and g.main == 1 and g.weights[1] == 1.0
+
+
+def test_lognorm_normal_em_modes():
+    rng = np.random.default_rng(2)
+    x = np.concatenate(
+        [rng.lognormal(1.0, 0.4, 6000), rng.normal(20.0, 2.0, 4000)]
+    )
+    x = x[x > 0]
+    fit = lognorm_normal_em(x)
+    assert fit.ln_mu == pytest.approx(1.0, abs=0.15)
+    assert fit.n_mu == pytest.approx(20.0, abs=0.5)
+    # both reference mode formulas
+    assert fit.mode() == pytest.approx(np.exp(fit.ln_mu - fit.ln_sigma**2))
+    assert fit.mode(True) == pytest.approx(np.exp(fit.ln_mu - fit.ln_sigma**2 / 2))
+
+
+def test_expected_zero_rate_constants():
+    assert expected_zero_coverage_rate(0) == pytest.approx(1.3865)
+    assert expected_zero_coverage_rate(1) == pytest.approx(1.3865 * 0.64086)
+
+
+def test_nxx_matches_local_reference():
+    rng = np.random.default_rng(3)
+    vals = rng.gamma(2.0, 600.0, size=20_000).astype(np.int64) + 40
+    ds = rd.from_arrow(__import__("pyarrow").table({"v": vals}))
+    for frac in (0.5, 0.9):
+        assert nxx(ds, "v", frac) == pytest.approx(
+            nxx_exact_local(vals, frac), abs=0.0
+        )
+
+
+def test_bottomk_sample_deterministic_and_excludes():
+    import pyarrow as pa
+
+    keys = [f"k-{i:06d}" for i in range(5000)]
+    t = pa.table({"clip_id": keys, "v": list(range(5000))})
+    ds = rd.from_arrow(t)
+    s1 = bottomk_sample(ds, "clip_id", 100)
+    s2 = bottomk_sample(ds.repartition(7), "clip_id", 100)  # block-layout independent
+    assert s1.column("clip_id").to_pylist() == s2.column("clip_id").to_pylist()
+    excl = set(s1.column("clip_id").to_pylist()[:10])
+    s3 = bottomk_sample(ds, "clip_id", 100, exclude=excl)
+    assert not excl & set(s3.column("clip_id").to_pylist())
+
+
+def test_reservoir_reference_basics():
+    rows = [(f"r{i}", i) for i in range(500)]
+    s = reservoir_reference(rows, 50)
+    assert len(s) == 50
+    s2 = reservoir_reference(rows, 50)
+    assert s == s2  # deterministic given same chunking
+    s3 = reservoir_reference(rows, 50, chunk_size=100)
+    assert s != s3  # chunk-boundary dependence of the reference algorithm
+
+
+def test_qc_summary_smoke(tiny_fixture_dir):
+    import os
+
+    from longqc_ray.pipelines.qc_summary import qc_summary
+    from longqc_ray.pipelines.quality_filter import label_clips
+
+    ds = rd.read_parquet(os.path.join(tiny_fixture_dir, "clips"))
+    rep = qc_summary(label_clips(ds))
+    assert rep["n_clips"] == 2000
+    assert 0.5 < rep["keep_frac"] < 0.75
+    assert rep["gamma_fit"]["shape"] > 0
+    assert set(rep["drop_reasons"]) >= {"low_snr", "toxic", "wrong_lang"}
+    assert rep["dur_n50_ms"] > 0
