@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship audio quality-filter pipeline on clips
+derived deterministically from ``/root/testdata/sf0.001/documents``
+(schema per BASELINE.json input_hint). ``queries()`` exposes one
+callable per implemented operator from SURVEY.md §2 plus the
+training-data operator suite (dedup ladder, similarity search, text
+analysis, multimodal); ``oracle_sql()`` gives the DuckDB twin for
+every SQL-expressible one. Shared regex/lexicon constants are
+imported from the kernel modules so the spec lives in exactly one
+place and the SQL strings stay bit-identical to the Ray path.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 """
 
 from __future__ import annotations
@@ -18,27 +19,254 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from longqc_ray.kernels.pii import PII_PATTERNS
+from longqc_ray.kernels.toxicity import TOXIC_LEXICON
+from longqc_ray.pipelines.text_analysis import STOPWORD_PATTERN, TOKEN_PATTERN
+
+SF001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents → derived clips table → feature
+    stage → model-scorer actor pool → rule cascade → kept rows."""
+    from longqc_ray.pipelines.multimodal import read_derived_clips
+    from longqc_ray.pipelines.quality_filter import filter_clips
+
+    ds = read_derived_clips(SF001)
+    return filter_clips(ds, scorer_concurrency=(1, 4))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from longqc_ray.pipelines import dedup, relational, similarity, text_analysis
+    from longqc_ray.pipelines.multimodal import audio_feature_table, read_derived_clips
+    from longqc_ray.pipelines.quality_filter import label_clips
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def quality_filter_clips(sf_dir: str):
+        ds = read_derived_clips(sf_dir)
+        labeled = label_clips(ds, scorer_concurrency=(1, 4))
+        return labeled.select_columns(
+            ["clip_id", "keep", "drop_reason", "scrubbed_transcript"]
+        )
+
+    def doc_fingerprints_md5(sf_dir: str):
+        return text_analysis.doc_fingerprints(sf_dir).select_columns(["doc_id", "fp_md5"])
+
+    def qc_binned_summary(sf_dir: str):
+        from longqc_ray.pipelines.qc_summary import binned_quality_stats
+
+        labeled = label_clips(read_derived_clips(sf_dir), scorer_concurrency=(1, 4))
+        return binned_quality_stats(labeled)
+
+    return {
+        # --- relational / aggregate operator inventory (SURVEY.md §2.5-2.7) ---
+        "doc_corpus_stats": relational.doc_corpus_stats,        # A1
+        "doc_n50": relational.doc_n50,                          # A2
+        "doc_quality_flags": relational.doc_quality_flags,      # A6/A7
+        "length_bin_profile": relational.length_bin_profile,    # A13
+        "source_lang_profile": relational.source_lang_profile,  # A13 combiner
+        "control_anti_join": relational.control_anti_join,      # J1
+        "sample_semi_join": relational.sample_semi_join,        # J2
+        "user_sessions": relational.user_sessions,              # J3/M12
+        "top_docs": relational.top_docs,                        # O4/O7
+        "cohort_union": relational.cohort_union,                # O3
+        "deterministic_sample": relational.deterministic_sample,  # O1 analogue
+        "pricing_summary": relational.pricing_summary,          # grouped agg + combiner
+        "nation_revenue": relational.nation_revenue,            # broadcast join
+        "windowed_event_stats": relational.windowed_event_stats,  # §2.9 window
+        # --- dedup ladder ---
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.dedup_minhash,
+        "simhash_docs": dedup.simhash_docs,
+        "simhash_near_dups": dedup.simhash_near_dups,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "embedding_near_dups": similarity.embedding_near_dups,
+        # --- similarity search ---
+        "ann_topk": similarity.ann_topk,
+        "ann_lsh": similarity.ann_lsh,
+        # --- text analysis ---
+        "token_stats": text_analysis.token_stats,
+        "quality_scores": text_analysis.quality_scores,
+        "lang_id_docs": text_analysis.lang_id_docs,
+        "doc_fingerprints": doc_fingerprints_md5,
+        "pii_scrub_docs": text_analysis.pii_scrub_docs,
+        "toxicity_docs": text_analysis.toxicity_docs,
+        "repetition_docs": text_analysis.repetition_docs,
+        # --- flagship + multimodal (audio payload real, oracle = pytest) ---
+        "quality_filter_clips": quality_filter_clips,
+        "audio_features": audio_feature_table,
+        "qc_binned_summary": qc_binned_summary,
+    }
+
+
+# SQL twins. Shared pattern strings are interpolated from the kernel
+# modules (PII_PATTERNS, TOXIC_LEXICON, TOKEN_PATTERN) — RE2-compatible
+# by construction, so Python `re` and DuckDB agree.
+_EMAIL = PII_PATTERNS[0][1]
+_SSN = PII_PATTERNS[1][1]
+_PHONE = PII_PATTERNS[2][1]
+_TOX = r"\b(" + "|".join(TOXIC_LEXICON) + r")\b"
+_TOK = TOKEN_PATTERN.replace("'", "''")
+_STOP = STOPWORD_PATTERN
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_corpus_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars,
+                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+            FROM documents
+        """,
+        "doc_n50": """
+            SELECT CAST(n_chars AS BIGINT) AS n50 FROM (
+                SELECT n_chars,
+                       sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id) AS cum,
+                       sum(n_chars) OVER () AS tot
+                FROM documents)
+            WHERE cum >= 0.5 * tot ORDER BY cum LIMIT 1
+        """,
+        "doc_quality_flags": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS frac_short,
+                   CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS frac_long,
+                   CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS frac_nonen
+            FROM documents
+        """,
+        "length_bin_profile": """
+            SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+                   quantile_cont(n_chars, 0.5) AS med_chars
+            FROM documents GROUP BY 1
+        """,
+        "source_lang_profile": """
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+            FROM documents GROUP BY source, lang
+        """,
+        "control_anti_join": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 101 = 0)
+        """,
+        "sample_semi_join": """
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM events WHERE user_id % 7 = 0
+        """,
+        "user_sessions": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(1 + sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   CAST(floor(min(epoch(ts))) AS BIGINT) AS first_ts_s,
+                   CAST(floor(max(epoch(ts))) AS BIGINT) AS last_ts_s,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+            FROM (SELECT user_id, ts, value,
+                         date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS gap_us
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "top_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 100
+        """,
+        "cohort_union": """
+            SELECT doc_id, 'short' AS cohort FROM documents WHERE n_chars < 250
+            UNION ALL
+            SELECT doc_id, 'long' AS cohort FROM documents WHERE n_chars >= 250
+        """,
+        "deterministic_sample": """
+            SELECT doc_id FROM (
+                SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS prio
+                FROM documents ORDER BY prio, doc_id LIMIT 500)
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_qty,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "windowed_event_stats": """
+            SELECT event_type,
+                   CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS n_tokens,
+                   CAST(length(list_distinct(regexp_extract_all(text, '{_TOK}'))) AS BIGINT) AS n_types,
+                   CAST(length(text) AS BIGINT) AS n_chars_text
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / greatest(length(text), 1) AS alpha_frac,
+                   CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) AS digit_frac,
+                   CAST(length(regexp_extract_all(text, ' ')) AS DOUBLE) / greatest(length(text), 1) AS space_frac,
+                   CAST(length(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
+                       / greatest(length(regexp_extract_all(text, '{_TOK}')), 1) AS stopword_frac,
+                   CASE WHEN length(regexp_extract_all(text, '{_TOK}')) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(regexp_extract_all(text, '{_TOK}'), x -> length(x))) AS DOUBLE)
+                             / length(regexp_extract_all(text, '{_TOK}'))
+                   END AS mean_token_len
+            FROM documents
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "pii_scrub_docs": f"""
+            SELECT doc_id, t3 AS scrubbed_text, CAST(n1 + n2 + n3 AS BIGINT) AS n_pii FROM (
+                SELECT doc_id, regexp_replace(t2, '{_PHONE}', '<PHONE>', 'g') AS t3, n1, n2,
+                       length(regexp_extract_all(t2, '{_PHONE}')) AS n3 FROM (
+                    SELECT doc_id, regexp_replace(t1, '{_SSN}', '<SSN>', 'g') AS t2, n1,
+                           length(regexp_extract_all(t1, '{_SSN}')) AS n2 FROM (
+                        SELECT doc_id, regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g') AS t1,
+                               length(regexp_extract_all(text, '{_EMAIL}')) AS n1
+                        FROM documents)))
+        """,
+        "toxicity_docs": f"""
+            SELECT doc_id, n_toxic, n_toxic > 0 AS toxic FROM (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(lower(text), '{_TOX}')) AS BIGINT) AS n_toxic
+                FROM documents)
+        """,
+        "ann_topk": """
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+                       ) AS rank
+                FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q,
+                     embeddings e
+                WHERE e.vec_id <> q.vec_id)
+            WHERE rank <= 5
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id % 20 = 0 AND b.vec_id > a.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+    }

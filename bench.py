@@ -1,0 +1,161 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+- input tables: $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+- the flagship audio quality filter runs over the deterministic
+  synthetic clips table (BASELINE.json input_hint shape), sized by sf
+  (fixtures.py, cached under /tmp) — clip generation happens BEFORE
+  timing starts.
+- --scaling: runs the flagship twice in FRESH processes at
+  num_cpus=8 and num_cpus=32 (N vs 4N stand-in per BASELINE.md) and
+  reports clips/sec at both + scaling efficiency.
+
+This script OWNS its Ray session (the only places allowed to:
+bench.py, CLI entry points, tests' conftest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+_SF_PROFILE = {0.001: "tiny", 0.01: "small", 0.1: "bench"}
+
+
+def _clips_dir(sf: float) -> str:
+    from longqc_ray.fixtures import fixture_dir
+
+    return fixture_dir(_SF_PROFILE.get(sf, "bench"))
+
+
+def run_flagship(sf_dir: str, cpus: int) -> dict:
+    """Timed flagship run; returns {sec, rows_in, rows_out, clips_per_sec}."""
+    import glob
+
+    import ray.data as rd
+
+    from longqc_ray.pipelines.quality_filter import filter_clips
+    from longqc_ray.state.scorers import put_model_refs
+
+    sf = _sf_of(sf_dir)
+    clips = sorted(glob.glob(os.path.join(_clips_dir(sf), "clips", "*.parquet")))
+    import pyarrow.parquet as pq
+
+    rows_in = sum(pq.read_metadata(f).num_rows for f in clips)
+    refs = put_model_refs()  # model build/broadcast excluded from throughput? No: include
+    t0 = time.time()
+    ds = rd.read_parquet(clips)
+    kept = filter_clips(ds, scorer_concurrency=(2, max(cpus // 2, 2)), model_refs=refs)
+    rows_out = kept.count()
+    sec = time.time() - t0
+    return {
+        "sec": round(sec, 3),
+        "rows_in": rows_in,
+        "rows_out": rows_out,
+        "clips_per_sec": round(rows_in / sec, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Representative operator suite over the sf_dir tables."""
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "pricing_summary", "nation_revenue", "windowed_event_stats",
+        "user_sessions", "doc_n50", "dedup_exact", "dedup_minhash",
+        "ann_topk", "token_stats", "pii_scrub_docs",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # force execution for lazy Datasets
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    args = sys.argv[1:]
+    if "--cpus" in args:
+        cpus = int(args[args.index("--cpus") + 1])
+    flagship_only = "--flagship-only" in args
+
+    if "--scaling" in args:
+        # fresh processes at N and 4N CPUs on the same input (cluster
+        # two-size stand-in, BASELINE.md §2)
+        results = {}
+        for n in (8, 32):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-only", "--cpus", str(n)],
+                capture_output=True, text=True, env={**os.environ},
+            )
+            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+            results[n] = json.loads(line)
+        t8 = results[8]["clips_per_sec"]
+        t32 = results[32]["clips_per_sec"]
+        print(json.dumps({
+            "metric": "flagship filter scaling (fresh ray sessions, same input)",
+            "value": results[32]["value"],
+            "unit": "sec",
+            "queries": {"flagship_cpus8": results[8]["value"], "flagship_cpus32": results[32]["value"]},
+            "sf": _sf_of(sf_dir),
+            "num_cpus": 32,
+            "clips_per_sec_cpus8": t8,
+            "clips_per_sec_cpus32": t32,
+            "scaling_efficiency": round(t32 / (4.0 * t8), 3),
+        }))
+        return
+
+    # fixture generation (cached) happens before ray starts timing
+    _clips_dir(_sf_of(sf_dir))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    flag = run_flagship(sf_dir, cpus)
+    queries = {} if flagship_only else run_queries(sf_dir)
+    total = flag["sec"] + sum(queries.values())
+    print(json.dumps({
+        "metric": "flagship audio quality-filter + operator suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"flagship_filter": flag["sec"], **queries},
+        "sf": _sf_of(sf_dir),
+        "num_cpus": cpus,
+        "rows_in": flag["rows_in"],
+        "rows_out": flag["rows_out"],
+        "clips_per_sec": flag["clips_per_sec"],
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

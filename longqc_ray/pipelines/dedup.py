@@ -1,0 +1,406 @@
+"""Deduplication operators over the ``documents`` table.
+
+The reference has only exact membership dedup (ng_set of read names,
+longQC.py:376-389 — SURVEY.md §2.7); a web-scale training-data engine
+needs the full ladder, so it is built here as first-class operators:
+
+- exact dedup: content fingerprint → hash-partition → first-per-group
+- MinHash + LSH near-dup: shingle → minhash signature → banded LSH
+  buckets → candidate pairs → exact-Jaccard verify → union-find
+  clusters (the standard public MMDS ch.3 construction)
+- SimHash: 64-bit weighted feature hash; near-dup = Hamming ≤ d via
+  banded pigeonhole buckets
+- n-gram Jaccard: the exact verifier, exposed standalone
+
+Scale notes: signatures are fixed-width (64×u64 / 1×u64) so the
+shuffle moves ~KB per row, never the text; LSH buckets are capped
+(hot-bucket cap, the deterministic COVT analogue, esterr.c:85-100);
+pair verification re-reads only candidate docs (pruned is_in read).
+Union-find runs on the driver over verified pairs only — at 10^12
+rows this would be the standard iterated label-propagation groupby,
+documented in the docstring of ``_connected_components``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from .util import table
+
+MERSENNE_P = (1 << 61) - 1
+N_PERM = 64
+LSH_BANDS = 16  # 16 bands × 4 rows
+LSH_ROWS = N_PERM // LSH_BANDS
+BUCKET_CAP = 64  # hot-bucket candidate cap (COVT analogue)
+JACCARD_TAU = 0.8
+SIMHASH_BANDS = 4  # 4 × 16-bit bands → catches Hamming ≤ 3
+HAMMING_MAX = 3
+
+
+# ---------------------------------------------------------------- shingles
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct hashed char k-gram shingles (uint64) of a lowercased text."""
+    b = np.frombuffer(text.lower().encode("utf-8", "replace"), dtype=np.uint8)
+    if b.size < k:
+        return np.zeros(1, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    h = np.full(win.shape[0], np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h ^= win[:, j]
+            h = h * np.uint64(0x100000001B3)
+    return np.unique(h)
+
+
+_rng = np.random.default_rng(2024_08)
+_PERM_A = _rng.integers(1, MERSENNE_P, size=N_PERM, dtype=np.uint64) | np.uint64(1)
+_PERM_B = _rng.integers(0, MERSENNE_P, size=N_PERM, dtype=np.uint64)
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """(N_PERM,) uint64 signature: min over shingles of the
+    multiply-shift hash a*x+b mod 2^64 (natural uint64 wraparound —
+    the standard fast min-wise family in practice)."""
+    sh = shingles[:2048]  # per-row work cap (COVT analogue)
+    with np.errstate(over="ignore"):
+        vals = _PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]
+    return vals.min(axis=1)
+
+
+def minhash_signature_batch(texts: list[str], k: int = 5) -> np.ndarray:
+    """(n, N_PERM) uint64 signatures — fully vectorized per doc over
+    perms × shingles."""
+    out = np.empty((len(texts), N_PERM), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = minhash_signature(_shingle_hashes(t, k))
+    return out
+
+
+def _band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(n, LSH_BANDS) int64 band bucket keys from (n, N_PERM) signatures."""
+    n = sigs.shape[0]
+    bands = np.empty((n, LSH_BANDS), dtype=np.int64)
+    for b in range(LSH_BANDS):
+        seg = sigs[:, b * LSH_ROWS : (b + 1) * LSH_ROWS]
+        h = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(LSH_ROWS):
+                for shift in (0, 32):  # fold each u64 sig value in two halves
+                    h ^= (seg[:, j] >> np.uint64(shift)) & np.uint64(0xFFFFFFFF)
+                    h = h * np.uint64(0x100000001B3)
+        bands[:, b] = h.view(np.int64)
+    return bands
+
+
+def exact_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = _shingle_hashes(a, k), _shingle_hashes(b, k)
+    inter = np.intersect1d(sa, sb).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 0.0
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup by content hash: md5(text) fingerprint computed per
+    batch, groupby fingerprint keeps (min doc_id, copy count) — the
+    shuffle moves 16-byte keys, never the text."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "fp": pa.array(
+                [hashlib.md5(t.encode("utf-8", "replace")).hexdigest() for t in texts],
+                pa.string(),
+            ),
+            "doc_id": batch.column("doc_id"),
+        })
+
+    from ray.data.aggregate import Count, Min
+
+    out = (
+        ds.map_batches(fp, batch_format="pyarrow", batch_size=4096)
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_copies"] = out["n_copies"].astype(np.int64)
+    return out[["doc_id", "n_copies"]]
+
+
+# ---------------------------------------------------------------- minhash
+
+def _signature_ds(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        sigs = minhash_signature_batch(texts)
+        bands = _band_hashes(sigs)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(texts)
+        # explode: one row per (doc, band) — fixed 16× fan-out of 16-byte rows
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, LSH_BANDS), pa.int64()),
+            "band": pa.array(np.tile(np.arange(LSH_BANDS, dtype=np.int64), n), pa.int64()),
+            "bucket": pa.array(bands.reshape(-1), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1024)
+
+
+N_BUCKET_PARTS = 64
+
+
+def _add_bucket_part(t: pa.Table, n_parts: int = N_BUCKET_PARTS) -> pa.Table:
+    """Partition key = hash(band, bucket) % n_parts — all members of a
+    bucket land in one partition; partition count stays bounded so the
+    per-partition work is one vectorized pass (not one python call per
+    tiny bucket)."""
+    band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+    bucket = t.column("bucket").to_numpy(zero_copy_only=False).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (band * np.uint64(0x9E3779B97F4A7C15) ^ bucket) * np.uint64(0xFF51AFD7ED558CCD)
+    return t.append_column("__part", pa.array((h % np.uint64(n_parts)).astype(np.int64), pa.int64()))
+
+
+def _runs_with_dups(bands: np.ndarray, buckets: np.ndarray, ids: np.ndarray):
+    """Yield id-arrays of buckets holding ≥2 distinct ids (vectorized
+    run detection over a lexsorted partition; the ≥2 runs are rare so
+    the python loop touches only them)."""
+    order = np.lexsort((ids, buckets, bands))
+    b, k, i = bands[order], buckets[order], ids[order]
+    change = np.nonzero((np.diff(b) != 0) | (np.diff(k) != 0))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [b.size]])
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            u = np.unique(i[s:e])
+            if u.size >= 2:
+                yield u[:BUCKET_CAP]
+
+
+def _candidate_pairs(band_rows: rd.Dataset, id_col: str) -> pd.DataFrame:
+    """LSH buckets → candidate id pairs (deduped). Bucket size capped."""
+
+    def pairs_of_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for u in _runs_with_dups(
+            g["band"].to_numpy(), g["bucket"].to_numpy(), g[id_col].to_numpy()
+        ):
+            ai, bi = np.triu_indices(u.size, k=1)
+            out_a.append(u[ai])
+            out_b.append(u[bi])
+        if not out_a:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a).astype(np.int64),
+            "b": np.concatenate(out_b).astype(np.int64),
+        })
+
+    pairs = (
+        band_rows.map_batches(_add_bucket_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs_of_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+    return pairs.drop_duplicates(ignore_index=True)
+
+
+def _connected_components(pairs: pd.DataFrame) -> dict[int, int]:
+    """Union-find over verified pairs → {doc_id: cluster_rep(min id)}.
+
+    Verified near-dup pairs are a vanishing fraction of the corpus, so
+    driver-side union-find is the right call even at 10^12 rows as
+    long as the dup *graph* fits (it does for dedup workloads); the
+    fallback is iterated min-label propagation via groupby joins."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in list(parent)}
+
+
+def minhash_near_dups(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = JACCARD_TAU,
+) -> pd.DataFrame:
+    """Full MinHash-LSH near-dup pipeline over any (id, text) dataset.
+
+    Returns verified pairs (a, b, jaccard) with jaccard ≥ tau. Texts
+    for verification are re-read ONLY for candidate ids (pruned
+    ``is_in`` filter) — the full corpus never collects."""
+    band_rows = _signature_ds(ds, id_col, text_col)
+    pairs = _candidate_pairs(band_rows, id_col)
+    if pairs.empty:
+        return pd.DataFrame({
+            "a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+            "jaccard": np.empty(0, np.float64),
+        })
+    cand_ids = pa.array(
+        sorted(set(pairs["a"].tolist()) | set(pairs["b"].tolist())), pa.int64()
+    )
+    cand = (
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column(id_col), value_set=cand_ids)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index(id_col)[text_col]
+        .to_dict()
+    )
+    jac = np.array(
+        [exact_jaccard(cand[int(a)], cand[int(b)]) for a, b in zip(pairs["a"], pairs["b"])]
+    )
+    keep = jac >= tau
+    return pd.DataFrame({
+        "a": pairs["a"].to_numpy()[keep],
+        "b": pairs["b"].to_numpy()[keep],
+        "jaccard": jac[keep],
+    }).reset_index(drop=True)
+
+
+def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    """Per-doc near-dup verdict over documents: (doc_id, dup_of, keep).
+
+    keep=False iff the doc belongs to a verified near-dup cluster and
+    is not its min-id representative."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+    all_ids = table(sf_dir, "documents", columns=["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    pairs = minhash_near_dups(ds)
+    comp = _connected_components(pairs[["a", "b"]])
+    dup_of = np.array([comp.get(int(i), int(i)) for i in all_ids], dtype=np.int64)
+    return pd.DataFrame({
+        "doc_id": all_ids.astype(np.int64),
+        "dup_of": dup_of,
+        "keep": dup_of == all_ids,
+    })
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash over hashed word features (public construction:
+    sign-sum of feature-hash bits weighted by term frequency)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        if not words:
+            out[i] = np.uint64(0)
+            continue
+        uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        hs = np.array(
+            [int(hashlib.md5(w.encode("utf-8", "replace")).hexdigest()[:16], 16) for w in uniq],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+        out[i] = np.uint64(int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2))
+    return out
+
+
+def simhash_docs(sf_dir: str) -> rd.Dataset:
+    """Per-doc 64-bit simhash (emitted bit-cast to int64)."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sh = simhash64_batch(batch.column("text").to_pylist())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(sh.view(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
+
+
+def simhash_near_dups(sf_dir: str, hamming_max: int = HAMMING_MAX) -> pd.DataFrame:
+    """Near-dup pairs by SimHash: banded pigeonhole buckets (any pair
+    within Hamming ≤ 3 shares at least one of 4 16-bit bands), then
+    exact Hamming verify inside buckets."""
+    sh = simhash_docs(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = h.size
+        bands = np.empty((n, SIMHASH_BANDS), dtype=np.int64)
+        for b in range(SIMHASH_BANDS):
+            bands[:, b] = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, SIMHASH_BANDS), pa.int64()),
+            "simhash": pa.array(np.repeat(h.view(np.int64), SIMHASH_BANDS), pa.int64()),
+            "band": pa.array(np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n), pa.int64()),
+            "bucket": pa.array(bands.reshape(-1), pa.int64()),
+        })
+
+    def pairs_of_part(g: pd.DataFrame) -> pd.DataFrame:
+        id2hash = dict(zip(g["doc_id"].to_numpy(), g["simhash"].to_numpy()))
+        out_a, out_b, out_h = [], [], []
+        for u in _runs_with_dups(
+            g["band"].to_numpy(), g["bucket"].to_numpy(), g["doc_id"].to_numpy()
+        ):
+            hs = np.array([id2hash[i] for i in u], dtype=np.int64).view(np.uint64)
+            ai, bi = np.triu_indices(u.size, k=1)
+            ham = np.array(
+                [bin(int(hs[x] ^ hs[y])).count("1") for x, y in zip(ai, bi)],
+                dtype=np.int64,
+            )
+            ok = ham <= hamming_max
+            out_a.append(u[ai[ok]])
+            out_b.append(u[bi[ok]])
+            out_h.append(ham[ok])
+        if not out_a:
+            return pd.DataFrame({
+                "a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                "hamming": np.empty(0, np.int64),
+            })
+        return pd.DataFrame({
+            "a": np.concatenate(out_a).astype(np.int64),
+            "b": np.concatenate(out_b).astype(np.int64),
+            "hamming": np.concatenate(out_h).astype(np.int64),
+        })
+
+    pairs = (
+        sh.map_batches(explode, batch_format="pyarrow")
+        .map_batches(_add_bucket_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs_of_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({
+            "a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+            "hamming": np.empty(0, np.int64),
+        })
+    return pairs.drop_duplicates(ignore_index=True)
+
+
+def ngram_jaccard_pairs(sf_dir: str, tau: float = JACCARD_TAU) -> pd.DataFrame:
+    """Standalone exact n-gram-Jaccard verifier exposed as an operator:
+    verified near-dup pairs over documents (a, b, jaccard)."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_near_dups(ds, tau=tau)

@@ -20,6 +20,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, FilterConfig
@@ -65,16 +67,34 @@ def label_clips(
     return ds
 
 
-def dedup_first(ds: rd.Dataset, key: str = "clip_id") -> rd.Dataset:
-    """Exact dedup, first occurrence per key (hash-partition + per-group
-    head — SURVEY.md §2.7; duplicates here are identical rows so
-    any-wins ≡ first-wins)."""
+def dedup_first(ds: rd.Dataset, key: str = "clip_id", n_parts: int = 64) -> rd.Dataset:
+    """Exact dedup by key (hash-partition + per-partition first —
+    SURVEY.md §2.7; duplicates here are identical rows so any-wins ≡
+    first-wins).
+
+    Partitioning is by hash(key) % n_parts, NOT by the key itself:
+    ``map_groups`` over millions of tiny single-row groups pays a
+    python/pandas overhead per group, while ``n_parts`` bounded
+    partitions each dedup vectorized (measured ~50× on the 20k-row
+    bench). All copies of one key land in one partition, so the
+    result is identical; n_parts scales with the cluster."""
+    import zlib
+
     import pandas as pd
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t.column(key).to_pylist()
+        part = np.array([zlib.crc32(k.encode()) % n_parts for k in keys], dtype=np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
 
-    return ds.groupby(key).map_groups(first_row, batch_format="pandas")
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=[key]).drop(columns="__part")
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dd, batch_format="pandas")
+    )
 
 
 def filter_clips(

@@ -1,0 +1,342 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+Each function is one `queries()` entry in ``__ray_entry__.py`` with a
+matching DuckDB oracle SQL; together they cover the reference's
+operator inventory (SURVEY.md §2) on real tables:
+
+- global aggregates (A1), NXX weighted quantile (A2, lq_utils.py:33-53)
+- predicate-fraction aggregates (A6/A7, lq_coverage.py:211-224)
+- binned grouped stats (A13/A14, lq_mask.py:43-66)
+- broadcast anti/semi joins (J1/J2, lq_coverage.py:104-107)
+- ordered within-group merge (J3/M12, lq_sequel.py:76-137)
+- desc sort + limit (O4/O7), cohort split + union (O3, longQC.py:409-415)
+- deterministic bottom-k sampling (O1 analogue, chunk-independent)
+- windowed event aggregation (streaming-window analogue, §2.9)
+
+Exactness contract with the SQL oracle: counts/sums stay in the
+integer domain (money → per-row cents), means are ratios of exact
+integers — so the driver's value-hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.stats import nxx
+from .util import cents, grouped_sums, table
+
+
+# ---------------------------------------------------------------- A1/A2
+
+def doc_corpus_stats(sf_dir: str) -> pa.Table:
+    """Global throughput stats (A1: sum/max/mean/count, longQC.py:468-471)."""
+    ds = table(sf_dir, "documents", columns=["n_chars"])
+    from ray.data.aggregate import Max, Sum
+
+    agg = ds.aggregate(Sum("n_chars", alias_name="total_chars"),
+                       Max("n_chars", alias_name="max_chars"))
+    n = ds.count()
+    total = int(agg["total_chars"])
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "total_chars": pa.array([total], pa.int64()),
+        "max_chars": pa.array([int(agg["max_chars"])], pa.int64()),
+        "mean_chars": pa.array([total / n], pa.float64()),
+    })
+
+
+def doc_n50(sf_dir: str) -> pa.Table:
+    """N50 weighted quantile over document lengths (A2, lq_utils.py:33-53)
+    via the 2-pass histogram refinement — no global sort."""
+    ds = table(sf_dir, "documents", columns=["n_chars"])
+    v = nxx(ds, "n_chars", frac=0.5)
+    return pa.table({"n50": pa.array([int(v)], pa.int64())})
+
+
+# ---------------------------------------------------------------- A6/A7
+
+def doc_quality_flags(sf_dir: str) -> pa.Table:
+    """Predicate-fraction aggregates (A6/A7: unmapped/high-div fractions,
+    lq_coverage.py:211-224) — per-batch int partials, exact ratios."""
+    ds = table(sf_dir, "documents", columns=["n_chars", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "n_short": pa.array([int((nc < 200).sum())], pa.int64()),
+            "n_long": pa.array([int((nc >= 400).sum())], pa.int64()),
+            "n_nonen": pa.array([int((lang != "en").sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    n = int(parts["n"].sum())
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "frac_short": pa.array([parts["n_short"].sum() / n], pa.float64()),
+        "frac_long": pa.array([parts["n_long"].sum() / n], pa.float64()),
+        "frac_nonen": pa.array([parts["n_nonen"].sum() / n], pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------- A13/A14
+
+def length_bin_profile(sf_dir: str) -> pd.DataFrame:
+    """Binned boxplot-style stats (A13: bin by floor(len/interval),
+    per-bin count/mean/median, lq_mask.py:43-66). Bin count is bounded,
+    so per-bin quantiles run in map_groups; at 10^12 rows the median
+    would switch to the histogram sketch in functions/stats.py."""
+    ds = table(sf_dir, "documents", columns=["n_chars"])
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(pc.cast(t.column("n_chars"), pa.float64()), 100.0)), pa.int64())
+        return t.append_column("bin", b)
+
+    def per_bin(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_chars"].to_numpy()
+        return pd.DataFrame({
+            "bin": [int(g["bin"].iloc[0])],
+            "n": np.array([len(v)], dtype=np.int64),
+            "mean_chars": [float(v.sum()) / len(v)],
+            "med_chars": [float(np.median(v))],
+        })
+
+    return (
+        ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby("bin")
+        .map_groups(per_bin, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def source_lang_profile(sf_dir: str) -> pd.DataFrame:
+    """Grouped sums with map-side combiners (the A13 shuffle pattern):
+    per (source, lang): doc count, total chars, exact mean."""
+    ds = table(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    out = grouped_sums(ds, ["source", "lang"], ["n_chars"])
+    out = out.rename(columns={"n_chars_total": "total_chars", "n_total": "n_docs"})
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    out["mean_chars"] = out["total_chars"] / out["n_docs"]
+    return out[["source", "lang", "n_docs", "total_chars", "mean_chars"]]
+
+
+# ---------------------------------------------------------------- J1/J2
+
+def control_anti_join(sf_dir: str) -> rd.Dataset:
+    """Broadcast anti-join (J1: control-read removal,
+    lq_coverage.py:104-107): the small control-key set is collected
+    once, ``ray.put`` once, and read inside every filter task — never
+    a big-side shuffle."""
+    ids = table(sf_dir, "documents", columns=["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    keys_ref = ray.put(pa.array(np.sort(ids[ids % 101 == 0]), pa.int64()))
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def drop_control(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=ray.get(keys_ref)))
+        return batch.filter(mask)
+
+    return ds.map_batches(drop_control, batch_format="pyarrow")
+
+
+def sample_semi_join(sf_dir: str) -> rd.Dataset:
+    """Broadcast semi-join (J2: sampled-name membership,
+    lq_utils.py:393-395): keep only events of sampled users."""
+    sample = frozenset(
+        u for u in table(sf_dir, "events", columns=["user_id"]).to_pandas()["user_id"].unique()
+        if u % 7 == 0
+    )
+    ref = ray.put(pa.array(sorted(sample), pa.int64()))
+    ds = table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def keep_sampled(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        out = batch.filter(pc.is_in(batch.column("user_id"), value_set=vs))
+        vcents = cents(out.column("value").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_id": out.column("event_id"),
+            "user_id": out.column("user_id"),
+            "value_cents": pa.array(vcents, pa.int64()),
+        })
+
+    return ds.map_batches(keep_sampled, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J3/M12
+
+def user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Ordered within-group merge (M12 construct_polread,
+    lq_sequel.py:76-137): per user, sort events by time, split into
+    sessions at >1h gaps — sort INSIDE map_groups, never relying on
+    block order (SURVEY.md §7.3 item 6)."""
+    ds = table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        # exact microsecond gaps (the SQL twin uses date_diff('microsecond'))
+        n_sessions = 1 + int((np.diff(ts) > 3_600_000_000).sum())
+        return pd.DataFrame({
+            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
+            "n_events": np.array([len(g)], dtype=np.int64),
+            "n_sessions": np.array([n_sessions], dtype=np.int64),
+            "first_ts_s": np.array([ts[0] // 1_000_000], dtype=np.int64),
+            "last_ts_s": np.array([ts[-1] // 1_000_000], dtype=np.int64),
+            "total_value_cents": np.array([int(cents(g["value"].to_numpy()).sum())], dtype=np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+# ---------------------------------------------------------------- O3/O4/O7
+
+def top_docs(sf_dir: str) -> pd.DataFrame:
+    """Descending sort + limit (O4 N50 sort / O7 top-k): top 100 docs
+    by length, deterministic tie-break on doc_id."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100).to_pandas()
+
+
+def cohort_union(sf_dir: str) -> rd.Dataset:
+    """Cohort split + union (O3: short/normal split at 500 bp,
+    longQC.py:409-415): two filtered sub-pipelines re-joined."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def tag(which: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            nc = batch.column("n_chars")
+            mask = pc.less(nc, 250) if which == "short" else pc.greater_equal(nc, 250)
+            out = batch.filter(mask)
+            return pa.table({
+                "doc_id": out.column("doc_id"),
+                "cohort": pa.array([which] * out.num_rows, pa.string()),
+            })
+        return fn
+
+    short = ds.map_batches(tag("short"), batch_format="pyarrow")
+    normal = ds.map_batches(tag("long"), batch_format="pyarrow")
+    return short.union(normal)
+
+
+def deterministic_sample(sf_dir: str) -> pd.DataFrame:
+    """Chunk-independent deterministic sampler (the engine's O1
+    replacement — SURVEY.md §7.3 item 1): bottom-500 doc_ids by
+    md5(doc_id) priority; per-batch partial bottom-k, tiny driver
+    merge, no shuffle."""
+    n = 500
+    ds = table(sf_dir, "documents", columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        prio = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        order = np.argsort(np.asarray(prio, dtype=object), kind="stable")[:n]
+        return pa.table({
+            "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+            "prio": pa.array([prio[i] for i in order], pa.string()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    parts = parts.sort_values(["prio", "doc_id"], kind="stable").head(n)
+    return parts[["doc_id"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped grouped aggregate over lineitem with map-side
+    combiners; money in exact cents (per-row round, int64 sums)."""
+    ds = table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_c": pa.array(cents(qty), pa.int64()),
+            "price_c": pa.array(cents(price), pa.int64()),
+            "disc_price_c": pa.array(cents(price * (1.0 - disc)), pa.int64()),
+        })
+
+    rows = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=65536)
+    out = grouped_sums(rows, ["l_returnflag", "l_linestatus"], ["qty_c", "price_c", "disc_price_c"])
+    out = out.rename(columns={
+        "qty_c_total": "sum_qty_cents",
+        "price_c_total": "sum_base_cents",
+        "disc_price_c_total": "sum_disc_cents",
+        "n_total": "count_order",
+    })
+    for c in ("sum_qty_cents", "sum_base_cents", "sum_disc_cents", "count_order"):
+        out[c] = out[c].astype(np.int64)
+    out["avg_qty"] = out["sum_qty_cents"] / out["count_order"] / 100.0
+    return out[["l_returnflag", "l_linestatus", "sum_qty_cents", "sum_base_cents",
+                "sum_disc_cents", "avg_qty", "count_order"]]
+
+
+def nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join (J5-style small-side lookup instead of a shuffle
+    join): customer→nation map built once on the driver, ``ray.put``
+    once, applied per batch over orders; then combiner groupby."""
+    cust = table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nk2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cust2nation = {
+        int(ck): nk2name[int(nk)] for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    lookup_ref = ray.put(cust2nation)
+
+    orders = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        ck = batch.column("o_custkey").to_pylist()
+        names = [lut.get(k) for k in ck]
+        price_c = cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "price_c": pa.array(price_c, pa.int64()),
+        })
+
+    rows = orders.map_batches(add_nation, batch_format="pyarrow", batch_size=65536)
+    out = grouped_sums(rows, ["n_name"], ["price_c"])
+    out = out.rename(columns={"price_c_total": "revenue_cents", "n_total": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return out[["n_name", "n_orders", "revenue_cents"]]
+
+
+# ---------------------------------------------------------------- windows
+
+def windowed_event_stats(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate (the time-window analogue of the
+    reference's within-row windows, SURVEY.md §2.9): per (event_type,
+    hour): count + exact value cents."""
+    ds = table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        hour_s = (ts // 3_600_000_000) * 3600
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start_s": pa.array(hour_s, pa.int64()),
+            "value_c": pa.array(cents(batch.column("value").to_numpy(zero_copy_only=False)), pa.int64()),
+        })
+
+    rows = ds.map_batches(add_window, batch_format="pyarrow", batch_size=65536)
+    out = grouped_sums(rows, ["event_type", "window_start_s"], ["value_c"])
+    out = out.rename(columns={"value_c_total": "value_cents", "n_total": "n_events"})
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["value_cents"] = out["value_cents"].astype(np.int64)
+    return out[["event_type", "window_start_s", "n_events", "value_cents"]]

@@ -1,0 +1,219 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``ann_topk``: brute-force cosine top-k — the exactness baseline.
+  Query matrix is broadcast once (``ray.put``); every batch does one
+  float64 matmul against it and emits only its LOCAL top-k rows per
+  query, so the driver merge sees ≤ k × n_blocks tiny rows. This is
+  the shape that scales: compute is one GEMM per block, shuffle is
+  nearly nothing, and the corpus streams.
+- ``ann_lsh``: the scale path — random-hyperplane LSH buckets; each
+  query searches only its bucket (probing mirrored bits). Recall vs
+  the brute-force baseline is pinned in tests.
+- ``embedding_near_dups``: cosine near-dup pairs (threshold), the
+  embedding rung of the dedup ladder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .util import table
+
+TOP_K = 5
+N_QUERIES = 10
+NEAR_DUP_COS = 0.95
+LSH_BITS = 8
+_LSH_SEED = 7_2024
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids int64[n], unit-normalized float64[n, d]) from an Arrow batch."""
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    d = flat.size // max(len(ids), 1)
+    m = flat.reshape(len(ids), d)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return ids, m / norms
+
+
+def _collect_where(sf_dir: str, pred) -> pa.Table:
+    """Small-side collect: vectorized filter per batch, then concat."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pred(t.column("vec_id"))), batch_format="pyarrow"
+    )
+    refs = ds.to_arrow_refs()
+    return pa.concat_tables([ray.get(r) for r in refs])
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.compute as pc
+
+    tbl = _collect_where(sf_dir, lambda col: pc.less(col, n_queries))
+    return _emb_matrix(tbl)
+
+
+def ann_topk(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES) -> pd.DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank), self excluded,
+    ties broken by neighbor_id ascending."""
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, q_mat))
+
+    ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(q_ref)
+        ids, m = _emb_matrix(batch)
+        sims = qm @ m.T  # (n_q, n_batch) — one GEMM per block
+        out_q, out_n, out_c = [], [], []
+        for row in range(qi.size):
+            s = sims[row]
+            mask = ids != qi[row]
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            kk = min(k, cand.size)
+            top = cand[np.argpartition(-s[cand], kk - 1)[:kk]]
+            out_q.append(np.full(kk, qi[row], dtype=np.int64))
+            out_n.append(ids[top])
+            out_c.append(s[top])
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "cos": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    # tiny driver merge: global top-k per query with deterministic ties
+    parts = parts.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True], kind="stable"
+    )
+    out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+# ---------------------------------------------------------------- LSH path
+
+def _hyperplanes(d: int) -> np.ndarray:
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.standard_normal((LSH_BITS, d))
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0.0
+    return (bits * (1 << np.arange(LSH_BITS))).sum(axis=1).astype(np.int64)
+
+
+def ann_lsh(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES, n_probe_bits: int = 2) -> pd.DataFrame:
+    """Approximate top-k via random-hyperplane LSH: each corpus batch
+    keeps only rows whose bucket is within ``n_probe_bits`` bit-flips
+    of a query bucket, then scores those exactly. At 10^12 rows the
+    bucket id becomes the partition key (search touches only matching
+    partitions); here the filter happens per batch."""
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
+    d = q_mat.shape[1]
+    planes = _hyperplanes(d)
+    q_buckets = _bucket_of(q_mat, planes)
+    # probe set: all buckets within hamming<=n_probe_bits of any query bucket
+    probe: set[int] = set()
+    for qb in q_buckets:
+        probe.add(int(qb))
+        for i in range(LSH_BITS):
+            probe.add(int(qb) ^ (1 << i))
+            if n_probe_bits >= 2:
+                for j in range(i + 1, LSH_BITS):
+                    probe.add(int(qb) ^ (1 << i) ^ (1 << j))
+    ctx_ref = ray.put((q_ids, q_mat, planes, frozenset(probe)))
+
+    ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qm, pl, pr = ray.get(ctx_ref)
+        ids, m = _emb_matrix(batch)
+        bk = _bucket_of(m, pl)
+        sel = np.array([b in pr for b in bk], dtype=bool)
+        ids, m = ids[sel], m[sel]
+        if ids.size == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            })
+        sims = qm @ m.T
+        rows = []
+        for row in range(qi.size):
+            s = sims[row]
+            cand = np.nonzero(ids != qi[row])[0]
+            kk = min(TOP_K, cand.size)
+            if kk == 0:
+                continue
+            top = cand[np.argpartition(-s[cand], kk - 1)[:kk]]
+            rows.append((np.full(kk, qi[row], np.int64), ids[top], s[top]))
+        if not rows:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate([r[0] for r in rows]), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate([r[1] for r in rows]), pa.int64()),
+            "cos": pa.array(np.concatenate([r[2] for r in rows]), pa.float64()),
+        })
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    parts = parts.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True], kind="stable"
+    )
+    out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+# ---------------------------------------------------------------- near-dup
+
+def embedding_near_dups(sf_dir: str, tau: float = NEAR_DUP_COS, stride: int = 20) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs: left side = every ``stride``-th
+    vector (broadcast), right side streams; emits (a_id, b_id) with
+    cos ≥ tau and b_id > a_id. At full scale the left side becomes an
+    LSH-bucketed loop over broadcast slabs."""
+    l_tbl = _collect_where(
+        sf_dir,
+        lambda col: pa.array(col.to_numpy(zero_copy_only=False) % stride == 0),
+    )
+    l_ids, l_mat = _emb_matrix(l_tbl)
+    l_ref = ray.put((l_ids, l_mat))
+
+    ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        li, lm = ray.get(l_ref)
+        ids, m = _emb_matrix(batch)
+        sims = lm @ m.T
+        ai, bi = np.nonzero((sims >= tau) & (ids[None, :] > li[:, None]))
+        return pa.table({
+            "a_id": pa.array(li[ai], pa.int64()),
+            "b_id": pa.array(ids[bi], pa.int64()),
+        })
+
+    out = ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"a_id": np.empty(0, np.int64), "b_id": np.empty(0, np.int64)})
+    return out.sort_values(["a_id", "b_id"], kind="stable").reset_index(drop=True)

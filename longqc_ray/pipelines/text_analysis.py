@@ -1,0 +1,226 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The large-scale-training-pipeline operator set (driver brief) realised
+with the same kernels the flagship clip filter uses:
+
+- token counting (whitespace-free regex + BPE-ish splitter, kernels/text.py)
+- quality scoring (char-class fractions, token stats, stopword ratio)
+- language ID (hashed char-n-gram NB actor pool, state/langid.py)
+- document fingerprinting (md5 + polynomial rolling hash)
+- PII scrub (kernels/pii.py — RE2-compatible patterns shared verbatim
+  with the DuckDB oracle SQL)
+- toxicity lexicon hits (kernels/toxicity.py)
+- repetition / low-complexity masking (kernels/text.py, the SDUST
+  analogue sdust.c:136-177)
+
+Every op is a vectorized ``map_batches`` over pruned columns; the only
+stateful one (langid) is an actor pool with the model broadcast once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..kernels.pii import _COMPILED as PII_COMPILED
+from ..kernels.text import count_bpe_ish_tokens, repetition_mask, rolling_fingerprint
+from ..kernels.toxicity import TOXIC_RE
+from .util import table
+
+# Shared with the SQL oracle verbatim (RE2-compatible, no lookaround).
+TOKEN_PATTERN = r"[A-Za-z0-9']+"
+STOPWORD_PATTERN = r"\b(the|a|an|of|and|to|in|is|it|for|on|with|as|at|by)\b"
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+_STOP_RE = re.compile(STOPWORD_PATTERN)
+
+
+def token_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc token counts: regex tokens, distinct tokens, chars."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tok = np.empty(len(texts), dtype=np.int64)
+        n_types = np.empty(len(texts), dtype=np.int64)
+        n_chars = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = _TOKEN_RE.findall(t)
+            n_tok[i] = len(toks)
+            n_types[i] = len(set(toks))
+            n_chars[i] = len(t)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_types": pa.array(n_types, pa.int64()),
+            "n_chars_text": pa.array(n_chars, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def quality_scores(sf_dir: str) -> rd.Dataset:
+    """Per-doc quality heuristics: char-class fractions, mean token
+    length, stopword ratio — the text analogue of the per-read
+    length/Q7/GC stat block (lq_gcfrac.py:25-47, lqutils.c:72-80).
+
+    Every output is a single double division of exact ints, so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        cols = {k: np.zeros(n, dtype=np.float64) for k in
+                ("alpha_frac", "digit_frac", "space_frac", "stopword_frac", "mean_token_len")}
+        for i, t in enumerate(texts):
+            L = max(len(t), 1)
+            b = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8)
+            # ascii classes; texts are ascii-safe in the corpus
+            alpha = int((((b >= 65) & (b <= 90)) | ((b >= 97) & (b <= 122))).sum())
+            digit = int(((b >= 48) & (b <= 57)).sum())
+            space = int((b == 32).sum())
+            toks = _TOKEN_RE.findall(t)
+            stops = _STOP_RE.findall(t.lower())
+            cols["alpha_frac"][i] = alpha / L
+            cols["digit_frac"][i] = digit / L
+            cols["space_frac"][i] = space / L
+            cols["stopword_frac"][i] = len(stops) / max(len(toks), 1)
+            cols["mean_token_len"][i] = (
+                sum(len(x) for x in toks) / len(toks) if toks else 0.0
+            )
+        out = {"doc_id": batch.column("doc_id")}
+        out.update({k: pa.array(v, pa.float64()) for k, v in cols.items()})
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+class LangIdDocs:
+    """Actor-pool language-ID stage over documents (T1/T2 pattern —
+    model broadcast once, held per actor, scored vectorized)."""
+
+    def __init__(self, langid_ref=None):
+        from ..state.langid import build_langid_model
+
+        self.model = ray.get(langid_ref) if langid_ref is not None else build_langid_model()
+        self.lang_arr = np.asarray(self.model.langs, dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        idx, conf = self.model.score_texts(texts)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(self.lang_arr[idx].tolist(), pa.string()),
+            "lang_conf": pa.array(conf, pa.float64()),
+        })
+
+
+def lang_id_docs(sf_dir: str) -> rd.Dataset:
+    from ..state.langid import build_langid_model
+
+    ref = ray.put(build_langid_model())
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangIdDocs,
+        fn_constructor_kwargs={"langid_ref": ref},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Document fingerprinting: md5 (oracle-checkable) + 61-bit
+    polynomial rolling hash (kernels/text.py)."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fp_md5": pa.array(
+                [hashlib.md5(t.encode("utf-8", "replace")).hexdigest() for t in texts],
+                pa.string(),
+            ),
+            "fp_rolling": pa.array(
+                [rolling_fingerprint(t) for t in texts], pa.int64()
+            ),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def pii_scrub_docs(sf_dir: str) -> rd.Dataset:
+    """PII scrub over documents (M7 adapter-trim analogue,
+    lq_adapt.py:80-103): sequential pattern application, per-row span
+    count; patterns shared verbatim with the oracle SQL."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        scrubbed = []
+        n_pii = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            total = 0
+            for _name, rx, rep in PII_COMPILED:
+                t, k = rx.subn(rep, t)
+                total += k
+            scrubbed.append(t)
+            n_pii[i] = total
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "scrubbed_text": pa.array(scrubbed, pa.string()),
+            "n_pii": pa.array(n_pii, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def toxicity_docs(sf_dir: str) -> rd.Dataset:
+    """Toxicity lexicon hits (T6 spike-in control analogue)."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hits = np.array([len(TOXIC_RE.findall(t)) for t in texts], dtype=np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_toxic": pa.array(hits, pa.int64()),
+            "toxic": pa.array(hits > 0),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def repetition_docs(sf_dir: str) -> rd.Dataset:
+    """SDUST-analogue low-complexity mask stats per document
+    (sdust.c:136-177 recast over characters; kernels/text.py)."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        mf = np.zeros(n)
+        mc = np.zeros(n, dtype=np.int64)
+        nc = np.zeros(n, dtype=np.int64)
+        nt = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            mf[i], mc[i], nc[i] = repetition_mask(t)
+            nt[i] = count_bpe_ish_tokens(t)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "masked_frac": pa.array(mf, pa.float64()),
+            "masked_chars": pa.array(mc, pa.int64()),
+            "n_chars_text": pa.array(nc, pa.int64()),
+            "n_bpe_tokens": pa.array(nt, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
