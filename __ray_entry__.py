@@ -57,6 +57,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         labeled = label_clips(read_derived_clips(sf_dir), scorer_concurrency=(1, 4))
         return binned_quality_stats(labeled)
 
+    def qc_report(sf_dir: str):
+        """Scalar QC report row (A1/A2/A8-A12 fits + warn/error rules,
+        longQC.py:462-518/784-824 analogue) over the derived clips."""
+        import pandas as pd
+
+        from longqc_ray.pipelines.qc_summary import qc_summary
+
+        labeled = label_clips(read_derived_clips(sf_dir), scorer_concurrency=(1, 4))
+        rep = qc_summary(labeled)
+        flat = {k: v for k, v in rep.items() if isinstance(v, (int, float, str))}
+        flat["gamma_shape"] = rep["gamma_fit"]["shape"]
+        flat["gamma_scale"] = rep["gamma_fit"]["scale"]
+        flat["n_warns"] = len(rep["warns"])
+        flat["n_errors"] = len(rep["errors"])
+        return pd.DataFrame([flat])
+
     return {
         # --- relational / aggregate operator inventory (SURVEY.md §2.5-2.7) ---
         "doc_corpus_stats": relational.doc_corpus_stats,        # A1
@@ -73,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,          # grouped agg + combiner
         "nation_revenue": relational.nation_revenue,            # broadcast join
         "windowed_event_stats": relational.windowed_event_stats,  # §2.9 window
+        "user_occupancy": relational.user_occupancy,            # A15 occupancy
         # --- dedup ladder ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -95,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,
         "qc_binned_summary": qc_binned_summary,
+        "qc_report": qc_report,
     }
 
 
@@ -199,6 +217,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "user_occupancy": """
+            SELECT window_start_s,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM (SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS window_start_s,
+                         user_id
+                  FROM events)
+            GROUP BY window_start_s
         """,
         "windowed_event_stats": """
             SELECT event_type,

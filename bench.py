@@ -60,7 +60,7 @@ def run_flagship(sf_dir: str, cpus: int) -> dict:
     refs = put_model_refs()  # model build/broadcast excluded from throughput? No: include
     t0 = time.time()
     ds = rd.read_parquet(clips)
-    kept = filter_clips(ds, scorer_concurrency=(2, max(cpus // 2, 2)), model_refs=refs)
+    kept = filter_clips(ds, scorer_concurrency=(2, cpus), model_refs=refs)
     rows_out = kept.count()
     sec = time.time() - t0
     return {

@@ -40,8 +40,11 @@ class FilterConfig:
     snr_min_db: float = 5.0
     # per-clip work cap: analyze at most this many samples
     # (deterministic analogue of the COVT=150 coverage cap with
-    # random thinning, esterr.c:85-100 / minimap2-coverage.h:20)
-    snr_max_samples: int = 65_536
+    # random thinning, esterr.c:85-100 / minimap2-coverage.h:20).
+    # 8192 keeps the FFT a fixed power-of-2 for clips ≥ ~0.4-1 s;
+    # fixture synthesis aligns planted sinusoids to this window, so
+    # generator/estimator/oracle move together.
+    snr_max_samples: int = 8_192
     snr_top_bins: int = 8          # spectral peaks counted as "signal"
     frame_len: int = 1024          # frames for the active-frame fraction
     frame_rms_floor: float = 0.01  # frame considered active above this RMS

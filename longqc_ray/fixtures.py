@@ -270,7 +270,8 @@ _FIXTURE_PROFILES = {
 def fixture_dir(profile: str = "tiny", root: str = "/tmp/longqc_fixtures", seed: int = 42) -> str:
     """Cached deterministic fixture; generated on first use."""
     n_rows, n_shards = _FIXTURE_PROFILES[profile]
-    d = os.path.join(root, f"{profile}-{n_rows}-s{seed}")
+    # v2: snr_max_samples 65536→8192 changed planted-audio alignment
+    d = os.path.join(root, f"{profile}-{n_rows}-s{seed}-v2")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)

@@ -62,6 +62,19 @@ def n_samples_for(b: bytes, codec: str) -> int:
     return 0
 
 
+def decode_view(a: np.ndarray, codec: str) -> np.ndarray | None:
+    """Zero-copy-in decode: ``a`` is a uint8 view into the Arrow data
+    buffer (no per-row bytes copy). Same numeric results as
+    ``decode_payload`` — shared with the oracle via the same
+    mulaw/pcm16 kernels."""
+    if codec == "pcm_s16le":
+        m = a.size - (a.size % 2)
+        return a[:m].view("<i2").astype(np.float64) / 32767.0
+    if codec == "mulaw":
+        return mulaw_decode(a)
+    return None
+
+
 def estimate_snr_db(
     pcm: np.ndarray,
     max_samples: int = 65_536,

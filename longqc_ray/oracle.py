@@ -85,12 +85,15 @@ def oracle_row(
         dur_from_bytes = n_samp * 1000.0 / sr_hz
         tol = max(config.dur_tol_ms, config.dur_tol_rel * dur_ms)
         consistent = abs(dur_from_bytes - dur_ms) <= tol
-        pcm = decode_payload(payload, codec)
-        if pcm is not None:
-            snr_db = estimate_snr_db(pcm, config.snr_max_samples, config.snr_top_bins)
-            frame_frac = active_frame_frac(
-                pcm, config.frame_len, config.frame_rms_floor, config.snr_max_samples
-            )
+        # same gate as the engine (stages/features.py): spectral stats
+        # only where no earlier rule already decides the row
+        if consistent and dur_ok_lo and dur_ok_hi:
+            pcm = decode_payload(payload, codec)
+            if pcm is not None:
+                snr_db = estimate_snr_db(pcm, config.snr_max_samples, config.snr_top_bins)
+                frame_frac = active_frame_frac(
+                    pcm, config.frame_len, config.frame_rms_floor, config.snr_max_samples
+                )
 
     masked_frac, masked_chars, n_chars = repetition_mask(
         transcript, config.rep_k, config.rep_window, config.rep_score_threshold

@@ -85,7 +85,7 @@ def _clip_row(doc_id: int, text: str) -> tuple[str, bytes, int, int, str, str]:
 def clips_from_documents(sf_dir: str, cache_root: str = "/tmp/longqc_derived") -> str:
     """Materialize (once, cached) the derived clips table for a driver
     sf dir; returns the clips directory (sharded parquet)."""
-    key = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}:v3".encode()).hexdigest()[:12]
     out_dir = os.path.join(cache_root, f"clips-{key}")
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):

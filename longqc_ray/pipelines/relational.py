@@ -317,6 +317,34 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     return out[["n_name", "n_orders", "revenue_cents"]]
 
 
+def user_occupancy(sf_dir: str) -> pd.DataFrame:
+    """Active-entity occupancy time series (A15 pore-occupancy
+    analogue, lq_nanopore.py:294-325): per minute window, the count of
+    DISTINCT active users + event count. Distinct is two-stage: dedup
+    (window, user) pairs via a grouped count, then sum per window —
+    both shuffles carry only pair keys."""
+    from ray.data.aggregate import Count
+
+    ds = table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "window_start_s": pa.array((ts // 60_000_000) * 60, pa.int64()),
+            "user_id": batch.column("user_id"),
+        })
+
+    pairs = ds.map_batches(add_window, batch_format="pyarrow", batch_size=65536)
+    per_pair = pairs.groupby(["window_start_s", "user_id"]).aggregate(
+        Count(alias_name="n_events_pair")
+    )
+    out = grouped_sums(per_pair, ["window_start_s"], ["n_events_pair"])
+    out = out.rename(columns={"n_events_pair_total": "n_events", "n_total": "active_users"})
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["active_users"] = out["active_users"].astype(np.int64)
+    return out[["window_start_s", "active_users", "n_events"]]
+
+
 # ---------------------------------------------------------------- windows
 
 def windowed_event_stats(sf_dir: str) -> pd.DataFrame:

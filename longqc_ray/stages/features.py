@@ -19,9 +19,8 @@ import pyarrow as pa
 from ..config import ALLOWED_SR_HZ, KNOWN_CODECS, DEFAULT_CONFIG, FilterConfig
 from ..kernels.audio import (
     active_frame_frac,
-    decode_payload,
+    decode_view,
     estimate_snr_db,
-    n_samples_for,
 )
 from ..kernels.pii import _COMPILED as PII_COMPILED
 from ..kernels.text import repetition_mask
@@ -31,26 +30,49 @@ from ..kernels.toxicity import TOXIC_RE
 def compute_features(batch: pa.Table, config: FilterConfig = DEFAULT_CONFIG) -> pa.Table:
     """Arrow batch -> Arrow batch with stat columns, payload dropped."""
     n = batch.num_rows
-    payloads = batch.column("bytes").to_pylist()
     codecs = batch.column("codec").to_pylist()
-    srs = batch.column("sr_hz").to_numpy(zero_copy_only=False)
-    durs = batch.column("dur_ms").to_numpy(zero_copy_only=False)
+    srs = batch.column("sr_hz").to_numpy(zero_copy_only=False).astype(np.int64)
+    durs = batch.column("dur_ms").to_numpy(zero_copy_only=False).astype(np.int64)
     transcripts = batch.column("transcript").to_pylist()
 
-    snr_db = np.full(n, -100.0)
-    frame_frac = np.zeros(n)
-    consistent = np.zeros(n, dtype=bool)
-    codec_ok = np.array([c in KNOWN_CODECS for c in codecs], dtype=bool)
+    # zero-copy payload access: views into the Arrow binary buffers,
+    # no per-row bytes copy (payloads dominate the batch size)
+    col = batch.column("bytes")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8) if col.buffers()[2] else np.empty(0, np.uint8)
+    sizes = offs[1:] - offs[:-1]
+
+    codec_np = np.asarray(codecs, dtype=object)
+    codec_ok = np.isin(codec_np, KNOWN_CODECS)
     sr_ok = np.isin(srs, ALLOWED_SR_HZ)
 
-    for i in range(n):
-        if not (codec_ok[i] and sr_ok[i]):
-            continue
-        n_samp = n_samples_for(payloads[i], codecs[i])
-        dur_from_bytes = n_samp * 1000.0 / srs[i]
-        tol = max(config.dur_tol_ms, config.dur_tol_rel * durs[i])
-        consistent[i] = abs(dur_from_bytes - durs[i]) <= tol
-        pcm = decode_payload(payloads[i], codecs[i])
+    # vectorized duration-consistency check (no decode needed)
+    n_samp = np.where(codec_np == "pcm_s16le", sizes // 2,
+                      np.where(codec_np == "mulaw", sizes, 0)).astype(np.float64)
+    safe_sr = np.maximum(srs, 1).astype(np.float64)
+    dur_from_bytes = n_samp * 1000.0 / safe_sr
+    tol = np.maximum(float(config.dur_tol_ms), config.dur_tol_rel * durs)
+    consistent = codec_ok & sr_ok & (np.abs(dur_from_bytes - durs) <= tol)
+
+    # decode + spectral work only for rows that can still pass the
+    # earlier rules (the cascade drops bad_codec/bad_sr/too_short/
+    # too_long/dur_mismatch before ever reading snr_db — skipping here
+    # removes the most expensive FFTs, e.g. 30 s clips; the oracle
+    # gates identically so columns stay equal), and decode only the
+    # first snr_max_samples worth of bytes (all downstream stats cap
+    # their window there anyway)
+    snr_db = np.full(n, -100.0)
+    frame_frac = np.zeros(n)
+    gate = consistent & (durs >= config.min_dur_ms) & (durs <= config.max_dur_ms)
+    max_bytes = {"pcm_s16le": 2 * config.snr_max_samples, "mulaw": config.snr_max_samples}
+    for i in np.nonzero(gate)[0]:
+        lo = offs[i]
+        hi = min(offs[i + 1], lo + max_bytes.get(codecs[i], 0))
+        pcm = decode_view(data[lo:hi], codecs[i])
         if pcm is not None:
             snr_db[i] = estimate_snr_db(pcm, config.snr_max_samples, config.snr_top_bins)
             frame_frac[i] = active_frame_frac(

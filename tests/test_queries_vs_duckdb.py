@@ -29,6 +29,7 @@ SQL_BACKED = [
     "pricing_summary",
     "nation_revenue",
     "windowed_event_stats",
+    "user_occupancy",
     "dedup_exact",
     "embedding_near_dups",
     "ann_topk",
