@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.nation_revenue,            # broadcast join
         "windowed_event_stats": relational.windowed_event_stats,  # §2.9 window
         "user_occupancy": relational.user_occupancy,            # A15 occupancy
+        "user_gap_profile": relational.user_gap_profile,        # M11 gaps
+        "user_activity_intervals": relational.user_activity_intervals,  # M12/T4 merge
         # --- dedup ladder ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -217,6 +219,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "user_gap_profile": """
+            WITH bounds AS (SELECT min(ts) AS g0, max(ts) AS g1 FROM events)
+            SELECT user_id,
+                   CAST(date_diff('microsecond', (SELECT g0 FROM bounds), min(ts)) AS BIGINT) AS head_gap_us,
+                   CAST(date_diff('microsecond', max(ts), (SELECT g1 FROM bounds)) AS BIGINT) AS tail_gap_us,
+                   CAST(sum(CASE WHEN gap_us > 3600000000 THEN gap_us ELSE 0 END) AS BIGINT) AS internal_gap_us
+            FROM (SELECT user_id, ts,
+                         date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS gap_us
+                  FROM events)
+            GROUP BY user_id
         """,
         "user_occupancy": """
             SELECT window_start_s,

@@ -317,6 +317,55 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     return out[["n_name", "n_orders", "revenue_cents"]]
 
 
+def user_gap_profile(sf_dir: str) -> pd.DataFrame:
+    """Terminal/internal gap analysis (M11 __region_analysis analogue,
+    lq_coverage.py:623-655: 5'-gap, 3'-gap, internal gap lengths per
+    read → here per user against the global event window). The global
+    bounds are one tiny aggregate broadcast into the per-group pass."""
+    ds = table(sf_dir, "events", columns=["user_id", "ts"])
+    from ray.data.aggregate import Max, Min
+
+    bounds = ds.aggregate(Min("ts", alias_name="g0"), Max("ts", alias_name="g1"))
+    g0 = np.datetime64(bounds["g0"], "us").astype(np.int64)
+    g1 = np.datetime64(bounds["g1"], "us").astype(np.int64)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts)
+        internal = int(gaps[gaps > 3_600_000_000].sum()) if gaps.size else 0
+        return pd.DataFrame({
+            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
+            "head_gap_us": np.array([ts[0] - g0], dtype=np.int64),
+            "tail_gap_us": np.array([g1 - ts[-1]], dtype=np.int64),
+            "internal_gap_us": np.array([internal], dtype=np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+def user_activity_intervals(sf_dir: str) -> pd.DataFrame:
+    """Ordered within-group interval MERGE producing a nested
+    list<struct>-shaped result (M12/T4 construct_polread +
+    compute_reliable_region analogue, lq_sequel.py:76-137 /
+    lqutils.c:83-155): per user, events within 1 h merge into activity
+    intervals; emitted as parallel start/end second lists."""
+    ds = table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        breaks = np.nonzero(np.diff(ts) > 3_600_000_000)[0]
+        starts = ts[np.concatenate([[0], breaks + 1])] // 1_000_000
+        ends = ts[np.concatenate([breaks, [ts.size - 1]])] // 1_000_000
+        return pd.DataFrame({
+            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
+            "n_intervals": np.array([starts.size], dtype=np.int64),
+            "interval_starts_s": [starts.tolist()],
+            "interval_ends_s": [ends.tolist()],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
 def user_occupancy(sf_dir: str) -> pd.DataFrame:
     """Active-entity occupancy time series (A15 pore-occupancy
     analogue, lq_nanopore.py:294-325): per minute window, the count of

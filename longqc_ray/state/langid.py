@@ -72,13 +72,24 @@ class LangIdModel:
 
 @lru_cache(maxsize=1)
 def build_langid_model() -> LangIdModel:
-    """Train the NB model deterministically from the word-model corpora."""
-    counts = np.full((len(LANGS), N_BUCKETS), ALPHA, dtype=np.float64)
-    for li, lang in enumerate(LANGS):
-        for sent in make_corpus(lang, TRAIN_SENTENCES, TRAIN_SEED):
-            b = char_ngram_buckets_np(sent, NGRAM_NS, N_BUCKETS)
-            if b.size:
-                np.add.at(counts[li], b, 1.0)
-    log_probs = np.log(counts / counts.sum(axis=1, keepdims=True)).astype(np.float32)
-    log_prior = np.zeros(len(LANGS), dtype=np.float32)  # uniform prior
-    return LangIdModel(langs=LANGS, log_probs=log_probs, log_prior=log_prior)
+    """Train the NB model deterministically from the word-model corpora.
+
+    Cached on disk (the training corpus + hyperparams are fixed, so
+    the weights are a pure function of the version tag) — a fresh
+    process pays ~10 ms load instead of ~2 s training, which matters
+    for per-process fixed cost in the scaling benchmark."""
+    from .model_cache import load_or_build
+
+    def _train() -> dict:
+        counts = np.full((len(LANGS), N_BUCKETS), ALPHA, dtype=np.float64)
+        for li, lang in enumerate(LANGS):
+            for sent in make_corpus(lang, TRAIN_SENTENCES, TRAIN_SEED):
+                b = char_ngram_buckets_np(sent, NGRAM_NS, N_BUCKETS)
+                if b.size:
+                    np.add.at(counts[li], b, 1.0)
+        log_probs = np.log(counts / counts.sum(axis=1, keepdims=True)).astype(np.float32)
+        return {"log_probs": log_probs,
+                "log_prior": np.zeros(len(LANGS), dtype=np.float32)}
+
+    arrs = load_or_build(f"langid-nb-{TRAIN_SEED}-{TRAIN_SENTENCES}-v1", _train)
+    return LangIdModel(langs=LANGS, log_probs=arrs["log_probs"], log_prior=arrs["log_prior"])

@@ -67,10 +67,15 @@ class PerplexityModel:
 
 @lru_cache(maxsize=1)
 def build_perplexity_model(lang: str = "en") -> PerplexityModel:
-    counts = np.full((V, V, V), ALPHA, dtype=np.float64)
-    for sent in make_corpus(lang, TRAIN_SENTENCES, TRAIN_SEED):
-        ids = text_to_ids(sent)
-        if ids.size >= 3:
-            np.add.at(counts, (ids[:-2], ids[1:-1], ids[2:]), 1.0)
-    log_probs = np.log(counts / counts.sum(axis=2, keepdims=True)).astype(np.float32)
-    return PerplexityModel(log_probs=log_probs)
+    from .model_cache import load_or_build
+
+    def _train() -> dict:
+        counts = np.full((V, V, V), ALPHA, dtype=np.float64)
+        for sent in make_corpus(lang, TRAIN_SENTENCES, TRAIN_SEED):
+            ids = text_to_ids(sent)
+            if ids.size >= 3:
+                np.add.at(counts, (ids[:-2], ids[1:-1], ids[2:]), 1.0)
+        return {"log_probs": np.log(counts / counts.sum(axis=2, keepdims=True)).astype(np.float32)}
+
+    arrs = load_or_build(f"ppl-tri-{lang}-{TRAIN_SEED}-{TRAIN_SENTENCES}-v1", _train)
+    return PerplexityModel(log_probs=arrs["log_probs"])

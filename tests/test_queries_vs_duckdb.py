@@ -30,6 +30,7 @@ SQL_BACKED = [
     "nation_revenue",
     "windowed_event_stats",
     "user_occupancy",
+    "user_gap_profile",
     "dedup_exact",
     "embedding_near_dups",
     "ann_topk",
