@@ -254,7 +254,15 @@ def write_fixture(
         lo = s * per
         if lo >= n:
             break
-        pq.write_table(clips.slice(lo, per), os.path.join(clips_dir, f"part-{s:05d}.parquet"))
+        # small row groups: the unit of read-split parallelism — one
+        # giant row group per file serializes the whole read into one
+        # task (wide binary rows make this brutal; measured 10× on the
+        # 60k bench fixture)
+        pq.write_table(
+            clips.slice(lo, per),
+            os.path.join(clips_dir, f"part-{s:05d}.parquet"),
+            row_group_size=256,
+        )
     pq.write_table(truth, os.path.join(out_dir, "clips_truth.parquet"))
     return out_dir
 

@@ -112,8 +112,10 @@ def clips_from_documents(sf_dir: str, cache_root: str = "/tmp/longqc_derived") -
 
 
 def read_derived_clips(sf_dir: str) -> rd.Dataset:
+    from .util import read_wide_parquet
+
     d = clips_from_documents(sf_dir)
-    return rd.read_parquet(
+    return read_wide_parquet(
         [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
     )
 

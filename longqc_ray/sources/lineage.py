@@ -102,7 +102,9 @@ def run_filter_resumable(
         if max_units is not None and ran >= max_units:
             break
         t0 = time.time()
-        ds = rd.read_parquet(files)
+        from ..pipelines.util import read_wide_parquet
+
+        ds = read_wide_parquet(files)
         # one unit is bounded by shards_per_unit, so materializing its
         # *labeled* (payload-free) rows is bounded too — this lets the
         # write, the histogram and the hash consume one execution
