@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": relational.deterministic_sample,  # O1 analogue
         "pricing_summary": relational.pricing_summary,          # grouped agg + combiner
         "nation_revenue": relational.nation_revenue,            # broadcast join
+        "order_revenue_join": relational.order_revenue_join,    # large×large co-group join
         "windowed_event_stats": relational.windowed_event_stats,  # §2.9 window
         "user_occupancy": relational.user_occupancy,            # A15 occupancy
         "user_gap_profile": relational.user_gap_profile,        # M11 gaps
@@ -239,6 +240,13 @@ def oracle_sql() -> dict[str, str]:
                          user_id
                   FROM events)
             GROUP BY window_start_s
+        """,
+        "order_revenue_join": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o_orderpriority
         """,
         "windowed_event_stats": """
             SELECT event_type,

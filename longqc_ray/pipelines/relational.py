@@ -317,6 +317,39 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     return out[["n_name", "n_orders", "revenue_cents"]]
 
 
+def order_revenue_join(sf_dir: str) -> pd.DataFrame:
+    """Large×large co-group hash join (lineitem ⋈ orders on orderkey,
+    both sides too big to broadcast) → per-priority revenue. Both
+    sides project to (key + 1 payload column) BEFORE the shuffle."""
+    li = table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def project_li(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "disc_price_c": pa.array(cents(price * (1.0 - disc)), pa.int64()),
+        })
+
+    li2 = li.map_batches(project_li, batch_format="pyarrow", batch_size=65536)
+    orders = table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    from .util import hash_join
+
+    joined = hash_join(li2, orders, "l_orderkey", "o_orderkey")
+    # distinct order count per priority: two-stage (priority, orderkey)
+    # grouped sums, then per-priority rollup (same shape as occupancy)
+    per_order = grouped_sums(joined, ["o_orderpriority", "l_orderkey"], ["disc_price_c"])
+    per_order = per_order.rename(columns={"disc_price_c_total": "rev"})
+    out = (
+        per_order.groupby("o_orderpriority", as_index=False)
+        .agg(n_orders=("l_orderkey", "size"), revenue_cents=("rev", "sum"))
+    )
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return out[["o_orderpriority", "n_orders", "revenue_cents"]]
+
+
 def user_gap_profile(sf_dir: str) -> pd.DataFrame:
     """Terminal/internal gap analysis (M11 __region_analysis analogue,
     lq_coverage.py:623-655: 5'-gap, 3'-gap, internal gap lengths per

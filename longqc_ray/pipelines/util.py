@@ -57,6 +57,64 @@ def cents(x: np.ndarray) -> np.ndarray:
     return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
 
 
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Large×large inner hash join via co-grouping (Ray Data 2.49 has
+    no native join): tag each side, union, hash-partition on the key
+    into a BOUNDED number of partitions, and pandas-merge inside each
+    partition. Only the join keys + projected payload columns shuffle;
+    n_parts scales with the cluster (same discipline as dedup_first).
+    Broadcast joins (pipelines/relational.py nation_revenue) remain
+    the right tool when one side is small."""
+    import pandas as pd
+
+    import pyarrow as pa_  # local alias; pa already imported module-level
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    overlap = (set(l_cols) & set(r_cols)) - {left_key, right_key}
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {overlap}")
+    # union needs one schema: superset with nulls for the other side
+    other_fields = {
+        "l": [(n, r_schema.field(n).type) for n in r_cols if n not in l_cols],
+        "r": [(n, l_schema.field(n).type) for n in l_cols if n not in r_cols],
+    }
+
+    def tag(side: str, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            with np.errstate(over="ignore"):
+                h = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+            cols = {c: t.column(c) for c in t.column_names}
+            for name, typ in other_fields[side]:
+                cols[name] = pa_.nulls(t.num_rows, typ)
+            cols["__part"] = pa.array(h.astype(np.int64), pa.int64())
+            cols["__side"] = pa.array([side] * t.num_rows, pa.string())
+            ordered = sorted(cols)  # deterministic column order across sides
+            return pa.table({c: cols[c] for c in ordered})
+
+        return fn
+
+    both = left.map_batches(tag("l", left_key), batch_format="pyarrow").union(
+        right.map_batches(tag("r", right_key), batch_format="pyarrow")
+    )
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"][l_cols]
+        r = g[g["__side"] == "r"][r_cols]
+        return l.merge(r, left_on=left_key, right_on=right_key, how="inner")
+
+    return both.groupby("__part").map_groups(merge_part, batch_format="pandas")
+
+
 def preagg_sum(keys: list[str], sum_cols: list[str]):
     """Per-batch combiner: group within the batch, emit partial sums +
     row counts. The downstream groupby then shuffles ~n_groups rows per

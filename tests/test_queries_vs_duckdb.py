@@ -28,6 +28,7 @@ SQL_BACKED = [
     "deterministic_sample",
     "pricing_summary",
     "nation_revenue",
+    "order_revenue_join",
     "windowed_event_stats",
     "user_occupancy",
     "user_gap_profile",
