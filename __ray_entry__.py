@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.nation_revenue,            # broadcast join
         "order_revenue_join": relational.order_revenue_join,    # large×large co-group join
         "windowed_event_stats": relational.windowed_event_stats,  # §2.9 window
+        "purchase_click_asof": relational.purchase_click_asof,    # as-of join
+        "event_window_range_join": relational.event_window_range_join,  # range join
+        "user_rolling_value": relational.user_rolling_value,      # per-key rolling window
+        "value_quantiles": relational.value_quantiles,            # distributed quantile_disc
         "user_occupancy": relational.user_occupancy,            # A15 occupancy
         "user_gap_profile": relational.user_gap_profile,        # M11 gaps
         "user_activity_intervals": relational.user_activity_intervals,  # M12/T4 merge
@@ -103,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ann_lsh": similarity.ann_lsh,
+        "ann_ivf": similarity.ann_ivf,
         # --- text analysis ---
         "token_stats": text_analysis.token_stats,
         "quality_scores": text_analysis.quality_scores,
@@ -254,6 +259,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "purchase_click_asof": """
+            SELECT l.event_id, l.user_id,
+                   CAST(r.event_id AS BIGINT) AS click_event_id,
+                   CAST(date_diff('microsecond', r.ts, l.ts) AS BIGINT) AS lag_us
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "event_window_range_join": """
+            WITH b AS (SELECT min(ts) AS g0 FROM events),
+            w AS (SELECT i AS win_id,
+                         (SELECT g0 FROM b) + INTERVAL (i*10) HOUR AS lo,
+                         (SELECT g0 FROM b) + INTERVAL (i*10+15) HOUR AS hi
+                  FROM range(60) t(i))
+            SELECT CAST(win_id AS BIGINT) AS win_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events e JOIN w ON e.ts >= w.lo AND e.ts < w.hi
+            GROUP BY win_id
+        """,
+        "user_rolling_value": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_value_cents
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "value_quantiles": """
+            SELECT CAST(0.25 AS DOUBLE) AS q, CAST(quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.25) AS BIGINT) AS price_cents FROM lineitem
+            UNION ALL SELECT 0.5,  CAST(quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.5)  AS BIGINT) FROM lineitem
+            UNION ALL SELECT 0.75, CAST(quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.75) AS BIGINT) FROM lineitem
+            UNION ALL SELECT 0.9,  CAST(quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.9)  AS BIGINT) FROM lineitem
+            UNION ALL SELECT 0.99, CAST(quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.99) AS BIGINT) FROM lineitem
         """,
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

@@ -91,6 +91,53 @@ def nxx(ds: rd.Dataset, col: str, frac: float = 0.5, n_bins: int = 4096) -> floa
     return float(vals[idx])
 
 
+def quantile_disc(ds: rd.Dataset, col: str, qs: list[float], n_bins: int = 4096) -> list[float]:
+    """Exact discrete quantiles at 10^12-row scale: for each q, the
+    value at 0-based ascending index ceil(q*n)-1 — DuckDB
+    ``quantile_disc`` / numpy ``inverted_cdf`` semantics, verified
+    empirically (tests/test_functions.py).
+
+    Same 2-pass shape as ``nxx`` (SURVEY.md §2.5 A2): pass 1 histogram
+    partials merged driver-side; pass 2 one filtered collect per
+    DISTINCT crossing bin (~n/n_bins rows each), never a global sort.
+    """
+    stats = ds.select_columns([col])
+    n = stats.count()
+    if n == 0:
+        return [float("nan")] * len(qs)
+    lo = float(stats.min(col))
+    hi = float(stats.max(col))
+    if lo == hi:
+        return [lo] * len(qs)
+    edges, cnt, _ = weighted_histogram(stats, col, lo, hi + 1e-9, n_bins)
+    cumcnt = np.cumsum(cnt)
+    # 0-based target rank per q; group targets by crossing bin
+    ranks = [min(max(int(np.ceil(q * n)) - 1, 0), n - 1) for q in qs]
+    bins = {int(np.searchsorted(cumcnt, r + 1)) for r in ranks}
+    import pyarrow.compute as pc
+
+    bin_vals: dict[int, np.ndarray] = {}
+    for b in bins:
+        blo, bhi = edges[b], edges[b + 1]
+        vals = (
+            stats.map_batches(
+                lambda t, blo=blo, bhi=bhi: t.filter(
+                    pc.and_(pc.greater_equal(t.column(col), blo), pc.less(t.column(col), bhi))
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()[col]
+            .values
+        )
+        bin_vals[b] = np.sort(vals)
+    out = []
+    for r in ranks:
+        b = int(np.searchsorted(cumcnt, r + 1))
+        below = int(cumcnt[b - 1]) if b > 0 else 0
+        out.append(float(bin_vals[b][r - below]))
+    return out
+
+
 def nxx_exact_local(values: np.ndarray, frac: float = 0.5) -> float:
     """Reference-faithful local twin (sort desc + cumsum scan), used by
     tests to pin ``nxx`` — mirrors lq_utils.py:33-53."""

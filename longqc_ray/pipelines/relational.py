@@ -427,6 +427,131 @@ def user_occupancy(sf_dir: str) -> pd.DataFrame:
     return out[["window_start_s", "active_users", "n_events"]]
 
 
+# ---------------------------------------------------------------- as-of / range joins
+
+def purchase_click_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join (custom operator, SURVEY.md §2.4 note — the
+    reference has none, a training-data pipeline needs one): each
+    purchase event matched to the latest click of the SAME user at or
+    before it. Hash-partitioned on user_id + per-partition sorted
+    merge (util.asof_join); inner semantics like DuckDB ASOF JOIN."""
+    from .util import asof_join
+
+    ds = table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def side(which: str, id_name: str, ts_name: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = batch.filter(pc.equal(batch.column("event_type"), which))
+            return pa.table({
+                id_name: out.column("event_id"),
+                "user_id": out.column("user_id"),
+                ts_name: out.column("ts"),
+            })
+        return fn
+
+    left = ds.map_batches(side("purchase", "event_id", "ts"), batch_format="pyarrow")
+    right = ds.map_batches(side("click", "click_event_id", "click_ts"), batch_format="pyarrow")
+    j = asof_join(left, right, by="user_id", left_on="ts", right_on="click_ts").to_pandas()
+    lag = (
+        j["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        - j["click_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    )
+    j["lag_us"] = lag.astype(np.int64)
+    return j[["event_id", "user_id", "click_event_id", "lag_us"]]
+
+
+_RJ_STRIDE_US = 10 * 3_600_000_000  # window stride 10 h
+_RJ_LEN_US = 15 * 3_600_000_000     # window length 15 h (overlapping)
+_RJ_N_WIN = 60
+
+
+def event_window_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range join (custom operator): events × OVERLAPPING time windows
+    (stride 10 h, length 15 h ⇒ every event hits ≤2 windows). The
+    interval side is tiny and derived from one Min aggregate, so the
+    join is bin-replication inside ``map_batches``: each event emits a
+    row per containing window — no all-to-all; the only shuffle is the
+    final combiner groupby over (win_id) partials."""
+    from ray.data.aggregate import Min
+
+    ds = table(sf_dir, "events", columns=["ts", "value"])
+    g0 = np.datetime64(ds.aggregate(Min("ts", alias_name="g0"))["g0"], "us").astype(np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        val_c = cents(batch.column("value").to_numpy(zero_copy_only=False))
+        rel = ts - g0
+        wins, vals = [], []
+        i0 = rel // _RJ_STRIDE_US
+        for cand in (i0, i0 - 1):
+            ok = (
+                (cand >= 0) & (cand < _RJ_N_WIN)
+                & (rel >= cand * _RJ_STRIDE_US)
+                & (rel < cand * _RJ_STRIDE_US + _RJ_LEN_US)
+            )
+            wins.append(cand[ok])
+            vals.append(val_c[ok])
+        return pa.table({
+            "win_id": pa.array(np.concatenate(wins), pa.int64()),
+            "value_c": pa.array(np.concatenate(vals), pa.int64()),
+        })
+
+    rows = ds.map_batches(assign, batch_format="pyarrow", batch_size=65536)
+    out = grouped_sums(rows, ["win_id"], ["value_c"])
+    out = out.rename(columns={"value_c_total": "value_cents", "n_total": "n_events"})
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["value_cents"] = out["value_cents"].astype(np.int64)
+    return out[["win_id", "n_events", "value_cents"]]
+
+
+def user_rolling_value(sf_dir: str) -> pd.DataFrame:
+    """Per-key ordered rolling-window aggregate (custom operator): for
+    every event, the sum of the user's last 5 event values (ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW). Sort happens INSIDE
+    map_groups (SURVEY.md §7.3 item 6); cents domain keeps the rolling
+    sums bit-exact vs the SQL window oracle."""
+    ds = table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        c = cents(g["value"].to_numpy())
+        cs = np.cumsum(c)
+        roll = cs.copy()
+        roll[5:] = cs[5:] - cs[:-5]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(dtype=np.int64),
+            "user_id": g["user_id"].to_numpy(dtype=np.int64),
+            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+            "roll_value_cents": roll.astype(np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+_QUANTILE_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def value_quantiles(sf_dir: str) -> pa.Table:
+    """Exact discrete quantiles of lineitem extended price (cents)
+    without a global sort — the 2-pass histogram refinement
+    (functions/stats.py quantile_disc; A2 scale path)."""
+    from ..functions.stats import quantile_disc
+
+    ds = table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    rows = ds.map_batches(
+        lambda t: pa.table({
+            "price_c": pa.array(cents(t.column("l_extendedprice").to_numpy(zero_copy_only=False)), pa.int64())
+        }),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    vals = quantile_disc(rows, "price_c", _QUANTILE_QS)
+    return pa.table({
+        "q": pa.array(_QUANTILE_QS, pa.float64()),
+        "price_cents": pa.array([int(v) for v in vals], pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------- windows
 
 def windowed_event_stats(sf_dir: str) -> pd.DataFrame:

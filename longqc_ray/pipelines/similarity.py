@@ -187,6 +187,107 @@ def ann_lsh(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES, n_probe_bit
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+# ---------------------------------------------------------------- IVF path
+
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+_IVF_TRAIN_STRIDE = 2  # every 2nd vector trains the coarse quantizer
+
+
+def _kmeans_cosine(m: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means (no RNG — seeds are evenly
+    spaced rows of the id-ordered training sample, so any worker
+    rebuilds the identical codebook; Date/rand-free by design)."""
+    k = min(k, len(m))
+    cent = m[np.linspace(0, len(m) - 1, k).astype(np.int64)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ann_ivf(
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+) -> pd.DataFrame:
+    """IVF approximate top-k — the scale path next to ``ann_lsh``:
+    a coarse k-means codebook trained once on a strided sample, each
+    query probes its ``n_probe`` nearest cells, and every corpus batch
+    scores ONLY rows assigned to a probed cell (one small GEMM for
+    assignment + one masked GEMM for scoring). At 10^12 rows the cell
+    id becomes the partition key and probing touches only matching
+    partitions; recall vs brute force is pinned in
+    tests/test_similarity.py."""
+    train_tbl = _collect_where(
+        sf_dir,
+        lambda col: pa.array(col.to_numpy(zero_copy_only=False) % _IVF_TRAIN_STRIDE == 0),
+    )
+    _, train_m = _emb_matrix(train_tbl)
+    cent = _kmeans_cosine(train_m, n_centroids)
+
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
+    # per-query probe list: n_probe nearest centroids
+    q_cent_sims = q_mat @ cent.T  # (n_q, k_cent)
+    order = np.argsort(-q_cent_sims, axis=1, kind="stable")[:, :n_probe]
+    probe_mask = np.zeros((len(q_ids), cent.shape[0]), dtype=bool)
+    np.put_along_axis(probe_mask, order, True, axis=1)
+    ctx_ref = ray.put((q_ids, q_mat, cent, probe_mask))
+
+    ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qm, cc, pm = ray.get(ctx_ref)
+        ids, m = _emb_matrix(batch)
+        assign = np.argmax(m @ cc.T, axis=1)  # cell per corpus row
+        cand_any = pm[:, assign].any(axis=0)
+        ids, m, assign = ids[cand_any], m[cand_any], assign[cand_any]
+        if ids.size == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            })
+        sims = qm @ m.T  # (n_q, n_cand)
+        rows = []
+        for row in range(qi.size):
+            ok = pm[row, assign] & (ids != qi[row])
+            cand = np.nonzero(ok)[0]
+            kk = min(k, cand.size)
+            if kk == 0:
+                continue
+            s = sims[row]
+            top = cand[np.argpartition(-s[cand], kk - 1)[:kk]]
+            rows.append((np.full(kk, qi[row], np.int64), ids[top], s[top]))
+        if not rows:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate([r[0] for r in rows]), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate([r[1] for r in rows]), pa.int64()),
+            "cos": pa.array(np.concatenate([r[2] for r in rows]), pa.float64()),
+        })
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    parts = parts.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True], kind="stable"
+    )
+    out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 # ---------------------------------------------------------------- near-dup
 
 def embedding_near_dups(sf_dir: str, tau: float = NEAR_DUP_COS, stride: int = 20) -> pd.DataFrame:

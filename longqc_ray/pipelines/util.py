@@ -115,6 +115,82 @@ def hash_join(
     return both.groupby("__part").map_groups(merge_part, batch_format="pandas")
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by: str,
+    left_on: str,
+    right_on: str,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Backward as-of inner join: each left row matches the right row
+    of the same ``by`` key with the greatest ``right_on`` <= ``left_on``.
+
+    Ray Data has no native as-of join; the reference has none either
+    (SURVEY.md §2.4) but a training-data pipeline needs one (align
+    each record with the latest preceding state change). Built as a
+    composition: tag both sides → union → hash-partition on ``by``
+    into a BOUNDED partition count → per-partition sorted
+    ``pd.merge_asof``. Partitioning assumption: all rows of one ``by``
+    key land in one partition (hash co-location), so the per-partition
+    merge is exact; only projected columns shuffle, and ``n_parts``
+    scales with the cluster exactly like ``hash_join``.
+    """
+    import pandas as pd
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    overlap = (set(l_cols) & set(r_cols)) - {by}
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {overlap}")
+    other_fields = {
+        "l": [(n, r_schema.field(n).type) for n in r_cols if n != by],
+        "r": [(n, l_schema.field(n).type) for n in l_cols if n != by],
+    }
+    # integer columns become float64 in the unioned pandas frame
+    # (null-padding from the other side); restore after the inner merge
+    int_cols = [
+        n for n in set(l_cols + r_cols)
+        if n != by
+        and pa.types.is_integer((l_schema if n in l_cols else r_schema).field(n).type)
+    ]
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+            with np.errstate(over="ignore"):
+                h = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+            cols = {c: t.column(c) for c in t.column_names}
+            for name, typ in other_fields[side]:
+                cols[name] = pa.nulls(t.num_rows, typ)
+            cols["__part"] = pa.array(h.astype(np.int64), pa.int64())
+            cols["__side"] = pa.array([side] * t.num_rows, pa.string())
+            ordered = sorted(cols)
+            return pa.table({c: cols[c] for c in ordered})
+
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def merge_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        l = g[g["__side"] == "l"][l_cols].sort_values(left_on, kind="stable")
+        r = g[g["__side"] == "r"][r_cols].sort_values(right_on, kind="stable")
+        out = pd.merge_asof(
+            l, r, left_on=left_on, right_on=right_on, by=by,
+            direction="backward", allow_exact_matches=True,
+        )
+        out = out.dropna(subset=[right_on])
+        for c in int_cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return both.groupby("__part").map_groups(merge_part, batch_format="pandas")
+
+
 def preagg_sum(keys: list[str], sum_cols: list[str]):
     """Per-batch combiner: group within the batch, emit partial sums +
     row counts. The downstream groupby then shuffles ~n_groups rows per

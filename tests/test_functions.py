@@ -112,3 +112,20 @@ def test_qc_summary_smoke(tiny_fixture_dir):
     assert rep["gamma_fit"]["shape"] > 0
     assert set(rep["drop_reasons"]) >= {"low_snr", "toxic", "wrong_lang"}
     assert rep["dur_n50_ms"] > 0
+
+
+def test_quantile_disc_matches_inverted_cdf():
+    """Distributed quantile_disc == numpy inverted_cdf == DuckDB
+    quantile_disc (semantics verified in __ray_entry__ oracle)."""
+    import numpy as np
+    import ray.data as rd
+
+    from longqc_ray.functions.stats import quantile_disc
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 100_000, size=7001).astype(np.int64)
+    ds = rd.from_arrow(__import__("pyarrow").table({"v": vals}))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = quantile_disc(ds, "v", qs)
+    want = [float(np.percentile(vals, q * 100, method="inverted_cdf")) for q in qs]
+    assert got == want

@@ -56,3 +56,30 @@ def test_mixed_formats_rejected(tmp_path):
 
     with pytest.raises(ValueError):
         read_auto(str(tmp_path / "*"))
+
+
+def test_sniff_lance_dataset_dir(tmp_path):
+    d = tmp_path / "clips.lance"
+    (d / "_versions").mkdir(parents=True)
+    assert guess_format(str(d)) == "lance"
+    # plumbing is real; the optional lance package gates the actual scan
+    try:
+        import lance  # noqa: F401
+
+        have_lance = True
+    except ImportError:
+        have_lance = False
+    if not have_lance:
+        import pytest
+
+        with pytest.raises(ImportError, match="lance"):
+            read_auto(str(d))
+
+
+def test_plain_dir_rejected(tmp_path):
+    d = tmp_path / "justdir"
+    d.mkdir()
+    import pytest
+
+    with pytest.raises(ValueError):
+        guess_format(str(d))

@@ -30,6 +30,10 @@ SQL_BACKED = [
     "nation_revenue",
     "order_revenue_join",
     "windowed_event_stats",
+    "purchase_click_asof",
+    "event_window_range_join",
+    "user_rolling_value",
+    "value_quantiles",
     "user_occupancy",
     "user_gap_profile",
     "dedup_exact",

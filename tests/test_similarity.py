@@ -82,3 +82,30 @@ def test_embedding_near_dups_finds_planted(emb_dir):
     n = m.shape[0]
     for i in range(5):  # planted dup of vector i is vector n-5+i
         assert (i, n - 5 + i) in got, f"missing planted near-dup pair ({i}, {n-5+i})"
+
+
+def test_ann_ivf_recall(emb_dir):
+    """IVF with 4-of-16 cell probing must keep recall@5 high on the
+    clustered fixture (same bar as LSH)."""
+    from longqc_ray.pipelines.similarity import ann_ivf, ann_topk
+
+    path, _ = emb_dir
+    exact = ann_topk(path)
+    approx = ann_ivf(path)
+    hits = tot = 0
+    for q, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        got = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert hits / tot >= 0.9, f"IVF recall {hits}/{tot}"
+
+
+def test_ivf_kmeans_deterministic(emb_dir):
+    from longqc_ray.pipelines.similarity import _kmeans_cosine
+
+    path, m = emb_dir
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c1 = _kmeans_cosine(mn, 16)
+    c2 = _kmeans_cosine(mn.copy(), 16)
+    assert np.array_equal(c1, c2)
