@@ -1,0 +1,148 @@
+"""CLI — the analogue of the reference's ``longQC.py runqc|sampleqc|help``
+subcommand surface (/root/reference/longQC.py:876-954), re-expressed
+for the Ray engine:
+
+    python -m longqc_ray filter --input DIR --out DIR [--preset NAME]
+        resumable flagship quality filter (sampleqc analogue): reads
+        parquet clip shards, writes kept+scrubbed rows per unit with a
+        lineage manifest; re-running skips finished units.
+    python -m longqc_ray report --input DIR [--preset NAME]
+        QC summary JSON to stdout (runqc/platform-QC analogue).
+    python -m longqc_ray query NAME [--sf DIR]
+        run one queries() entry from __ray_entry__ and print it.
+    python -m longqc_ray list
+        list available queries and presets.
+
+This module OWNS its Ray session (like bench.py and the test
+fixture); the library never calls ray.init itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _config_for(preset: str):
+    from .config import PRESETS
+
+    if preset not in PRESETS:
+        raise SystemExit(f"unknown preset {preset!r}; choose from {sorted(PRESETS)}")
+    return PRESETS[preset]
+
+
+def cmd_filter(args: argparse.Namespace) -> int:
+    _init_ray(args.cpus)
+    from .sources.lineage import run_filter_resumable
+
+    summary = run_filter_resumable(
+        args.input,
+        args.out,
+        config=_config_for(args.preset),
+        shards_per_unit=args.shards_per_unit,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    _init_ray(args.cpus)
+    from .pipelines.quality_filter import label_clips
+    from .pipelines.util import read_wide_parquet
+    from .pipelines.qc_summary import qc_summary
+    import glob
+
+    shards = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not shards:
+        raise SystemExit(f"no parquet shards under {args.input}")
+    labeled = label_clips(read_wide_parquet(shards), config=_config_for(args.preset))
+    print(json.dumps(qc_summary(labeled), indent=2, default=str))
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    _init_ray(args.cpus)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if args.name not in qs:
+        raise SystemExit(f"unknown query {args.name!r}; see `python -m longqc_ray list`")
+    from tools.check_oracle import to_pandas
+
+    df = to_pandas(qs[args.name](args.sf))
+    print(df.head(args.head).to_string())
+    print(f"... {len(df)} rows total")
+    return 0
+
+
+def cmd_list(args: argparse.Namespace) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entrymod
+
+    from .config import PRESETS
+
+    sql = set(entrymod.oracle_sql())
+    for name in sorted(entrymod.queries()):
+        mark = "sql-checked" if name in sql else "rows-only"
+        print(f"{name:28s} {mark}")
+    print(f"presets: {', '.join(sorted(PRESETS))}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="longqc_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("filter", help="resumable quality filter (sampleqc analogue)")
+    f.add_argument("--input", required=True, help="directory of parquet clip shards")
+    f.add_argument("--out", required=True, help="output directory (manifest + parts)")
+    f.add_argument("--preset", default="default")
+    f.add_argument("--shards-per-unit", type=int, default=4)
+    f.add_argument("--cpus", type=int, default=None)
+    f.set_defaults(fn=cmd_filter)
+
+    r = sub.add_parser("report", help="QC summary JSON (runqc analogue)")
+    r.add_argument("--input", required=True)
+    r.add_argument("--preset", default="default")
+    r.add_argument("--cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_report)
+
+    q = sub.add_parser("query", help="run one registered query")
+    q.add_argument("name")
+    q.add_argument("--sf", default="/root/testdata/sf0.001")
+    q.add_argument("--head", type=int, default=10)
+    q.add_argument("--cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
+
+    l = sub.add_parser("list", help="list queries and presets")
+    l.set_defaults(fn=cmd_list)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

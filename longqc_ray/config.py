@@ -84,6 +84,33 @@ class FilterConfig:
 
 DEFAULT_CONFIG = FilterConfig()
 
+# Named presets — the analogue of the reference's -x preset bundles
+# (pb-rs2/pb-sequel/pb-hifi/ont-*, longQC.py:171-233): one knob picks
+# a coherent threshold set; individual flags can still override.
+PRESETS: dict[str, FilterConfig] = {
+    "default": DEFAULT_CONFIG,
+    # stricter gates for high-quality training corpora (the pb-hifi
+    # analogue: tighter thresholds on an already-clean channel)
+    "strict": FilterConfig(
+        snr_min_db=10.0,
+        lang_min_conf=0.80,
+        ppl_max=30.0,
+        rep_hard_frac=0.30,
+        rep_soft_frac=0.20,
+        min_active_frame_frac=0.6,
+    ),
+    # permissive pass for exploratory sweeps (ont-rapid analogue:
+    # noisy channel, keep more, let downstream stages re-filter)
+    "lenient": FilterConfig(
+        snr_min_db=2.0,
+        lang_min_conf=0.40,
+        ppl_max=80.0,
+        rep_hard_frac=0.50,
+        rep_soft_frac=0.35,
+        min_dur_ms=150,
+    ),
+}
+
 
 # Drop-reason labels in evaluation priority order; the first failing
 # rule names the row's drop_reason (the lineage manifest histograms

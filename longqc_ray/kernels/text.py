@@ -130,6 +130,42 @@ def char_ngram_buckets_np(
     return np.concatenate(out)
 
 
+def char_ngram_buckets_batch(
+    texts: list[str], ns: tuple[int, ...] = (2, 3), n_buckets: int = 1 << 16
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch twin of ``char_ngram_buckets_np``: hash ONE
+    concatenated byte array per n instead of one python call per text
+    (~4× on the scorer's hot path; bit-identical output asserted in
+    tests). Windows spanning text boundaries are sliced away, never
+    hashed into a text's bucket list.
+
+    Returns (flat_buckets, lens) where ``lens[i]`` is text i's bucket
+    count and text i's buckets are ``flat[lens[:i].sum():][:lens[i]]``
+    in the same [all 2-grams, all 3-grams] order as the per-text
+    function."""
+    enc = [t.lower().encode("utf-8", "replace") for t in texts]
+    sizes = np.array([len(e) for e in enc], dtype=np.int64)
+    b = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    starts = np.zeros(len(enc), dtype=np.int64)
+    if len(enc) > 1:
+        np.cumsum(sizes[:-1], out=starts[1:])
+    hashed: dict[int, np.ndarray] = {}
+    for n in ns:
+        if b.size >= n:
+            win = np.lib.stride_tricks.sliding_window_view(b, n)
+            hashed[n] = (_fnv1a_64_np(win) % np.uint64(n_buckets)).astype(np.int64)
+    lens = np.zeros(len(enc), dtype=np.int64)
+    parts: list[np.ndarray] = []
+    for i in range(len(enc)):
+        for n in ns:
+            cnt = sizes[i] - n + 1
+            if cnt > 0 and n in hashed:
+                parts.append(hashed[n][starts[i] : starts[i] + cnt])
+                lens[i] += cnt
+    flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    return flat, lens
+
+
 def rolling_fingerprint(text: str, mod: int = (1 << 61) - 1, base: int = 257) -> int:
     """Polynomial rolling-hash document fingerprint over normalized text."""
     h = 0

@@ -25,19 +25,23 @@ def table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
-WIDE_BLOCK_BYTES = 16 * 2**20  # ~16 MiB blocks for wide binary rows
+WIDE_BLOCK_BYTES = 64 * 2**20  # ~64 MiB blocks for wide binary rows
 
 
 def read_wide_parquet(files: list[str], columns: list[str] | None = None) -> rd.Dataset:
     """Parquet read tuned for WIDE rows (multi-KB binary payloads).
 
-    Ray's default read planning hands out ~128 MiB blocks; for
-    payload-heavy tables that serializes long single-block copies and
-    starves the downstream actor pool (measured 9× on the 60k-clip
-    bench: 326 → 2990 clips/s). Target ~16 MiB blocks instead by
-    asking for ceil(total_bytes / 16 MiB) read tasks — at cluster
-    scale this is the same rule, derived from dataset size, not node
-    count."""
+    Ray's default read planning can hand out one block per file (here
+    ~128 MiB+); for payload-heavy tables that serializes long
+    single-block copies and starves the downstream stages (measured
+    9× on the 60k-clip bench when it first landed). The other extreme
+    hurts too: at 16 MiB blocks the driver's per-block scheduling +
+    submission cost (~tens of ms each on this host) caps the pipeline
+    near 8k rows/s regardless of worker count — measured 7.7k vs
+    14.0k clips/s moving 16→64 MiB on the 480k-row scaling workload.
+    64 MiB amortizes the per-block cost while still giving
+    total/64 MiB ≈ blocks ≫ cores; the rule derives from dataset
+    size, not node count, so it holds on a cluster."""
     total = sum(os.path.getsize(f) for f in files)
     n_blocks = max(len(files), int(np.ceil(total / WIDE_BLOCK_BYTES)))
     return rd.read_parquet(files, columns=columns, override_num_blocks=n_blocks)

@@ -27,6 +27,35 @@ from ..kernels.text import repetition_mask
 from ..kernels.toxicity import TOXIC_RE
 
 
+def _snr_db_rows(mat: np.ndarray, top_bins: int) -> np.ndarray:
+    """Row-wise twin of ``estimate_snr_db`` for equal-length rows —
+    one batched rfft, identical per-row results (pocketfft runs the
+    same per-row plan; reductions stay pairwise along the row axis)."""
+    x = mat - mat.mean(axis=1, keepdims=True)
+    spec = np.abs(np.fft.rfft(x, axis=1)) ** 2
+    spec = spec[:, 1:]
+    idx = np.argpartition(spec, -top_bins, axis=1)[:, -top_bins:]
+    # widen AFTER the (float32) spectral sums, exactly like the
+    # per-row kernel's float(...) conversions, so the ratio and log
+    # run in float64 on identically-rounded operands
+    sig = np.take_along_axis(spec, idx, axis=1).sum(axis=1).astype(np.float64)
+    noise = spec.sum(axis=1).astype(np.float64) - sig
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.clip(10.0 * np.log10(sig / noise), -100.0, 100.0)
+    out = np.where(noise <= 0.0, 100.0, out)
+    out = np.where((sig <= 0.0) & (noise > 0.0), -100.0, out)
+    return out
+
+
+def _active_frac_rows(mat: np.ndarray, frame_len: int, rms_floor: float) -> np.ndarray:
+    """Row-wise twin of ``active_frame_frac`` for equal-length rows."""
+    b, cap = mat.shape
+    nf = cap // frame_len
+    frames = mat[:, : nf * frame_len].reshape(b, nf, frame_len)
+    rms = np.sqrt(np.mean(frames * frames, axis=2))
+    return np.mean(rms > rms_floor, axis=1)
+
+
 def compute_features(batch: pa.Table, config: FilterConfig = DEFAULT_CONFIG) -> pa.Table:
     """Arrow batch -> Arrow batch with stat columns, payload dropped."""
     n = batch.num_rows
@@ -69,7 +98,37 @@ def compute_features(batch: pa.Table, config: FilterConfig = DEFAULT_CONFIG) -> 
     frame_frac = np.zeros(n)
     gate = consistent & (durs >= config.min_dur_ms) & (durs <= config.max_dur_ms)
     max_bytes = {"pcm_s16le": 2 * config.snr_max_samples, "mulaw": config.snr_max_samples}
+    cap = config.snr_max_samples
+    # clips at the full analysis cap (the common case) batch into one
+    # (B, cap) matrix → ONE rfft call instead of B; pocketfft applies
+    # the identical per-row plan, so results are bit-equal to the
+    # per-row kernel (asserted in tests/test_kernels.py)
+    full_rows = [
+        i for i in np.nonzero(gate)[0]
+        if min(offs[i + 1] - offs[i], max_bytes.get(codecs[i], 0))
+        >= (2 * cap if codecs[i] == "pcm_s16le" else cap)
+    ]
+    # chunk the batched FFT: a full batch of decoded rows plus the
+    # rfft/spec temporaries peaks at hundreds of MB, which cycles
+    # through mmap'd allocations and cross-process TLB shootdowns
+    # under a full actor pool; 128-row chunks keep every temporary
+    # inside the allocator's reused arenas
+    _FFT_CHUNK = 128
+    for c0 in range(0, len(full_rows), _FFT_CHUNK):
+        rows = full_rows[c0 : c0 + _FFT_CHUNK]
+        mat = np.empty((len(rows), cap), dtype=np.float32)
+        for j, i in enumerate(rows):
+            lo = offs[i]
+            hi = min(offs[i + 1], lo + max_bytes[codecs[i]])
+            mat[j] = decode_view(data[lo:hi], codecs[i])[:cap]
+        snr_db[rows] = _snr_db_rows(mat, config.snr_top_bins)
+        frame_frac[rows] = _active_frac_rows(
+            mat, config.frame_len, config.frame_rms_floor
+        )
+    full_set = set(full_rows)
     for i in np.nonzero(gate)[0]:
+        if int(i) in full_set:
+            continue
         lo = offs[i]
         hi = min(offs[i + 1], lo + max_bytes.get(codecs[i], 0))
         pcm = decode_view(data[lo:hi], codecs[i])

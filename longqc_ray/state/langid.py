@@ -17,7 +17,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from ..kernels.text import char_ngram_buckets_np
+from ..kernels.text import char_ngram_buckets_batch, char_ngram_buckets_np  # noqa: F401 (np twin re-exported for tests)
 from ..kernels.wordmodel import LANGS, make_corpus
 
 N_BUCKETS = 1 << 16
@@ -41,13 +41,11 @@ class LangIdModel:
         log-likelihood (temperature = n_ngrams capped at 64, so very
         long texts don't saturate to exactly 1.0 in float32).
         """
-        bucket_arrays = [char_ngram_buckets_np(t, NGRAM_NS, N_BUCKETS) for t in texts]
-        lens = np.array([a.size for a in bucket_arrays], dtype=np.int64)
+        flat, lens = char_ngram_buckets_batch(texts, NGRAM_NS, N_BUCKETS)
         n_docs = len(texts)
         ll = np.tile(self.log_prior[:, None], (1, n_docs)).astype(np.float64)
         nonzero = lens > 0
         if nonzero.any():
-            flat = np.concatenate([a for a in bucket_arrays if a.size]) if nonzero.any() else np.empty(0, np.int64)
             offsets = np.zeros(int(nonzero.sum()), dtype=np.int64)
             np.cumsum(lens[nonzero][:-1], out=offsets[1:])
             gathered = self.log_probs[:, flat].astype(np.float64)  # (L, total)
