@@ -25,7 +25,11 @@ import os
 import sys
 
 
+_OWNS_SESSION = False
+
+
 def _init_ray(cpus: int | None) -> None:
+    global _OWNS_SESSION
     import ray
 
     if not ray.is_initialized():
@@ -35,6 +39,7 @@ def _init_ray(cpus: int | None) -> None:
             include_dashboard=False,
             logging_level="ERROR",
         )
+        _OWNS_SESSION = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -137,9 +142,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     rc = args.fn(args)
-    import ray
+    # only tear down a session this process opened (an embedding
+    # caller — tests, a driver — keeps its own session)
+    if _OWNS_SESSION:
+        import ray
 
-    if ray.is_initialized():
         ray.shutdown()
     return rc
 

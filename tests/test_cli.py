@@ -1,0 +1,44 @@
+"""CLI surface (the runqc|sampleqc|help analogue, longQC.py:876-954):
+argument wiring + preset registry. The heavy subcommands own their own
+Ray session, so the e2e path is exercised out-of-process by the bench
+and verify drives; here we pin the pieces that don't need a session.
+"""
+
+import pytest
+
+
+def test_list_runs_without_ray(capsys):
+    from longqc_ray.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "sql-checked" in out
+    assert "presets: default, lenient, strict" in out
+    # every query name appears
+    import __ray_entry__ as entrymod
+
+    for name in entrymod.queries():
+        assert name in out
+
+
+def test_presets_registry():
+    from longqc_ray.config import DEFAULT_CONFIG, PRESETS
+
+    assert PRESETS["default"] is DEFAULT_CONFIG
+    assert PRESETS["strict"].snr_min_db > DEFAULT_CONFIG.snr_min_db
+    assert PRESETS["strict"].lang_min_conf > DEFAULT_CONFIG.lang_min_conf
+    assert PRESETS["lenient"].ppl_max > DEFAULT_CONFIG.ppl_max
+
+
+def test_unknown_preset_rejected():
+    from longqc_ray.__main__ import _config_for
+
+    with pytest.raises(SystemExit):
+        _config_for("nope")
+
+
+def test_unknown_query_rejected():
+    from longqc_ray.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["query", "definitely_not_a_query"])
