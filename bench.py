@@ -149,7 +149,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     names = [
         "pricing_summary", "nation_revenue", "windowed_event_stats",
         "user_sessions", "doc_n50", "dedup_exact", "dedup_minhash",
-        "ann_topk", "token_stats", "pii_scrub_docs",
+        "ann_topk", "ann_ivf", "token_stats", "pii_scrub_docs",
+        "purchase_click_asof", "event_window_range_join",
+        "user_rolling_value", "value_quantiles",
     ]
     out: dict[str, float] = {}
     for name in names:
