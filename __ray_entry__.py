@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "ann_lsh": similarity.ann_lsh,
         "ann_ivf": similarity.ann_ivf,
+        "embedding_clusters": similarity.embedding_clusters,
         # --- text analysis ---
         "token_stats": text_analysis.token_stats,
         "quality_scores": text_analysis.quality_scores,

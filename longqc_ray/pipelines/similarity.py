@@ -318,3 +318,36 @@ def embedding_near_dups(sf_dir: str, tau: float = NEAR_DUP_COS, stride: int = 20
     if out.empty:
         return pd.DataFrame({"a_id": np.empty(0, np.int64), "b_id": np.empty(0, np.int64)})
     return out.sort_values(["a_id", "b_id"], kind="stable").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- clustering
+
+def embedding_clusters(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
+    """Deterministic spherical k-means clustering over the embedding
+    column (the IVF coarse quantizer exposed as a first-class
+    operator): codebook trained once on the strided sample, broadcast,
+    then every batch does one GEMM to assign its rows. Output:
+    (vec_id, cluster, cos_to_centroid). Cluster quality vs planted
+    labels is pinned in tests/test_similarity.py."""
+    train_tbl = _collect_where(
+        sf_dir,
+        lambda col: pa.array(col.to_numpy(zero_copy_only=False) % _IVF_TRAIN_STRIDE == 0),
+    )
+    _, train_m = _emb_matrix(train_tbl)
+    cent_ref = ray.put(_kmeans_cosine(train_m, n_clusters))
+
+    ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cent_ref)
+        ids, m = _emb_matrix(batch)
+        sims = m @ cc.T
+        cl = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+            "cos_to_centroid": pa.array(sims[np.arange(len(ids)), cl], pa.float64()),
+        })
+
+    out = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return out.sort_values("vec_id", kind="stable").reset_index(drop=True)

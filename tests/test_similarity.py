@@ -109,3 +109,26 @@ def test_ivf_kmeans_deterministic(emb_dir):
     c1 = _kmeans_cosine(mn, 16)
     c2 = _kmeans_cosine(mn.copy(), 16)
     assert np.array_equal(c1, c2)
+
+
+def test_embedding_clusters_align_with_planted(emb_dir):
+    """k-means clusters must be pure w.r.t. the planted gaussian
+    clusters (each k-means cell dominated by one true label)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from longqc_ray.pipelines.similarity import embedding_clusters
+
+    path, _ = emb_dir
+    got = embedding_clusters(path)
+    labels = pq.read_table(f"{path}/embeddings.parquet").to_pandas()[["vec_id", "label"]]
+    df = got.merge(labels, on="vec_id")
+    purity = (
+        df.groupby("cluster")["label"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+        .min()
+    )
+    assert purity >= 0.9, f"min cluster purity {purity}"
+    # determinism
+    again = embedding_clusters(path)
+    assert got["cluster"].tolist() == again["cluster"].tolist()
