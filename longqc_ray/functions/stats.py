@@ -4,10 +4,23 @@
 descending and scan the cumulative sum (/root/reference/
 lq_utils.py:33-53) — fine for 10^4 sampled reads, not for 10^12 rows.
 The scale path here is a 2-pass exact histogram refinement
-(SURVEY.md §2.5 A2): pass 1 aggregates min/max/total; pass 2 builds a
-weighted histogram (per-batch partials, merged on the driver — tiny);
-the crossing bin is then refined exactly with a filtered collect of
-only that bin's rows (~n/n_bins rows).
+(SURVEY.md §2.5 A2), arranged so the UPSTREAM pipeline executes
+exactly once:
+
+1. the projected column is materialized as narrow Arrow blocks (the
+   only re-readable state; at full scale this spills to the object
+   store, which is exactly what a shuffle of the same column would
+   hold anyway);
+2. ONE fused aggregate computes min+max+count;
+3. per-batch weighted-histogram partials are merged by a small
+   grouped sum;
+4. all crossing bins are refined with ONE combined filtered collect
+   (~n_crossing_bins * n/n_bins rows), never a global sort.
+
+Float hygiene: the top histogram edge is ``np.nextafter(hi, inf)``
+(not ``hi + 1e-9``, a no-op once |hi| >= ~2e9), so max-valued rows
+fall inside the last half-open bin for BOTH np.histogram and the
+``pc.less`` refinement filter.
 """
 
 from __future__ import annotations
@@ -21,7 +34,9 @@ def weighted_histogram(
     ds: rd.Dataset, col: str, lo: float, hi: float, n_bins: int = 4096
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(bin_edges, count_per_bin, value_sum_per_bin) — exact partials
-    computed per batch, merged driver-side (mergeable-sketch pattern)."""
+    computed per batch, merged by a tiny grouped sum (mergeable-sketch
+    pattern). ``hi`` must already be an exclusive upper edge
+    (strictly greater than the column max)."""
     edges = np.linspace(lo, hi, n_bins + 1)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -49,16 +64,60 @@ def weighted_histogram(
     return edges, cnt, wsum
 
 
+def _narrow_stats(ds: rd.Dataset, col: str) -> tuple[rd.Dataset, float, float, int]:
+    """Project to the single needed column, materialize ONCE, and run
+    one fused Min+Max+Count aggregate over the materialized blocks.
+    Every later pass (histogram, refinement collect) re-reads these
+    narrow blocks instead of re-executing the upstream pipeline."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.select_columns([col]).materialize()
+    agg = stats.aggregate(Min(col), Max(col), Count())
+    n = int(agg["count()"])
+    if n == 0:
+        return stats, float("nan"), float("nan"), 0
+    return stats, float(agg[f"min({col})"]), float(agg[f"max({col})"]), n
+
+
+def _collect_bins(
+    stats: rd.Dataset, col: str, edges: np.ndarray, bins: list[int]
+) -> dict[int, np.ndarray]:
+    """ONE filtered collect for ALL crossing bins: the filter is the
+    union of the bins' half-open intervals; rows are re-bucketed
+    driver-side (the collect is ~len(bins) * n/n_bins rows)."""
+    import pyarrow.compute as pc
+
+    intervals = [(float(edges[b]), float(edges[b + 1])) for b in bins]
+
+    def flt(t: pa.Table, intervals=tuple(intervals)) -> pa.Table:
+        v = t.column(col)
+        m = None
+        for blo, bhi in intervals:
+            c = pc.and_(pc.greater_equal(v, blo), pc.less(v, bhi))
+            m = c if m is None else pc.or_(m, c)
+        return t.filter(m)
+
+    vals = (
+        stats.map_batches(flt, batch_format="pyarrow").to_pandas()[col].values.astype(np.float64)
+    )
+    out: dict[int, np.ndarray] = {}
+    for b, (blo, bhi) in zip(bins, intervals):
+        out[b] = np.sort(vals[(vals >= blo) & (vals < bhi)])
+    return out
+
+
 def nxx(ds: rd.Dataset, col: str, frac: float = 0.5, n_bins: int = 4096) -> float:
     """Exact NXX: smallest value v such that the sum of all values >= v
     is >= frac * total (the reference's N50 definition, lq_utils.py:33-53).
     """
-    stats = ds.select_columns([col])
-    lo = float(stats.min(col))
-    hi = float(stats.max(col))
+    stats, lo, hi, n = _narrow_stats(ds, col)
+    if n == 0:
+        return float("nan")
     if lo == hi:
         return lo
-    edges, cnt, wsum = weighted_histogram(stats, col, lo, hi + 1e-9, n_bins)
+    edges, cnt, wsum = weighted_histogram(
+        stats, col, lo, float(np.nextafter(hi, np.inf)), n_bins
+    )
     total = wsum.sum()
     target = frac * total
     # cumulative from the top bin down
@@ -71,21 +130,8 @@ def nxx(ds: rd.Dataset, col: str, frac: float = 0.5, n_bins: int = 4096) -> floa
             break
     if crossing is None:
         return lo
-    # exact refinement: collect only the crossing bin's rows
-    blo, bhi = edges[crossing], edges[crossing + 1]
-    import pyarrow.compute as pc
-
-    vals = np.sort(
-        stats.map_batches(
-            lambda t: t.filter(
-                pc.and_(pc.greater_equal(t.column(col), blo), pc.less(t.column(col), bhi))
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()[col]
-        .values
-    )[::-1]
-    cum = cum_above[crossing] + np.cumsum(vals.astype(np.float64))
+    vals = _collect_bins(stats, col, edges, [crossing])[crossing][::-1]
+    cum = cum_above[crossing] + np.cumsum(vals)
     idx = int(np.searchsorted(cum, target))
     idx = min(idx, len(vals) - 1)
     return float(vals[idx])
@@ -97,39 +143,24 @@ def quantile_disc(ds: rd.Dataset, col: str, qs: list[float], n_bins: int = 4096)
     ``quantile_disc`` / numpy ``inverted_cdf`` semantics, verified
     empirically (tests/test_functions.py).
 
-    Same 2-pass shape as ``nxx`` (SURVEY.md §2.5 A2): pass 1 histogram
-    partials merged driver-side; pass 2 one filtered collect per
-    DISTINCT crossing bin (~n/n_bins rows each), never a global sort.
+    Same single-upstream-execution shape as ``nxx`` (SURVEY.md §2.5
+    A2): fused min/max/count over the materialized narrow column, one
+    histogram pass, then ONE combined filtered collect covering every
+    distinct crossing bin.
     """
-    stats = ds.select_columns([col])
-    n = stats.count()
+    stats, lo, hi, n = _narrow_stats(ds, col)
     if n == 0:
         return [float("nan")] * len(qs)
-    lo = float(stats.min(col))
-    hi = float(stats.max(col))
     if lo == hi:
         return [lo] * len(qs)
-    edges, cnt, _ = weighted_histogram(stats, col, lo, hi + 1e-9, n_bins)
+    edges, cnt, _ = weighted_histogram(
+        stats, col, lo, float(np.nextafter(hi, np.inf)), n_bins
+    )
     cumcnt = np.cumsum(cnt)
     # 0-based target rank per q; group targets by crossing bin
     ranks = [min(max(int(np.ceil(q * n)) - 1, 0), n - 1) for q in qs]
-    bins = {int(np.searchsorted(cumcnt, r + 1)) for r in ranks}
-    import pyarrow.compute as pc
-
-    bin_vals: dict[int, np.ndarray] = {}
-    for b in bins:
-        blo, bhi = edges[b], edges[b + 1]
-        vals = (
-            stats.map_batches(
-                lambda t, blo=blo, bhi=bhi: t.filter(
-                    pc.and_(pc.greater_equal(t.column(col), blo), pc.less(t.column(col), bhi))
-                ),
-                batch_format="pyarrow",
-            )
-            .to_pandas()[col]
-            .values
-        )
-        bin_vals[b] = np.sort(vals)
+    bins = sorted({int(np.searchsorted(cumcnt, r + 1)) for r in ranks})
+    bin_vals = _collect_bins(stats, col, edges, bins)
     out = []
     for r in ranks:
         b = int(np.searchsorted(cumcnt, r + 1))

@@ -34,13 +34,17 @@ def _mulaw_decode_formula(u: np.ndarray) -> np.ndarray:
 
 
 # A mu-law byte has 256 values: decode is a table lookup. Built once
-# from the formula, so results are bit-identical to it (asserted in
-# tests) while skipping per-sample expm1 — ~15× on the decode path.
+# from the float64 formula, then ROUNDED TO FLOAT32 — the decode
+# contract everywhere in this engine is float32 (the smaller footprint
+# halves per-clip cache/memory traffic); tests pin the LUT against the
+# float64 formula at float32 tolerance, not bit-identity. Skipping
+# per-sample expm1 is ~15× on the decode path.
 _MULAW_LUT = _mulaw_decode_formula(np.arange(256, dtype=np.uint8)).astype(np.float32)
 
 
 def mulaw_decode(u: np.ndarray) -> np.ndarray:
-    """uint8 mu-law -> float64 PCM in [-1,1] (LUT; exact)."""
+    """uint8 mu-law -> float32 PCM in [-1,1] (LUT; float64 formula
+    values rounded once to float32 — the engine-wide decode dtype)."""
     return _MULAW_LUT[u]
 
 

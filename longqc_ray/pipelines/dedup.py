@@ -296,43 +296,80 @@ def minhash_near_dups(
     }).reset_index(drop=True)
 
 
-def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+def dedup_minhash(sf_dir: str) -> rd.Dataset:
     """Per-doc near-dup verdict over documents: (doc_id, dup_of, keep).
 
     keep=False iff the doc belongs to a verified near-dup cluster and
-    is not its min-id representative."""
+    is not its min-id representative. The verdict is emitted by a
+    ``map_batches`` join against the broadcast component map (sorted
+    key/value arrays + ``np.searchsorted``): only the tiny dup-cluster
+    map ever reaches the driver — the id column never collects."""
     ds = table(sf_dir, "documents", columns=["doc_id", "text"])
-    all_ids = table(sf_dir, "documents", columns=["doc_id"]).to_pandas()["doc_id"].to_numpy()
     pairs = minhash_near_dups(ds)
     comp = _connected_components(pairs[["a", "b"]])
-    dup_of = np.array([comp.get(int(i), int(i)) for i in all_ids], dtype=np.int64)
-    return pd.DataFrame({
-        "doc_id": all_ids.astype(np.int64),
-        "dup_of": dup_of,
-        "keep": dup_of == all_ids,
-    })
+    keys = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
+    vals = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+    order = np.argsort(keys, kind="stable")
+    comp_ref = ray.put((keys[order], vals[order]))
+
+    def verdict(t: pa.Table) -> pa.Table:
+        k_s, v_s = ray.get(comp_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dup_of = ids.copy()
+        if k_s.size:
+            pos = np.clip(np.searchsorted(k_s, ids), 0, k_s.size - 1)
+            hit = k_s[pos] == ids
+            dup_of[hit] = v_s[pos[hit]]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "dup_of": pa.array(dup_of, pa.int64()),
+            "keep": pa.array(dup_of == ids, pa.bool_()),
+        })
+
+    return table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        verdict, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------- simhash
 
 def simhash64_batch(texts: list[str]) -> np.ndarray:
     """64-bit SimHash over hashed word features (public construction:
-    sign-sum of feature-hash bits weighted by term frequency)."""
-    out = np.empty(len(texts), dtype=np.uint64)
+    sign-sum of feature-hash bits weighted by term frequency).
+
+    Vectorized across the WHOLE batch: all word occurrences flatten
+    into one array, unique words are hashed once via the shared
+    ``_fnv1a_64_np`` kernel over a zero-padded fixed-width byte
+    matrix, the ±1 bit contributions gather by inverse index, and the
+    per-doc sign-sums reduce with one ``np.add.reduceat``. Summing ±1
+    per occurrence equals the term-frequency weighting exactly, so no
+    per-doc unique pass is needed. No per-row Python beyond split()."""
+    from ..kernels.text import _fnv1a_64_np
+
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    words_per_doc = [t.lower().split() for t in texts]
+    lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    flat = [w for ws in words_per_doc for w in ws]
+    if not flat:
+        return out
+    uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    enc = [w.encode("utf-8", "replace") for w in uniq]
+    width = max(len(e) for e in enc)
+    mat = np.frombuffer(
+        np.array(enc, dtype=f"S{width}").tobytes(), dtype=np.uint8
+    ).reshape(len(enc), width)
+    hs = _fnv1a_64_np(mat)
     bit_idx = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        words = t.lower().split()
-        if not words:
-            out[i] = np.uint64(0)
-            continue
-        uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
-        hs = np.array(
-            [int(hashlib.md5(w.encode("utf-8", "replace")).hexdigest()[:16], 16) for w in uniq],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
-        out[i] = np.uint64(int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2))
+    pm = (((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)
+    contrib = pm[inv]
+    nz = np.nonzero(lens)[0]
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1][nz]
+    acc = np.add.reduceat(contrib, starts, axis=0)
+    # distinct powers of two per column, so the sum IS the bitwise OR
+    out[nz] = ((acc > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
     return out
 
 

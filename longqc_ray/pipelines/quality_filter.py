@@ -165,8 +165,14 @@ def find_dup_keys(ds: rd.Dataset, key: str = "clip_id") -> "pa.Array":
         out = t.select([key]).group_by([key]).aggregate([([], "count_all")])
         return out.rename_columns([key, "n"])
 
-    partials = ds.map_batches(key_counts, batch_format="pyarrow")
-    if ds.count() <= DUP_SCAN_DRIVER_CAP:
+    # Materialize the NARROW partials once: the upstream key scan then
+    # executes exactly once (previously ds.count() ran the full scan
+    # and to_pandas() re-ran it), and count() on the materialized
+    # partials is metadata-free. The driver/shuffle branch caps the
+    # PARTIAL row count — the actual driver-merge collect size — which
+    # is ≤ input rows, so the cap semantics only tighten.
+    partials = ds.map_batches(key_counts, batch_format="pyarrow").materialize()
+    if partials.count() <= DUP_SCAN_DRIVER_CAP:
         merged = partials.to_pandas()
         totals = merged.groupby(key, sort=False)["n"].sum()
         dups = totals.index[totals.to_numpy() > 1]
@@ -216,7 +222,7 @@ class _DedupStage:
         self._actor = claim_actor
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import zlib
+        import hashlib
 
         import pyarrow.compute as pc
 
@@ -237,7 +243,20 @@ class _DedupStage:
             else:
                 seen.add(k)
                 ask[k] = i
-        token = zlib.crc32("|".join(sorted(ask)).encode())
+        # Token = 64-bit hash of the batch's FULL ordered key list, not
+        # just the ask set: two different batches each holding one copy
+        # of the same dup key have identical ask sets, but their full
+        # key lists differ (non-duplicated clip_ids are globally
+        # unique), so they get distinct tokens while a task retry of
+        # the SAME batch reproduces its token exactly. blake2b-64
+        # instead of crc32 so millions of batches don't birthday-collide.
+        # Residual caveat: two batches identical row-for-row (every row
+        # a dup copy, same order) are indistinguishable from a retry —
+        # impossible once a batch contains any unique key.
+        token = int.from_bytes(
+            hashlib.blake2b("\x00".join(keys).encode(), digest_size=8).digest(),
+            "big",
+        )
         granted = ray.get(self._actor.claim.remote(list(ask), token))
         for k, ok in zip(ask, granted):
             if not ok:

@@ -133,11 +133,21 @@ def source_lang_profile(sf_dir: str) -> pd.DataFrame:
 
 def control_anti_join(sf_dir: str) -> rd.Dataset:
     """Broadcast anti-join (J1: control-read removal,
-    lq_coverage.py:104-107): the small control-key set is collected
-    once, ``ray.put`` once, and read inside every filter task — never
-    a big-side shuffle."""
-    ids = table(sf_dir, "documents", columns=["doc_id"]).to_pandas()["doc_id"].to_numpy()
-    keys_ref = ray.put(pa.array(np.sort(ids[ids % 101 == 0]), pa.int64()))
+    lq_coverage.py:104-107): the small control-key predicate is pushed
+    INTO a map_batches filter so only the ~1/101 matching keys ever
+    reach the driver (never a full-column collect), then ``ray.put``
+    once and read inside every filter task — never a big-side shuffle."""
+    def controls(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[ids % 101 == 0], pa.int64())})
+
+    ids = (
+        table(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(controls, batch_format="pyarrow")
+        .to_pandas()["doc_id"]
+        .to_numpy()
+    )
+    keys_ref = ray.put(pa.array(np.sort(ids), pa.int64()))
 
     ds = table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
 
@@ -150,12 +160,21 @@ def control_anti_join(sf_dir: str) -> rd.Dataset:
 
 def sample_semi_join(sf_dir: str) -> rd.Dataset:
     """Broadcast semi-join (J2: sampled-name membership,
-    lq_utils.py:393-395): keep only events of sampled users."""
-    sample = frozenset(
-        u for u in table(sf_dir, "events", columns=["user_id"]).to_pandas()["user_id"].unique()
-        if u % 7 == 0
+    lq_utils.py:393-395): keep only events of sampled users. The
+    sampled-key predicate is pushed into a map_batches scan (per-batch
+    unique), so the driver only ever sees the small side — never the
+    full user_id column."""
+    def sampled(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": pa.array(np.unique(u[u % 7 == 0]), pa.int64())})
+
+    ids = (
+        table(sf_dir, "events", columns=["user_id"])
+        .map_batches(sampled, batch_format="pyarrow")
+        .to_pandas()["user_id"]
+        .to_numpy()
     )
-    ref = ray.put(pa.array(sorted(sample), pa.int64()))
+    ref = ray.put(pa.array(np.unique(ids), pa.int64()))
     ds = table(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     def keep_sampled(batch: pa.Table) -> pa.Table:
@@ -173,27 +192,70 @@ def sample_semi_join(sf_dir: str) -> rd.Dataset:
 
 # ---------------------------------------------------------------- J3/M12
 
+_SESSION_GAP_US = 3_600_000_000  # 1 h in exact microseconds
+
+
+def _grouped_parts(ds: rd.Dataset, key: str, part_fn, n_parts: int = 64) -> pd.DataFrame:
+    """Bounded hash-partition per-key pattern (same ``__part``
+    discipline as util.hash_join / dedup_shuffle): all rows of one key
+    land in one of ``n_parts`` partitions, and ``part_fn`` processes a
+    WHOLE partition vectorized — per-group Python cost is O(n_parts),
+    not O(n_keys), so 10^8 keys cost the same per-row work as 10^2."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+        return t.append_column("__part", pa.array(h.astype(np.int64), pa.int64()))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return part_fn(g.drop(columns="__part"))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(run, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def _user_sorted(g: pd.DataFrame, extra: list[str] | None = None):
+    """Partition rows sorted by (user_id, ts [, extra]); returns
+    (uid, ts_us, group-start indices) — the shared setup for every
+    vectorized per-user kernel below."""
+    g = g.sort_values(["user_id", "ts"] + (extra or []), kind="stable")
+    uid = g["user_id"].to_numpy().astype(np.int64)
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+    starts = np.nonzero(new_user)[0]
+    return g, uid, ts, new_user, starts
+
+
 def user_sessions(sf_dir: str) -> pd.DataFrame:
     """Ordered within-group merge (M12 construct_polread,
     lq_sequel.py:76-137): per user, sort events by time, split into
-    sessions at >1h gaps — sort INSIDE map_groups, never relying on
-    block order (SURVEY.md §7.3 item 6)."""
+    sessions at >1h gaps. Sort happens INSIDE the partition (never
+    relying on block order, SURVEY.md §7.3 item 6); the per-user
+    reduce is np.add.reduceat over the partition-sorted arrays —
+    one vectorized pass per PARTITION, not one Python call per user."""
     ds = table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        # exact microsecond gaps (the SQL twin uses date_diff('microsecond'))
-        n_sessions = 1 + int((np.diff(ts) > 3_600_000_000).sum())
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g, uid, ts, new_user, starts = _user_sorted(g)
+        vc = cents(g["value"].to_numpy())
+        gap = np.concatenate([[0], np.diff(ts)])
+        brk = ((~new_user) & (gap > _SESSION_GAP_US)).astype(np.int64)
+        ends = np.append(starts[1:], uid.size) - 1
         return pd.DataFrame({
-            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
-            "n_events": np.array([len(g)], dtype=np.int64),
-            "n_sessions": np.array([n_sessions], dtype=np.int64),
-            "first_ts_s": np.array([ts[0] // 1_000_000], dtype=np.int64),
-            "last_ts_s": np.array([ts[-1] // 1_000_000], dtype=np.int64),
-            "total_value_cents": np.array([int(cents(g["value"].to_numpy()).sum())], dtype=np.int64),
+            "user_id": uid[starts],
+            "n_events": np.diff(np.append(starts, uid.size)).astype(np.int64),
+            "n_sessions": 1 + np.add.reduceat(brk, starts),
+            "first_ts_s": ts[starts] // 1_000_000,
+            "last_ts_s": ts[ends] // 1_000_000,
+            "total_value_cents": np.add.reduceat(vc, starts),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return _grouped_parts(ds, "user_id", per_part)
 
 
 # ---------------------------------------------------------------- O3/O4/O7
@@ -235,12 +297,18 @@ def deterministic_sample(sf_dir: str) -> pd.DataFrame:
     ds = table(sf_dir, "documents", columns=["doc_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        prio = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        order = np.argsort(np.asarray(prio, dtype=object), kind="stable")[:n]
+        # md5 itself has no numpy kernel (the SQL twin pins md5), but
+        # the sort runs on fixed-width S32 bytes, not object dtype; the
+        # per-batch hash loop is bounded Python cost, parallel across
+        # tasks.
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        prio = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids], dtype="S32"
+        )
+        order = np.argsort(prio, kind="stable")[:n]
         return pa.table({
-            "doc_id": pa.array([ids[i] for i in order], pa.int64()),
-            "prio": pa.array([prio[i] for i in order], pa.string()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "prio": pa.array([p.decode() for p in prio[order]], pa.string()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
@@ -285,36 +353,76 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
                 "sum_disc_cents", "avg_qty", "count_order"]]
 
 
+# Above this many customer rows the dim stops being broadcastable
+# (TPC-H sf100 ≈ 15M customers ≈ 240 MB of keys+codes per worker) and
+# the large×large co-group hash join takes over. Either path produces
+# identical grouped sums.
+NATION_BROADCAST_CAP = 5_000_000
+
+
 def nation_revenue(sf_dir: str) -> pd.DataFrame:
     """Broadcast join (J5-style small-side lookup instead of a shuffle
     join): customer→nation map built once on the driver, ``ray.put``
-    once, applied per batch over orders; then combiner groupby."""
-    cust = table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    once, applied per batch over orders; then combiner groupby.
+
+    The per-batch lookup is fully vectorized: sorted custkey array +
+    ``np.searchsorted`` → nation CODE per row (int8, 25 nations); the
+    grouped sums run on the code and the name is attached to the tiny
+    25-row result at the end — no per-row Python, no string payload in
+    the shuffle. Above NATION_BROADCAST_CAP customer rows the function
+    falls back to ``util.hash_join`` (documented crossover)."""
     nation = table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    nk2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    cust2nation = {
-        int(ck): nk2name[int(nk)] for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
-    }
-    lookup_ref = ray.put(cust2nation)
-
+    cust_ds = table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     orders = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    n_cust = cust_ds.count()
 
-    def add_nation(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lookup_ref)
-        ck = batch.column("o_custkey").to_pylist()
-        names = [lut.get(k) for k in ck]
-        price_c = cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
-        return pa.table({
-            "n_name": pa.array(names, pa.string()),
-            "price_c": pa.array(price_c, pa.int64()),
-        })
+    if n_cust > NATION_BROADCAST_CAP:
+        from .util import hash_join
 
-    rows = orders.map_batches(add_nation, batch_format="pyarrow", batch_size=65536)
-    out = grouped_sums(rows, ["n_name"], ["price_c"])
+        def project_orders(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_custkey": batch.column("o_custkey"),
+                "price_c": pa.array(
+                    cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+            })
+
+        joined = hash_join(
+            orders.map_batches(project_orders, batch_format="pyarrow", batch_size=65536),
+            cust_ds,
+            "o_custkey",
+            "c_custkey",
+        )
+        out = grouped_sums(joined, ["c_nationkey"], ["price_c"])
+        key_col = "c_nationkey"
+    else:
+        cust = cust_ds.to_pandas()
+        order_idx = np.argsort(cust["c_custkey"].to_numpy(), kind="stable")
+        ck_sorted = cust["c_custkey"].to_numpy()[order_idx]
+        nk_sorted = cust["c_nationkey"].to_numpy()[order_idx].astype(np.int16)
+        side_ref = ray.put((ck_sorted, nk_sorted))
+
+        def add_nation(batch: pa.Table) -> pa.Table:
+            ck_s, nk_s = ray.get(side_ref)
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ck_s, ck)  # FK integrity: every key present
+            price_c = cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+            return pa.table({
+                "nk": pa.array(nk_s[pos].astype(np.int64), pa.int64()),
+                "price_c": pa.array(price_c, pa.int64()),
+            })
+
+        rows = orders.map_batches(add_nation, batch_format="pyarrow", batch_size=65536)
+        out = grouped_sums(rows, ["nk"], ["price_c"])
+        key_col = "nk"
+
     out = out.rename(columns={"price_c_total": "revenue_cents", "n_total": "n_orders"})
+    nk2name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    out["n_name"] = out[key_col].map(nk2name)
     out["n_orders"] = out["n_orders"].astype(np.int64)
     out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
-    return out[["n_name", "n_orders", "revenue_cents"]]
+    return out[["n_name", "n_orders", "revenue_cents"]].reset_index(drop=True)
 
 
 def order_revenue_join(sf_dir: str) -> pd.DataFrame:
@@ -362,18 +470,19 @@ def user_gap_profile(sf_dir: str) -> pd.DataFrame:
     g0 = np.datetime64(bounds["g0"], "us").astype(np.int64)
     g1 = np.datetime64(bounds["g1"], "us").astype(np.int64)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts)
-        internal = int(gaps[gaps > 3_600_000_000].sum()) if gaps.size else 0
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g, uid, ts, new_user, starts = _user_sorted(g)
+        gap = np.concatenate([[0], np.diff(ts)])
+        internal = np.where((~new_user) & (gap > _SESSION_GAP_US), gap, 0)
+        ends = np.append(starts[1:], uid.size) - 1
         return pd.DataFrame({
-            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
-            "head_gap_us": np.array([ts[0] - g0], dtype=np.int64),
-            "tail_gap_us": np.array([g1 - ts[-1]], dtype=np.int64),
-            "internal_gap_us": np.array([internal], dtype=np.int64),
+            "user_id": uid[starts],
+            "head_gap_us": ts[starts] - g0,
+            "tail_gap_us": g1 - ts[ends],
+            "internal_gap_us": np.add.reduceat(internal, starts),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return _grouped_parts(ds, "user_id", per_part)
 
 
 def user_activity_intervals(sf_dir: str) -> pd.DataFrame:
@@ -384,19 +493,28 @@ def user_activity_intervals(sf_dir: str) -> pd.DataFrame:
     intervals; emitted as parallel start/end second lists."""
     ds = table(sf_dir, "events", columns=["user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        breaks = np.nonzero(np.diff(ts) > 3_600_000_000)[0]
-        starts = ts[np.concatenate([[0], breaks + 1])] // 1_000_000
-        ends = ts[np.concatenate([breaks, [ts.size - 1]])] // 1_000_000
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g, uid, ts, new_user, starts = _user_sorted(g)
+        gap = np.concatenate([[0], np.diff(ts)])
+        # interval boundaries across the WHOLE partition: a new user or
+        # a >1h within-user gap starts an interval
+        iv_start = np.nonzero(new_user | (gap > _SESSION_GAP_US))[0]
+        iv_end = np.append(iv_start[1:], uid.size) - 1
+        iv_starts_s = ts[iv_start] // 1_000_000
+        iv_ends_s = ts[iv_end] // 1_000_000
+        # intervals per user: split the interval arrays at user changes
+        iv_new_user = new_user[iv_start]
+        user_first_iv = np.nonzero(iv_new_user)[0]
+        n_intervals = np.diff(np.append(user_first_iv, iv_start.size))
+        cut = user_first_iv[1:]
         return pd.DataFrame({
-            "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
-            "n_intervals": np.array([starts.size], dtype=np.int64),
-            "interval_starts_s": [starts.tolist()],
-            "interval_ends_s": [ends.tolist()],
+            "user_id": uid[starts],
+            "n_intervals": n_intervals.astype(np.int64),
+            "interval_starts_s": [a.tolist() for a in np.split(iv_starts_s, cut)],
+            "interval_ends_s": [a.tolist() for a in np.split(iv_ends_s, cut)],
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return _grouped_parts(ds, "user_id", per_part)
 
 
 def user_occupancy(sf_dir: str) -> pd.DataFrame:
@@ -512,20 +630,24 @@ def user_rolling_value(sf_dir: str) -> pd.DataFrame:
     sums bit-exact vs the SQL window oracle."""
     ds = table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g, uid, ts, new_user, starts = _user_sorted(g, extra=["event_id"])
         c = cents(g["value"].to_numpy())
         cs = np.cumsum(c)
-        roll = cs.copy()
-        roll[5:] = cs[5:] - cs[:-5]
+        idx = np.arange(uid.size)
+        # start-of-own-user index per row, then a 5-row window clamped
+        # at the user boundary: roll[i] = cs[i] - cs[j-1], j = max(start, i-4)
+        own_start = starts[np.searchsorted(starts, idx, side="right") - 1]
+        j = np.maximum(own_start, idx - 4)
+        roll = cs - np.where(j > 0, cs[j - 1], 0)
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(dtype=np.int64),
-            "user_id": g["user_id"].to_numpy(dtype=np.int64),
-            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+            "user_id": uid,
+            "rn": (idx - own_start + 1).astype(np.int64),
             "roll_value_cents": roll.astype(np.int64),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return _grouped_parts(ds, "user_id", per_part)
 
 
 _QUANTILE_QS = [0.25, 0.5, 0.75, 0.9, 0.99]

@@ -140,7 +140,7 @@ def ann_lsh(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES, n_probe_bit
             if n_probe_bits >= 2:
                 for j in range(i + 1, LSH_BITS):
                     probe.add(int(qb) ^ (1 << i) ^ (1 << j))
-    ctx_ref = ray.put((q_ids, q_mat, planes, frozenset(probe)))
+    ctx_ref = ray.put((q_ids, q_mat, planes, np.array(sorted(probe), dtype=np.int64)))
 
     ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -148,7 +148,10 @@ def ann_lsh(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES, n_probe_bit
         qi, qm, pl, pr = ray.get(ctx_ref)
         ids, m = _emb_matrix(batch)
         bk = _bucket_of(m, pl)
-        sel = np.array([b in pr for b in bk], dtype=bool)
+        # membership against the broadcast sorted probe array — one
+        # vectorized searchsorted, no per-row Python
+        pos = np.clip(np.searchsorted(pr, bk), 0, pr.size - 1)
+        sel = pr[pos] == bk
         ids, m = ids[sel], m[sel]
         if ids.size == 0:
             return pa.table({

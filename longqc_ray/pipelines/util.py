@@ -61,6 +61,28 @@ def cents(x: np.ndarray) -> np.ndarray:
     return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
 
 
+def _part_hash(t: pa.Table, key: str, n_parts: int) -> np.ndarray:
+    """Type-agnostic bounded partition id per row: multiplicative hash
+    for integer keys (vectorized), crc32 over the string form otherwise
+    (bounded per-batch Python, same path dedup_shuffle uses). Raises a
+    clear error for a missing column instead of an opaque numpy one."""
+    import zlib
+
+    if key not in t.column_names:
+        raise KeyError(f"partition key column {key!r} not in {t.column_names}")
+    col = t.column(key)
+    if pa.types.is_integer(col.type):
+        k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+        return h.astype(np.int64)
+    vals = col.to_pylist()
+    return np.array(
+        [zlib.crc32(str(v).encode("utf-8", "replace")) % n_parts for v in vals],
+        dtype=np.int64,
+    )
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -94,13 +116,11 @@ def hash_join(
 
     def tag(side: str, key: str):
         def fn(t: pa.Table) -> pa.Table:
-            k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-            with np.errstate(over="ignore"):
-                h = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+            h = _part_hash(t, key, n_parts)
             cols = {c: t.column(c) for c in t.column_names}
             for name, typ in other_fields[side]:
                 cols[name] = pa_.nulls(t.num_rows, typ)
-            cols["__part"] = pa.array(h.astype(np.int64), pa.int64())
+            cols["__part"] = pa.array(h, pa.int64())
             cols["__side"] = pa.array([side] * t.num_rows, pa.string())
             ordered = sorted(cols)  # deterministic column order across sides
             return pa.table({c: cols[c] for c in ordered})
@@ -163,13 +183,11 @@ def asof_join(
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
-            k = t.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
-            with np.errstate(over="ignore"):
-                h = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+            h = _part_hash(t, by, n_parts)
             cols = {c: t.column(c) for c in t.column_names}
             for name, typ in other_fields[side]:
                 cols[name] = pa.nulls(t.num_rows, typ)
-            cols["__part"] = pa.array(h.astype(np.int64), pa.int64())
+            cols["__part"] = pa.array(h, pa.int64())
             cols["__side"] = pa.array([side] * t.num_rows, pa.string())
             ordered = sorted(cols)
             return pa.table({c: cols[c] for c in ordered})
