@@ -20,6 +20,7 @@ from collections.abc import Callable
 from typing import Any
 
 from longqc_ray.kernels.pii import PII_PATTERNS
+from longqc_ray.kernels.text import BPE_ISH_RE
 from longqc_ray.kernels.toxicity import TOXIC_LEXICON
 from longqc_ray.pipelines.text_analysis import STOPWORD_PATTERN, TOKEN_PATTERN
 
@@ -134,6 +135,32 @@ _PHONE = PII_PATTERNS[2][1]
 _TOX = r"\b(" + "|".join(TOXIC_LEXICON) + r")\b"
 _TOK = TOKEN_PATTERN.replace("'", "''")
 _STOP = STOPWORD_PATTERN
+
+
+# Ground-truth 5-gram-shingle Jaccard pairs (tau=0.8) — the exact
+# verify step of the MinHash-LSH pipeline expressed over raw distinct
+# substrings. Valid twins because (a) the corpus is ASCII so byte
+# shingles == char shingles, and (b) hashed-shingle Jaccard equals raw
+# Jaccard absent 64-bit FNV collisions. The LSH stage is a candidate
+# FILTER, so this also pins recall = 1.0 on the driver corpus.
+_JACCARD_PAIRS_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS BIGINT), 5) AS g
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.a, inter.b,
+       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.a
+JOIN sizes sb ON sb.doc_id = inter.b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -299,6 +326,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        # dedup_minhash verdict: transitive closure (recursive CTE)
+        # over the ground-truth pairs, min-id representative per
+        # cluster — the SQL twin of union-find.
+        "dedup_minhash": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+            edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+            reach(x, y) AS (
+              SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(least(d.doc_id, min(r.y)), d.doc_id) AS BIGINT) AS dup_of,
+                   coalesce(least(d.doc_id, min(r.y)), d.doc_id) = d.doc_id AS keep
+            FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+            GROUP BY d.doc_id
+        """,
+        # SDUST-analogue repetition mask (kernels/text.py
+        # repetition_mask; sdust.c:136-177 recast): 64-char windows at
+        # stride 32, window masked when sum c*(c-1)/2 over 3-gram
+        # counts / (wlen-3) exceeds 1.5; masked_chars = union length of
+        # masked windows (running-max window function). Valid because
+        # the corpus is ASCII (byte windows == char windows).
+        "repetition_docs": rf"""
+            WITH w AS (
+              SELECT doc_id, length(text) AS m, text,
+                     CAST(j * 32 AS BIGINT) AS ws,
+                     least(CAST(j * 32 + 64 AS BIGINT), length(text)) AS we
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, greatest(1, CAST(ceil((length(text) - 32) / 32.0) AS BIGINT)))) AS j
+                    FROM documents)
+            ),
+            grams AS (
+              SELECT doc_id, ws, we, m,
+                     substr(text, CAST(ws + i + 1 AS BIGINT), 3) AS g
+              FROM (SELECT doc_id, ws, we, m, text, unnest(range(0, we - ws - 2)) AS i FROM w)
+            ),
+            scores AS (
+              SELECT doc_id, ws, we, m,
+                     sum(c * (c - 1)) / 2.0 / greatest(we - ws - 3, 1) AS score
+              FROM (SELECT doc_id, ws, we, m, g, count(*) AS c
+                    FROM grams GROUP BY doc_id, ws, we, m, g)
+              GROUP BY doc_id, ws, we, m
+            ),
+            masked AS (
+              SELECT doc_id, m, ws, we,
+                     greatest(0, we - greatest(ws, coalesce(
+                         max(we) OVER (PARTITION BY doc_id ORDER BY ws
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     )) AS contrib
+              FROM scores WHERE score > 1.5
+            ),
+            per_doc AS (
+              SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS masked_chars FROM masked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.masked_chars, 0) AS DOUBLE) / length(d.text) AS masked_frac,
+                   CAST(coalesce(p.masked_chars, 0) AS BIGINT) AS masked_chars,
+                   CAST(length(d.text) AS BIGINT) AS n_chars_text,
+                   CAST(length(regexp_extract_all(d.text, '{BPE_ISH_RE.pattern}')) AS BIGINT) AS n_bpe_tokens
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        """,
+        "user_activity_intervals": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                               OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 3600000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            g AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS iv
+              FROM e),
+            iv AS (
+              SELECT user_id, CAST(iv AS BIGINT) AS iv,
+                     CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+                     CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+              FROM g GROUP BY user_id, iv)
+            SELECT user_id, iv, start_s, end_s,
+                   CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_intervals
+            FROM iv
         """,
         "token_stats": f"""
             SELECT doc_id,

@@ -486,11 +486,12 @@ def user_gap_profile(sf_dir: str) -> pd.DataFrame:
 
 
 def user_activity_intervals(sf_dir: str) -> pd.DataFrame:
-    """Ordered within-group interval MERGE producing a nested
-    list<struct>-shaped result (M12/T4 construct_polread +
+    """Ordered within-group interval MERGE (M12/T4 construct_polread +
     compute_reliable_region analogue, lq_sequel.py:76-137 /
     lqutils.c:83-155): per user, events within 1 h merge into activity
-    intervals; emitted as parallel start/end second lists."""
+    intervals. One row per (user, interval ordinal) — the flat shape
+    is the scale-correct one (per-user interval lists are unbounded at
+    10^12 rows) and hash-comparable against the SQL twin."""
     ds = table(sf_dir, "events", columns=["user_id", "ts"])
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -500,18 +501,18 @@ def user_activity_intervals(sf_dir: str) -> pd.DataFrame:
         # a >1h within-user gap starts an interval
         iv_start = np.nonzero(new_user | (gap > _SESSION_GAP_US))[0]
         iv_end = np.append(iv_start[1:], uid.size) - 1
-        iv_starts_s = ts[iv_start] // 1_000_000
-        iv_ends_s = ts[iv_end] // 1_000_000
-        # intervals per user: split the interval arrays at user changes
+        # ordinal within user + per-user interval count, all vectorized
         iv_new_user = new_user[iv_start]
         user_first_iv = np.nonzero(iv_new_user)[0]
-        n_intervals = np.diff(np.append(user_first_iv, iv_start.size))
-        cut = user_first_iv[1:]
+        n_per_user = np.diff(np.append(user_first_iv, iv_start.size))
+        iv_idx = np.arange(iv_start.size)
+        own_first = user_first_iv[np.searchsorted(user_first_iv, iv_idx, side="right") - 1]
         return pd.DataFrame({
-            "user_id": uid[starts],
-            "n_intervals": n_intervals.astype(np.int64),
-            "interval_starts_s": [a.tolist() for a in np.split(iv_starts_s, cut)],
-            "interval_ends_s": [a.tolist() for a in np.split(iv_ends_s, cut)],
+            "user_id": uid[iv_start],
+            "iv": (iv_idx - own_first + 1).astype(np.int64),
+            "start_s": ts[iv_start] // 1_000_000,
+            "end_s": ts[iv_end] // 1_000_000,
+            "n_intervals": np.repeat(n_per_user, n_per_user).astype(np.int64),
         })
 
     return _grouped_parts(ds, "user_id", per_part)

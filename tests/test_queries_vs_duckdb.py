@@ -36,7 +36,11 @@ SQL_BACKED = [
     "value_quantiles",
     "user_occupancy",
     "user_gap_profile",
+    "user_activity_intervals",
     "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard_pairs",
+    "repetition_docs",
     "embedding_near_dups",
     "ann_topk",
     "token_stats",
@@ -76,7 +80,7 @@ def test_rows_only_queries_run():
     qs = entrymod.queries()
     rows_only = set(qs) - set(entrymod.oracle_sql())
     # cheap subset (model-scorer pipelines are covered by e2e tests)
-    for name in ["simhash_docs", "repetition_docs", "ann_lsh"]:
+    for name in ["simhash_docs", "lang_id_docs", "ann_lsh"]:
         assert name in rows_only
         df = to_pandas(qs[name](SF_DIR))
         assert len(df.columns) >= 2
