@@ -24,6 +24,85 @@ from ..functions.stats import nxx
 
 DUR_BIN_MS = 1000  # duration-bin interval (reference: 3000 bp or N50/2, longQC.py:478-481)
 
+# A11/A12 constants ported exactly from lq_coverage.py:69-72 and
+# longQC.py:141-142 (they feed rule thresholds, SURVEY.md §7.3 item 3)
+UNMAPPED_FRACTION_THRESHOLD = 0.4
+UNMAPPED_FRACTION_PARAM_MIN = 0.05
+UNMAPPED_FRACTION_PARAM_MAX = 0.2
+COV_CORRECTION = 0.9
+NONSENSE_WARN = 0.25
+NONSENSE_ERROR = 0.45
+
+
+def looks_low_coverage(hist_counts: np.ndarray) -> bool:
+    """lq_coverage.py:287-296 __looks_lowcoverage, numpy-only: low
+    coverage iff the zero bin holds >=1% of mass AND no other local
+    maximum reaches a fifth of it (argrelmax = strict local maxima)."""
+    h = np.asarray(hist_counts, dtype=np.float64)
+    if h.size < 3 or h.sum() <= 0:
+        return False
+    if h[0] / h.sum() < 0.01:
+        return False
+    interior = (h[1:-1] > h[:-2]) & (h[1:-1] > h[2:])
+    relmaxs = np.nonzero(interior)[0] + 1
+    return not bool((h[relmaxs] > h[0] / 5).any())
+
+
+def coverage_scalars(
+    throughput: float,
+    silent_frac: float,
+    mode_main: float,
+    mean_main: float,
+    low_coverage: bool,
+) -> dict:
+    """A12 xome-size analogue + A11 expected-zero wiring — the scalar
+    assembly of lq_coverage.py:368-386 calc_xome_size (incl. the λ
+    Poisson correction :245-250 and the 0.9 COV_CORRECTION :72) with
+    the graft mapping: throughput = total clip milliseconds,
+    unmapped_frac_med = fraction of fully-silent clips, mode/mean =
+    the SNR lognormal-mode / GMM-main-mean fits.
+
+    Returns corpus_size (int, -1 = N/A), corpus_size_str (the
+    reference's formatted multi-estimate string), e_zero_rate
+    (fits.expected_zero_coverage_rate at the same mode the reference
+    uses), and the λ range when the silent fraction is high."""
+    from ..functions.fits import expected_zero_coverage_rate
+
+    mode_used = mode_main if mode_main and mode_main > 0 else mean_main
+    out: dict = {
+        "e_zero_rate": (
+            expected_zero_coverage_rate(mode_used) if mode_used and mode_used > 0 else float("nan")
+        ),
+        "min_lambda": float("nan"),
+        "max_lambda": float("nan"),
+    }
+    if not mode_used or mode_used <= 0:
+        out["corpus_size"] = -1
+        out["corpus_size_str"] = "N/A"
+        return out
+    denom = mode_main if (low_coverage and mode_main > 0) else mean_main
+    if denom <= 0:
+        denom = mode_used
+    m_size = int((throughput * (1.0 - silent_frac)) / denom)
+    out["corpus_size"] = m_size
+    if silent_frac >= UNMAPPED_FRACTION_THRESHOLD:
+        import math
+
+        # math.log, not np.log: the reference uses libm and the two
+        # can differ by one ulp — λ is pinned bit-exact in tests
+        min_lambda = -math.log(silent_frac - UNMAPPED_FRACTION_PARAM_MIN)
+        max_lambda = -math.log(silent_frac - UNMAPPED_FRACTION_PARAM_MAX)
+        s1 = throughput * COV_CORRECTION * (1 - UNMAPPED_FRACTION_PARAM_MIN) / min_lambda
+        s2 = throughput * COV_CORRECTION * (1 - UNMAPPED_FRACTION_PARAM_MAX) / max_lambda
+        out["min_lambda"] = float(min_lambda)
+        out["max_lambda"] = float(max_lambda)
+        out["corpus_size_str"] = "%d (e = %.1f%%), %d (e = 20%%), %d (e = 5%%)" % (
+            m_size, silent_frac * 100, int(s2), int(s1)
+        )
+    else:
+        out["corpus_size_str"] = "%d (e = %.1f%%)" % (m_size, silent_frac * 100)
+    return out
+
 
 def binned_quality_stats(labeled: rd.Dataset, bin_ms: int = DUR_BIN_MS):
     """Per-duration-bin QC stats (A13/A14): count, mean/min/max snr,
@@ -60,8 +139,13 @@ def qc_summary(labeled: rd.Dataset, n_fit_sample: int = 5000) -> dict:
     # one map to add derived columns needed by the moment aggregates
     def derive(t: pa.Table) -> pa.Table:
         dur = pc.cast(t.column("dur_ms"), pa.float64())
-        return t.append_column("log_dur", pc.ln(dur)).append_column(
-            "keep_i", pc.cast(t.column("keep"), pa.int64())
+        return (
+            t.append_column("log_dur", pc.ln(dur))
+            .append_column("keep_i", pc.cast(t.column("keep"), pa.int64()))
+            .append_column(
+                "silent_i",
+                pc.cast(pc.equal(t.column("active_frame_frac"), 0.0), pa.int64()),
+            )
         )
 
     ds = labeled.select_columns(
@@ -81,6 +165,7 @@ def qc_summary(labeled: rd.Dataset, n_fit_sample: int = 5000) -> dict:
         Mean("masked_frac", alias_name="mean_masked_frac"),
         Sum("n_pii_spans", alias_name="total_pii_spans"),
         Sum("keep_i", alias_name="n_keep"),
+        Sum("silent_i", alias_name="n_silent"),
     )
     n = int(agg["n"])
     # drop-reason histogram (grouped count — the wide step)
@@ -106,6 +191,20 @@ def qc_summary(labeled: rd.Dataset, n_fit_sample: int = 5000) -> dict:
     g = gmm2_fit(snr_sample)
     ln = lognorm_normal_em(snr_sample[snr_sample > 0], seed=g)
 
+    # A11/A12: silent-clip fraction (unmapped_frac_med analogue), hist
+    # low-coverage heuristic over the same bounded fit sample, and the
+    # corpus-size scalar assembly (lq_coverage.py:368-386)
+    silent_frac = int(agg["n_silent"]) / max(n, 1)
+    hist_counts, _ = np.histogram(snr_sample, bins=50)
+    low_cov = looks_low_coverage(hist_counts)
+    cov = coverage_scalars(
+        throughput=float(agg["total_dur_ms"]),
+        silent_frac=silent_frac,
+        mode_main=float(ln.mode()),
+        mean_main=float(g.means[g.main]),
+        low_coverage=low_cov,
+    )
+
     binned = binned_quality_stats(ds)
 
     # --- warn/error cascade (thresholds mirror longQC.py:784-824) ---
@@ -123,6 +222,27 @@ def qc_summary(labeled: rd.Dataset, n_fit_sample: int = 5000) -> dict:
         warns["nonsense_frac"] = f"non-sense fraction {nf:.3f} >= 0.25"
     if pii_rate >= 0.3:
         warns["pii_rate"] = f"PII spans per clip {pii_rate:.3f} >= 0.3"
+    # low-coverage-adjusted silent-clip cascade (longQC.py:793-812):
+    # under low coverage the expected-zero rate is subtracted before
+    # thresholding; thresholds are the reference's nonsense constants
+    if n == 0 or cov["corpus_size"] < 0:
+        errors["coverage_estimation"] = "corpus-size estimation cannot be made"
+    elif low_cov:
+        warns["low_coverage"] = "quality-score distribution looks low/skewed"
+        adj = silent_frac - cov["e_zero_rate"]
+        if adj >= NONSENSE_ERROR:
+            errors["silent_frac"] = (
+                f"adjusted silent-clip fraction {adj:.3f} >= {NONSENSE_ERROR + cov['e_zero_rate']:.2f}"
+            )
+        elif adj >= NONSENSE_WARN:
+            warns["silent_frac"] = (
+                f"adjusted silent-clip fraction {adj:.3f} >= {NONSENSE_WARN + cov['e_zero_rate']:.2f}"
+            )
+    else:
+        if silent_frac >= NONSENSE_ERROR:
+            errors["silent_frac"] = f"silent-clip fraction {silent_frac:.3f} >= {NONSENSE_ERROR}"
+        elif silent_frac >= NONSENSE_WARN:
+            warns["silent_frac"] = f"silent-clip fraction {silent_frac:.3f} >= {NONSENSE_WARN}"
     # binned-median outlier check (lq_coverage.py:517-529: 3σ rule over
     # bins with enough mass)
     big = binned[binned["n"] >= 100]
@@ -155,6 +275,13 @@ def qc_summary(labeled: rd.Dataset, n_fit_sample: int = 5000) -> dict:
             "main": g.main,
         },
         "snr_lognorm_mode": ln.mode(),
+        "silent_frac": silent_frac,
+        "low_coverage": bool(low_cov),
+        "e_zero_rate": cov["e_zero_rate"],
+        "corpus_size": cov["corpus_size"],
+        "corpus_size_str": cov["corpus_size_str"],
+        "min_lambda": cov["min_lambda"],
+        "max_lambda": cov["max_lambda"],
         "binned": binned.to_dict(orient="list"),
         "warns": warns,
         "errors": errors,

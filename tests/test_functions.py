@@ -112,6 +112,64 @@ def test_qc_summary_smoke(tiny_fixture_dir):
     assert rep["gamma_fit"]["shape"] > 0
     assert set(rep["drop_reasons"]) >= {"low_snr", "toxic", "wrong_lang"}
     assert rep["dur_n50_ms"] > 0
+    # A11/A12 scalars are wired in (corpus-size analogue + e-zero rate)
+    assert rep["corpus_size"] > 0
+    assert rep["corpus_size_str"].startswith(str(rep["corpus_size"]))
+    assert 0.0 <= rep["silent_frac"] < 0.5
+    assert np.isfinite(rep["e_zero_rate"])
+
+
+def test_expected_zero_rate_constants_pinned():
+    """lq_coverage.py:151-158 constants ported exactly."""
+    from longqc_ray.functions.fits import expected_zero_coverage_rate
+
+    assert expected_zero_coverage_rate(0.0) == 1.3865
+    r1, r0 = expected_zero_coverage_rate(1.0), expected_zero_coverage_rate(0.0)
+    assert abs(r1 / r0 - 0.64086) < 1e-12
+
+
+def test_coverage_scalars_lowcov_lambda_path():
+    """A12 xome-size analogue incl. the λ Poisson correction
+    (lq_coverage.py:368-386, :245-250, COV_CORRECTION :72)."""
+    import math
+
+    from longqc_ray.pipelines.qc_summary import coverage_scalars
+
+    cov = coverage_scalars(
+        throughput=1000.0, silent_frac=0.5, mode_main=2.0, mean_main=3.0,
+        low_coverage=True,
+    )
+    assert cov["corpus_size"] == int(1000.0 * 0.5 / 2.0)  # mode path
+    # subtraction-before-log mirrors the reference exactly (0.5-0.05
+    # != 0.45 by one ulp in float64)
+    assert cov["min_lambda"] == -math.log(0.5 - 0.05)
+    assert cov["max_lambda"] == -math.log(0.5 - 0.2)
+    s1 = int(1000.0 * 0.9 * 0.95 / -math.log(0.5 - 0.05))
+    s2 = int(1000.0 * 0.9 * 0.80 / -math.log(0.5 - 0.2))
+    assert cov["corpus_size_str"] == f"250 (e = 50.0%), {s2} (e = 20%), {s1} (e = 5%)"
+    # normal path: gmm mean denominator, single-estimate string
+    cov2 = coverage_scalars(
+        throughput=1000.0, silent_frac=0.1, mode_main=2.0, mean_main=4.0,
+        low_coverage=False,
+    )
+    assert cov2["corpus_size"] == int(1000.0 * 0.9 / 4.0)
+    assert cov2["corpus_size_str"] == "225 (e = 10.0%)"
+    assert np.isnan(cov2["min_lambda"])
+    # degenerate: no usable mode/mean
+    cov3 = coverage_scalars(1000.0, 0.0, 0.0, 0.0, False)
+    assert cov3["corpus_size"] == -1 and cov3["corpus_size_str"] == "N/A"
+
+
+def test_looks_low_coverage_heuristic():
+    """__looks_lowcoverage (lq_coverage.py:287-296) twin."""
+    from longqc_ray.pipelines.qc_summary import looks_low_coverage
+
+    # zero bin dominates, no competing mode -> low coverage
+    assert looks_low_coverage(np.array([100, 5, 3, 2, 1, 1]))
+    # second mode above a fifth of the zero bin -> not low
+    assert not looks_low_coverage(np.array([100, 2, 50, 2, 1, 1]))
+    # zero bin under 1% of mass -> not low
+    assert not looks_low_coverage(np.array([1, 200, 300, 200, 100, 50]))
 
 
 def test_quantile_disc_matches_inverted_cdf():
