@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_docs": text_analysis.pii_scrub_docs,
         "toxicity_docs": text_analysis.toxicity_docs,
         "repetition_docs": text_analysis.repetition_docs,
+        "fuzzy_span_docs": text_analysis.fuzzy_span_docs,  # lq_adapt.py:10-78 analogue
         # --- flagship + multimodal (audio payload real, oracle = pytest) ---
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,
@@ -160,6 +161,35 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = inter.a
 JOIN sizes sb ON sb.doc_id = inter.b
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+
+from longqc_ray.pipelines.text_analysis import FUZZY_IDENTITY, FUZZY_PATTERN
+
+_FM = len(FUZZY_PATTERN)
+_FK = int(_FM * (1.0 - FUZZY_IDENTITY))
+_FUZZY_SQL = f"""
+WITH wins AS (
+  SELECT doc_id,
+         CAST(i + L - 1 AS BIGINT) AS e,
+         levenshtein(substr(text, CAST(i AS BIGINT), CAST(L AS BIGINT)), '{FUZZY_PATTERN}') AS ed
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents),
+       (SELECT unnest(range({_FM - _FK}, {_FM + _FK + 1})) AS L)
+  WHERE i + L - 1 <= length(text)
+),
+best AS (
+  SELECT doc_id, least(min(ed), {_FK + 1}) AS best_ed FROM wins GROUP BY doc_id
+),
+ends AS (
+  SELECT w.doc_id, min(w.e) AS match_end
+  FROM wins w JOIN best b ON w.doc_id = b.doc_id AND w.ed = b.best_ed
+  WHERE b.best_ed <= {_FK}
+  GROUP BY w.doc_id
+)
+SELECT b.doc_id, CAST(b.best_ed AS BIGINT) AS best_ed,
+       CAST(coalesce(e.match_end, -1) AS BIGINT) AS match_end,
+       b.best_ed <= {_FK} AS found
+FROM best b LEFT JOIN ends e ON e.doc_id = b.doc_id
 """
 
 
@@ -449,6 +479,11 @@ def oracle_sql() -> dict[str, str]:
                        CAST(length(regexp_extract_all(lower(text), '{_TOX}')) AS BIGINT) AS n_toxic
                 FROM documents)
         """,
+        # fuzzy span matching: min windowed Levenshtein vs the probe,
+        # capped at k+1; window lengths m±k suffice because
+        # ed(p, w) >= |len(w) - m| (DuckDB levenshtein == the engine's
+        # Myers semi-global kernel on ASCII text)
+        "fuzzy_span_docs": _FUZZY_SQL,
         "ann_topk": """
             SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -112,6 +112,39 @@ PRESETS: dict[str, FilterConfig] = {
 }
 
 
+@dataclass(frozen=True)
+class CohortConfig:
+    """Dual-threshold cohort mode — the analogue of the reference's
+    ``--short`` run (longQC.py:107-112: split at 500 bp; :409-415:
+    each cohort goes through its own coverage/threshold params, then
+    the outputs merge). Rows with dur_ms < split_dur_ms are judged by
+    ``short``, the rest by ``normal``; the rule stage evaluates both
+    cascades vectorized over the whole batch and selects per row, so
+    cohort mode costs one extra vectorized pass — never a second
+    pipeline execution or an extra shuffle."""
+
+    split_dur_ms: int = 1000
+    short: FilterConfig = field(default_factory=lambda: PRESETS["lenient"])
+    normal: FilterConfig = field(default_factory=lambda: DEFAULT_CONFIG)
+
+
+def extraction_config(cfg: "FilterConfig | CohortConfig") -> FilterConfig:
+    """Feature-EXTRACTION view of a config. For CohortConfig this is
+    the normal cohort's extraction params with the permissive UNION of
+    both cohorts' duration sanity bounds, so the feature stage computes
+    stats for every row either cohort might keep (the rule stage then
+    applies each cohort's own bounds)."""
+    if isinstance(cfg, CohortConfig):
+        from dataclasses import replace
+
+        return replace(
+            cfg.normal,
+            min_dur_ms=min(cfg.short.min_dur_ms, cfg.normal.min_dur_ms),
+            max_dur_ms=max(cfg.short.max_dur_ms, cfg.normal.max_dur_ms),
+        )
+    return cfg
+
+
 # Drop-reason labels in evaluation priority order; the first failing
 # rule names the row's drop_reason (the lineage manifest histograms
 # these per partition).

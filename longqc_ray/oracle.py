@@ -67,9 +67,16 @@ def oracle_row(
     codec: str,
     transcript: str,
     config: FilterConfig = DEFAULT_CONFIG,
+    rule_config: FilterConfig | None = None,
 ) -> dict:
     """Full per-row evaluation: stats, drop_reason (first failing rule in
-    DROP_REASONS order), keep flag, scrubbed transcript."""
+    DROP_REASONS order), keep flag, scrubbed transcript.
+
+    ``config`` drives feature EXTRACTION (mirrors the engine's
+    extraction_config gating); ``rule_config`` (default: same) drives
+    the threshold cascade — cohort mode passes the row's cohort
+    thresholds here."""
+    rc = rule_config if rule_config is not None else config
     out: dict = {"clip_id": clip_id}
 
     codec_ok = codec in KNOWN_CODECS
@@ -98,8 +105,8 @@ def oracle_row(
     masked_frac, masked_chars, n_chars = repetition_mask(
         transcript, config.rep_k, config.rep_window, config.rep_score_threshold
     )
-    rep_bad = masked_frac > config.rep_hard_frac or (
-        n_chars > config.rep_long_len and masked_frac > config.rep_soft_frac
+    rep_bad = masked_frac > rc.rep_hard_frac or (
+        n_chars > rc.rep_long_len and masked_frac > rc.rep_soft_frac
     )
 
     lang, conf = _langid_row(transcript)
@@ -107,29 +114,29 @@ def oracle_row(
     n_toxic = toxic_hits(transcript)
     scrubbed, n_pii = scrub_text(transcript)
 
-    # rule cascade in DROP_REASONS priority order
+    # rule cascade in DROP_REASONS priority order (thresholds from rc)
     reason = ""
     if not codec_ok:
         reason = "bad_codec"
     elif not sr_ok:
         reason = "bad_sr"
-    elif not dur_ok_lo:
+    elif dur_ms < rc.min_dur_ms:
         reason = "too_short"
-    elif not dur_ok_hi:
+    elif dur_ms > rc.max_dur_ms:
         reason = "too_long"
     elif not consistent:
         reason = "dur_mismatch"
-    elif snr_db < config.snr_min_db:
+    elif snr_db < rc.snr_min_db:
         reason = "low_snr"
-    elif len(transcript) < config.min_transcript_chars:
+    elif len(transcript) < rc.min_transcript_chars:
         reason = "short_transcript"
     elif rep_bad:
         reason = "repetitive"
-    elif not (lang == config.target_lang and conf >= config.lang_min_conf):
+    elif not (lang == rc.target_lang and conf >= rc.lang_min_conf):
         reason = "wrong_lang"
-    elif ppl > config.ppl_max:
+    elif ppl > rc.ppl_max:
         reason = "high_ppl"
-    elif n_toxic > config.max_toxic_hits:
+    elif n_toxic > rc.max_toxic_hits:
         reason = "toxic"
 
     out.update(
@@ -150,23 +157,42 @@ def oracle_row(
     return out
 
 
-def oracle_table(clips: pa.Table, config: FilterConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+def oracle_table(
+    clips: pa.Table, config: "FilterConfig | CohortConfig" = DEFAULT_CONFIG
+) -> pd.DataFrame:
     """Rule evaluation for every row, then exact dedup by clip_id
-    (first occurrence wins, matching the engine's dedup stage)."""
+    (first occurrence wins, matching the engine's dedup stage). With a
+    CohortConfig, extraction runs with the union bounds and each row's
+    cascade uses its cohort's thresholds (longQC.py:107-112/:409-415)."""
+    from .config import CohortConfig, extraction_config
+
+    cohort_cfg = config if isinstance(config, CohortConfig) else None
+    ec = extraction_config(config)
     rows = []
     d = clips.to_pydict()
     for i in range(clips.num_rows):
-        rows.append(
-            oracle_row(
-                d["clip_id"][i],
-                d["bytes"][i],
-                d["sr_hz"][i],
-                d["dur_ms"][i],
-                d["codec"][i],
-                d["transcript"][i],
-                config,
+        rc = None
+        if cohort_cfg is not None:
+            rc = (
+                cohort_cfg.short
+                if d["dur_ms"][i] < cohort_cfg.split_dur_ms
+                else cohort_cfg.normal
             )
+        row = oracle_row(
+            d["clip_id"][i],
+            d["bytes"][i],
+            d["sr_hz"][i],
+            d["dur_ms"][i],
+            d["codec"][i],
+            d["transcript"][i],
+            ec,
+            rule_config=rc,
         )
+        if cohort_cfg is not None:
+            row["cohort"] = (
+                "short" if d["dur_ms"][i] < cohort_cfg.split_dur_ms else "normal"
+            )
+        rows.append(row)
     df = pd.DataFrame(rows)
     df["is_dup"] = df.duplicated(subset=["clip_id"], keep="first")
     return df

@@ -76,10 +76,16 @@ def label_clips(
     competes with the pool for cores."""
     from ray.data import ActorPoolStrategy
 
+    from ..config import extraction_config
+
     refs = model_refs if model_refs is not None else put_model_refs()
+    # in cohort mode the feature stage runs once with the permissive
+    # union of both cohorts' sanity bounds (config.extraction_config);
+    # only the rule thresholds differ per cohort
+    feat_config = extraction_config(config)
     ds = ds.map_batches(
         compute_features,
-        fn_kwargs={"config": config},
+        fn_kwargs={"config": feat_config},
         batch_format="pyarrow",
         batch_size=FEATURE_BATCH_SIZE,
         zero_copy_batch=True,

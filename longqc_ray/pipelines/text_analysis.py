@@ -224,3 +224,41 @@ def repetition_docs(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+# Fuzzy span matching (lq_adapt.py:10-78 capability: edlib infix
+# alignment at identity >= 0.75, which exact regexes cannot express).
+# The probe is a boilerplate phrase from the corpus vocabulary; edit
+# threshold k = floor(m * (1 - identity)) maps the reference's
+# identity bound onto Levenshtein distance.
+FUZZY_PATTERN = "customer query line"
+FUZZY_IDENTITY = 0.75
+
+
+def fuzzy_span_docs(
+    sf_dir: str, pattern: str = FUZZY_PATTERN, identity: float = FUZZY_IDENTITY
+) -> rd.Dataset:
+    """Per-doc best fuzzy occurrence of ``pattern``: minimum
+    semi-global Levenshtein distance over all substrings (Myers
+    bit-parallel kernel, batched across rows — kernels/fuzzy.py),
+    capped at k+1 so the emitted columns are window-length-bounded and
+    SQL-checkable; match_end is the first 1-based end position
+    achieving the best distance (-1 if no match within k)."""
+    from ..kernels.fuzzy import myers_search_batch
+
+    m = len(pattern)
+    k = int(m * (1.0 - identity))
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        best, end = myers_search_batch(texts, pattern)
+        found = best <= k
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "best_ed": pa.array(np.minimum(best, k + 1), pa.int64()),
+            "match_end": pa.array(np.where(found, end, -1), pa.int64()),
+            "found": pa.array(found),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)

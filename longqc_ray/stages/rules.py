@@ -13,10 +13,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import DEFAULT_CONFIG, FilterConfig
+from ..config import DEFAULT_CONFIG, CohortConfig, FilterConfig
 
 
-def apply_rules(batch: pa.Table, config: FilterConfig = DEFAULT_CONFIG) -> pa.Table:
+def _reasons(batch: pa.Table, config: FilterConfig) -> np.ndarray:
+    """Per-row first-failing-rule label ('' = keep) for one threshold
+    set — the vectorized cascade body."""
     n = batch.num_rows
     col = lambda name: batch.column(name).to_numpy(zero_copy_only=False)
 
@@ -51,8 +53,29 @@ def apply_rules(batch: pa.Table, config: FilterConfig = DEFAULT_CONFIG) -> pa.Ta
         hit = undecided & bad
         reason[hit] = name
         undecided &= ~hit
+    return reason
+
+
+def apply_rules(
+    batch: pa.Table, config: "FilterConfig | CohortConfig" = DEFAULT_CONFIG
+) -> pa.Table:
+    if isinstance(config, CohortConfig):
+        # dual-threshold cohort mode (longQC.py:107-112/:409-415): both
+        # cascades run vectorized over the whole batch, the per-row
+        # result selects by the duration split — one fused stage, no
+        # second pipeline, no shuffle
+        dur = batch.column("dur_ms").to_numpy(zero_copy_only=False)
+        is_short = dur < config.split_dur_ms
+        reason = np.where(
+            is_short, _reasons(batch, config.short), _reasons(batch, config.normal)
+        )
+        cohort = np.where(is_short, "short", "normal")
+        out = batch.append_column("cohort", pa.array(cohort.tolist(), pa.string()))
+    else:
+        reason = _reasons(batch, config)
+        out = batch
     keep = reason == ""
-    out = batch.append_column("drop_reason", pa.array(reason.tolist(), pa.string()))
+    out = out.append_column("drop_reason", pa.array(reason.tolist(), pa.string()))
     out = out.append_column("keep", pa.array(keep))
     return out
 

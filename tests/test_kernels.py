@@ -103,3 +103,55 @@ def test_fingerprint_and_tokens():
     assert rolling_fingerprint("Abc") == rolling_fingerprint("abc")
     assert rolling_fingerprint("abc") != rolling_fingerprint("abd")
     assert count_bpe_ish_tokens("hello, world 42!") == 5  # hello , world 42 !
+
+
+# ---------------------------------------------------------------- fuzzy
+
+def test_myers_matches_brute_dp_random():
+    """Bit-parallel kernel == definitional semi-global DP on random
+    strings (including ends and distances)."""
+    import numpy as np
+
+    from longqc_ray.kernels.fuzzy import best_window_brute, myers_search_batch
+
+    rng = np.random.default_rng(7)
+    alpha = "abcd "
+    texts = [
+        "".join(rng.choice(list(alpha), size=int(n)))
+        for n in rng.integers(0, 120, size=40)
+    ]
+    for pattern in ["abca", "dd ab", "a" * 17, "cab dab c"]:
+        best, end = myers_search_batch(texts, pattern)
+        for i, t in enumerate(texts):
+            if not t:
+                assert best[i] == len(pattern) and end[i] == -1
+                continue
+            b_ed, b_end = best_window_brute(t, pattern)
+            assert (best[i], end[i]) == (b_ed, b_end), (pattern, t)
+
+
+def test_myers_planted_typo_spans():
+    """Planted near-matches: identity >= 0.75 spans are found with the
+    exact edit distance and position."""
+    from longqc_ray.kernels.fuzzy import myers_search_batch
+
+    pattern = "customer query line"  # m=19, k=4 at identity 0.75
+    texts = [
+        "xxx customer query line yyy",        # exact: ed 0
+        "xxx custmer query line yyy",         # 1 deletion
+        "xxx kustomer quary lime yyy",        # 3 substitutions
+        "completely unrelated words here",    # far
+    ]
+    best, end = myers_search_batch(texts, pattern)
+    assert best[0] == 0 and end[0] == 23
+    assert best[1] == 1
+    assert best[2] == 3
+    assert best[3] > 4
+
+
+def test_edit_distance_twin():
+    from longqc_ray.kernels.fuzzy import edit_distance
+
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance("", "abc") == 3
+    assert edit_distance("abc", "abc") == 0

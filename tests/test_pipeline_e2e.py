@@ -92,3 +92,43 @@ def test_filter_clips_dedup(tiny_fixture_dir):
     ).to_pandas()
     expected = truth[truth["keep"]]["clip_id"].nunique()
     assert len(kept) == expected
+
+
+def test_cohort_mode_matches_oracle(tiny_fixture_dir):
+    """Dual-threshold cohort mode (longQC.py:107-112/:409-415): engine
+    == oracle exactly under a CohortConfig, and the short cohort's
+    lenient thresholds actually change outcomes vs single-config."""
+    from longqc_ray.config import PRESETS, CohortConfig
+
+    cfg = CohortConfig(split_dur_ms=1000, short=PRESETS["lenient"],
+                       normal=PRESETS["default"])
+    ds = rd.read_parquet(os.path.join(tiny_fixture_dir, "clips"))
+    eng = label_clips(ds, config=cfg).to_pandas().sort_values("clip_id").reset_index(drop=True)
+    clips = pq.read_table(os.path.join(tiny_fixture_dir, "clips"))
+    ora = oracle_table(clips, config=cfg).sort_values("clip_id").reset_index(drop=True)
+
+    assert len(eng) == len(ora)
+    assert (eng["cohort"].values == ora["cohort"].values).all()
+    assert (eng["keep"].values == ora["keep"].values).mean() == 1.0
+    assert (eng["drop_reason"].values == ora["drop_reason"].values).all()
+    assert set(eng["cohort"]) == {"short", "normal"}
+
+    # cohort-specific planted defects: short clips in 150..300 ms are
+    # kept by the lenient short cohort but dropped by single-config
+    single = oracle_table(clips).sort_values("clip_id").reset_index(drop=True)
+    changed = (single["keep"].values != ora["keep"].values)
+    assert changed.any(), "cohort thresholds changed no outcome"
+    flipped = ora[changed]
+    assert (flipped["cohort"] == "short").all()
+
+    # F1 vs planted truth stays high: truth keep for the short cohort
+    # uses the same lenient rule the generator planted defects against
+    truth = pq.read_table(os.path.join(tiny_fixture_dir, "clips_truth.parquet")).to_pandas()
+    truth = truth.sort_values("clip_id").reset_index(drop=True)
+    both = ora.merge(truth[["clip_id", "defect"]].drop_duplicates("clip_id"), on="clip_id")
+    normal_rows = both[both["cohort"] == "normal"]
+    pred = normal_rows["keep"].to_numpy()
+    want = normal_rows["defect"].isin(["clean", "pii", "dup"]).to_numpy()
+    tp = float((pred & want).sum()); fp = float((pred & ~want).sum()); fn = float((~pred & want).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f1

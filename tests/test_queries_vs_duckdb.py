@@ -41,6 +41,7 @@ SQL_BACKED = [
     "dedup_minhash",
     "ngram_jaccard_pairs",
     "repetition_docs",
+    "fuzzy_span_docs",
     "embedding_near_dups",
     "ann_topk",
     "token_stats",
