@@ -175,30 +175,46 @@ def main() -> None:
     flagship_only = "--flagship-only" in args
 
     if "--scaling" in args:
-        # fresh processes at N and 4N CPUs on the same input (cluster
-        # two-size stand-in, BASELINE.md §2); compute-path protocol
-        # (materialized input, repeated) — single shared disk makes an
-        # end-to-end read comparison measure the disk, not the engine
-        results = {}
-        for n in (8, 16, 32):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--flagship-only",
-                 "--cpus", str(n), "--scaling-protocol"],
-                capture_output=True, text=True, env={**os.environ},
-            )
-            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            results[n] = json.loads(line)
-        tput = {n: results[n]["clips_per_sec"] for n in results}
+        # fresh processes at N, 2N and 4N CPUs on the same input
+        # (cluster two-size stand-in, BASELINE.md §2); compute-path
+        # protocol (materialized input, repeated) — single shared disk
+        # makes an end-to-end read comparison measure the disk, not
+        # the engine. Three interleaved repetitions per CPU count and
+        # the MEDIAN throughput: identical configs vary ±20-40% on
+        # this VM (BASELINE.md §3 control runs), so single samples
+        # routinely report both sub- and super-linear artifacts.
+        reps = 3
+        cpu_counts = (8, 16, 32)
+        secs: dict[int, list[float]] = {n: [] for n in cpu_counts}
+        tputs: dict[int, list[float]] = {n: [] for n in cpu_counts}
+        for _ in range(reps):
+            for n in cpu_counts:
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--flagship-only",
+                     "--cpus", str(n), "--scaling-protocol"],
+                    capture_output=True, text=True, env={**os.environ},
+                )
+                line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+                d = json.loads(line)
+                secs[n].append(d["value"])
+                tputs[n].append(d["clips_per_sec"])
+        import statistics
+
+        med = {n: statistics.median(tputs[n]) for n in cpu_counts}
         print(json.dumps({
-            "metric": "flagship filter scaling (fresh ray sessions, same input)",
-            "value": results[32]["value"],
+            "metric": "flagship filter scaling (fresh ray sessions, same input, median of 3)",
+            "value": statistics.median(secs[32]),
             "unit": "sec",
-            "queries": {f"flagship_cpus{n}": results[n]["value"] for n in results},
+            "queries": {
+                f"flagship_cpus{n}_r{r}": secs[n][r]
+                for n in cpu_counts for r in range(reps)
+            },
             "sf": _sf_of(sf_dir),
             "num_cpus": 32,
-            **{f"clips_per_sec_cpus{n}": tput[n] for n in results},
-            "scaling_efficiency": round(tput[32] / (4.0 * tput[8]), 3),
-            "scaling_efficiency_8_16": round(tput[16] / (2.0 * tput[8]), 3),
+            **{f"clips_per_sec_cpus{n}": med[n] for n in cpu_counts},
+            **{f"runs_cpus{n}": tputs[n] for n in cpu_counts},
+            "scaling_efficiency": round(med[32] / (4.0 * med[8]), 3),
+            "scaling_efficiency_8_16": round(med[16] / (2.0 * med[8]), 3),
         }))
         return
 

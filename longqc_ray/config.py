@@ -87,7 +87,7 @@ DEFAULT_CONFIG = FilterConfig()
 # Named presets — the analogue of the reference's -x preset bundles
 # (pb-rs2/pb-sequel/pb-hifi/ont-*, longQC.py:171-233): one knob picks
 # a coherent threshold set; individual flags can still override.
-PRESETS: dict[str, FilterConfig] = {
+PRESETS: "dict[str, FilterConfig | CohortConfig]" = {
     "default": DEFAULT_CONFIG,
     # stricter gates for high-quality training corpora (the pb-hifi
     # analogue: tighter thresholds on an already-clean channel)
@@ -126,6 +126,12 @@ class CohortConfig:
     split_dur_ms: int = 1000
     short: FilterConfig = field(default_factory=lambda: PRESETS["lenient"])
     normal: FilterConfig = field(default_factory=lambda: DEFAULT_CONFIG)
+
+
+# dual-threshold cohort preset (the reference's --short run): lenient
+# rules under 1 s, default rules above — selectable from the CLI like
+# any single-config preset (label_clips/filter_clips accept both types)
+PRESETS["cohort"] = CohortConfig()
 
 
 def extraction_config(cfg: "FilterConfig | CohortConfig") -> FilterConfig:

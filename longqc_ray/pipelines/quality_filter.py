@@ -200,8 +200,7 @@ class _ClaimSet:
     Grants are idempotent per (key, batch_token): a retried task
     re-claims its own keys and gets the same grants, so Ray task
     retries never drop rows. Memory is bounded by the dup-key count
-    (≤ DUP_BROADCAST_CAP); at multi-node scale one such actor per key
-    range would shard the registry."""
+    (≤ DUP_BROADCAST_CAP) divided across the shard set."""
 
     def __init__(self):
         self._granted: dict = {}
@@ -214,18 +213,48 @@ class _ClaimSet:
         return out
 
 
+# One claim shard serves ~comfortably 10k claims/s; dup keys are rare,
+# so a handful of shards keeps the registry off any single node's
+# critical path at cluster scale while costing nothing locally.
+CLAIM_SHARDS = 4
+
+
+class _ClaimRouter:
+    """Key-range-sharded claim registry: hash(key) picks the shard, so
+    shard state is disjoint and grants stay exactly-once per key. All
+    shards are asked concurrently (one round trip, not one per key)."""
+
+    def __init__(self, n_shards: int = CLAIM_SHARDS):
+        self._shards = [_ClaimSet.remote() for _ in range(n_shards)]
+        self._n = n_shards
+
+    def claim(self, keys: list, token: int) -> list:
+        import zlib
+
+        by_shard: dict[int, list] = {}
+        slot: list[tuple[int, int]] = []
+        for k in keys:
+            s = zlib.crc32(str(k).encode()) % self._n
+            lst = by_shard.setdefault(s, [])
+            slot.append((s, len(lst)))
+            lst.append(k)
+        futs = {s: self._shards[s].claim.remote(ks, token) for s, ks in by_shard.items()}
+        res = {s: r for s, r in zip(futs, ray.get(list(futs.values())))}
+        return [res[s][i] for s, i in slot]
+
+
 class _DedupStage:
     """Single-pass dedup stage: rows with non-duplicated keys stream
     through untouched; rows with keys in the broadcast dup set ask the
     claim actor which copy wins. Only dup-key ids ever cross to the
     actor — the wide row data never shuffles."""
 
-    def __init__(self, key: str, dup_ref, claim_actor):
+    def __init__(self, key: str, dup_ref, claim_router):
         import pyarrow.compute as pc  # noqa: F401
 
         self._key = key
         self._dups = ray.get(dup_ref)
-        self._actor = claim_actor
+        self._router = claim_router
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import hashlib
@@ -263,7 +292,7 @@ class _DedupStage:
             hashlib.blake2b("\x00".join(keys).encode(), digest_size=8).digest(),
             "big",
         )
-        granted = ray.get(self._actor.claim.remote(list(ask), token))
+        granted = self._router.claim(list(ask), token)
         for k, ok in zip(ask, granted):
             if not ok:
                 keep[ask[k]] = False
@@ -299,11 +328,11 @@ def dedup_first(
     if len(dups) > DUP_BROADCAST_CAP:
         return dedup_shuffle(ds, key=key, n_parts=n_parts)
     dup_ref = ray.put(dups)
-    claim_actor = _ClaimSet.remote()
+    claim_router = _ClaimRouter()
     return ds.map_batches(
         _DedupStage,
         fn_constructor_kwargs={
-            "key": key, "dup_ref": dup_ref, "claim_actor": claim_actor,
+            "key": key, "dup_ref": dup_ref, "claim_router": claim_router,
         },
         batch_format="pyarrow",
         concurrency=(1, n_parts),

@@ -13,7 +13,7 @@ def test_list_runs_without_ray(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "sql-checked" in out
-    assert "presets: default, lenient, strict" in out
+    assert "presets: cohort, default, lenient, strict" in out
     # every query name appears
     import __ray_entry__ as entrymod
 
