@@ -39,7 +39,11 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from longqc_ray.pipelines import dedup, relational, similarity, text_analysis
-    from longqc_ray.pipelines.multimodal import audio_feature_table, read_derived_clips
+    from longqc_ray.pipelines.multimodal import (
+        audio_feature_table,
+        read_derived_clips,
+        window_rms_profile,
+    )
     from longqc_ray.pipelines.quality_filter import label_clips
 
     def quality_filter_clips(sf_dir: str):
@@ -122,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship + multimodal (audio payload real, oracle = pytest) ---
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,
+        "window_rms_profile": window_rms_profile,  # O6 random-window sampling
         "qc_binned_summary": qc_binned_summary,
         "qc_report": qc_report,
     }

@@ -92,6 +92,38 @@ def decode_view(a: np.ndarray, codec: str) -> np.ndarray | None:
     return None
 
 
+def sampled_window_rms(
+    pcm: np.ndarray,
+    clip_id: str,
+    window: int = 1024,
+    samp_rate: float = 0.2,
+) -> np.ndarray:
+    """Random-window sampling (O6, lq_gcfrac.py:37-47: sample
+    ``l/chunk*samp_rate`` random positions per read, stat per window —
+    there GC fraction, here window RMS).
+
+    Deviation mirrored from the sampler redesign (SURVEY §7.3 item 1):
+    the reference draws from a GLOBAL ``np.random`` stream, making
+    results depend on processing order; here the RNG is seeded from
+    the clip_id, so every window set is chunk/partition/order
+    independent. Starts are drawn without replacement from the VALID
+    range [0, l-window] (the reference samples from [0, l) and
+    silently breaks at the first overflowing index — a bug we do not
+    replicate)."""
+    import zlib
+
+    l = int(pcm.size)
+    n = int(l / window * samp_rate)
+    if l < window or n == 0:
+        return np.empty(0, dtype=np.float64)
+    rng = np.random.default_rng(zlib.crc32(clip_id.encode()))
+    n = min(n, l - window + 1)
+    starts = np.sort(rng.choice(l - window + 1, size=n, replace=False))
+    idx = starts[:, None] + np.arange(window)[None, :]
+    w = pcm[idx].astype(np.float64)
+    return np.sqrt((w * w).mean(axis=1))
+
+
 def estimate_snr_db(
     pcm: np.ndarray,
     max_samples: int = 65_536,

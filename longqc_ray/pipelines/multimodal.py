@@ -175,6 +175,56 @@ class FrameSampler:
         )
 
 
+def window_rms_profile(sf_dir: str) -> rd.Dataset:
+    """O6 random-window sampling as an operator (lq_gcfrac.py:37-47
+    analogue): per clip, ~dur/window*samp_rate windows at clip-seeded
+    random positions → per-window RMS → per-clip summary. Decode is
+    the shared zero-copy kernel; the per-clip RNG seed makes results
+    independent of batch/partition boundaries."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..kernels.audio import decode_view, sampled_window_rms
+
+    ds = read_derived_clips(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("clip_id").to_pylist()
+        codecs = batch.column("codec").to_pylist()
+        col = batch.column("bytes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            if col.buffers()[2]
+            else np.empty(0, np.uint8)
+        )
+        n_win = np.zeros(n, dtype=np.int64)
+        mean_rms = np.zeros(n, dtype=np.float64)
+        max_rms = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            if pcm is None:
+                continue
+            rms = sampled_window_rms(pcm, ids[i])
+            if rms.size:
+                n_win[i] = rms.size
+                mean_rms[i] = rms.mean()
+                max_rms[i] = rms.max()
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "n_windows": pa.array(n_win, pa.int64()),
+            "mean_window_rms": pa.array(mean_rms, pa.float64()),
+            "max_window_rms": pa.array(max_rms, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+
+
 def audio_feature_table(sf_dir: str) -> rd.Dataset:
     """REAL multimodal path: derived clips → decode → per-clip audio
     features via the flagship feature stage (payload dropped there)."""

@@ -155,3 +155,48 @@ def test_edit_distance_twin():
     assert edit_distance("kitten", "sitting") == 3
     assert edit_distance("", "abc") == 3
     assert edit_distance("abc", "abc") == 0
+
+
+# ------------------------------------------------------- window sampling
+
+def test_sampled_window_rms_deterministic_and_correct():
+    """O6 kernel: clip-seeded windows are order/batch independent and
+    the RMS values match a direct per-window computation."""
+    import zlib
+
+    import numpy as np
+
+    from longqc_ray.kernels.audio import sampled_window_rms
+
+    rng = np.random.default_rng(5)
+    pcm = rng.standard_normal(16_000).astype(np.float32)
+    a = sampled_window_rms(pcm, "clip-x", window=1024, samp_rate=0.2)
+    b = sampled_window_rms(pcm, "clip-x", window=1024, samp_rate=0.2)
+    assert (a == b).all() and a.size == int(16_000 / 1024 * 0.2)
+    # different clip id -> different window set (almost surely)
+    c = sampled_window_rms(pcm, "clip-y", window=1024, samp_rate=0.2)
+    assert not np.array_equal(a, c)
+    # twin: regenerate the exact starts and compute RMS per window
+    r2 = np.random.default_rng(zlib.crc32(b"clip-x"))
+    starts = np.sort(r2.choice(16_000 - 1024 + 1, size=a.size, replace=False))
+    want = np.array([
+        np.sqrt(np.mean(pcm[s : s + 1024].astype(np.float64) ** 2)) for s in starts
+    ])
+    assert np.array_equal(a, want)
+    # too-short input -> no windows
+    assert sampled_window_rms(pcm[:512], "clip-x").size == 0
+
+
+def test_window_rms_profile_runs(tiny_fixture_dir):
+    import os
+
+    import ray.data as rd
+
+    from longqc_ray.pipelines.multimodal import window_rms_profile
+
+    # reuse the documents-derived path via the sf0.001 testdata
+    df = window_rms_profile("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    ok = df[df["n_windows"] > 0]
+    assert len(ok) > 0
+    assert (ok["max_window_rms"] >= ok["mean_window_rms"]).all()
