@@ -151,7 +151,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "user_sessions", "doc_n50", "dedup_exact", "dedup_minhash",
         "ann_topk", "ann_ivf", "token_stats", "pii_scrub_docs",
         "purchase_click_asof", "event_window_range_join",
-        "user_rolling_value", "value_quantiles",
+        "user_rolling_value", "value_quantiles", "simhash_docs",
+        "fuzzy_span_docs", "user_activity_intervals", "window_rms_profile",
     ]
     out: dict[str, float] = {}
     for name in names:
