@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs": relational.top_docs,                        # O4/O7
         "cohort_union": relational.cohort_union,                # O3
         "deterministic_sample": relational.deterministic_sample,  # O1 analogue
+        "stratified_sample_docs": relational.stratified_sample_docs,  # per-stratum bottom-k
         "pricing_summary": relational.pricing_summary,          # grouped agg + combiner
         "nation_revenue": relational.nation_revenue,            # broadcast join
         "order_revenue_join": relational.order_revenue_join,    # large×large co-group join
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "toxicity_docs": text_analysis.toxicity_docs,
         "repetition_docs": text_analysis.repetition_docs,
         "fuzzy_span_docs": text_analysis.fuzzy_span_docs,  # lq_adapt.py:10-78 analogue
+        "pack_docs": text_analysis.pack_docs,  # sequence packing (distributed prefix scan)
         # --- flagship + multimodal (audio payload real, oracle = pytest) ---
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,
@@ -270,6 +272,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM (
                 SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS prio
                 FROM documents ORDER BY prio, doc_id LIMIT 500)
+        """,
+        "stratified_sample_docs": """
+            SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 20
+        """,
+        # sequence packing: pack_id = floor(prefix-token-sum-before /
+        # cap) over doc_id order — the SQL window scan twins the
+        # engine's two-level range/offset prefix sum
+        "pack_docs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+            FROM c
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -698,3 +698,40 @@ def windowed_event_stats(sf_dir: str) -> pd.DataFrame:
     out["n_events"] = out["n_events"].astype(np.int64)
     out["value_cents"] = out["value_cents"].astype(np.int64)
     return out[["event_type", "window_start_s", "n_events", "value_cents"]]
+
+
+STRATA_K = 20
+
+
+def stratified_sample_docs(sf_dir: str, k: int = STRATA_K) -> pd.DataFrame:
+    """Stratified deterministic sampling (training-data op): the k
+    lowest-md5-priority docs PER LANGUAGE. Per-batch per-stratum
+    bottom-k partials (each batch contributes ≤ k rows per stratum),
+    tiny driver merge — no shuffle; the same min-wise-hash discipline
+    as ``deterministic_sample``/``functions.sampling`` extended to
+    group strata."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        prio = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids], dtype="S32"
+        )
+        keep_idx = []
+        for lg in np.unique(langs):
+            li = np.nonzero(langs == lg)[0]
+            order = li[np.argsort(prio[li], kind="stable")[:k]]
+            keep_idx.append(order)
+        sel = np.concatenate(keep_idx) if keep_idx else np.empty(0, np.int64)
+        return pa.table({
+            "lang": pa.array(langs[sel].tolist(), pa.string()),
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "prio": pa.array([p.decode() for p in prio[sel]], pa.string()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    parts = parts.sort_values(["lang", "prio", "doc_id"], kind="stable")
+    out = parts.groupby("lang", sort=True).head(k).reset_index(drop=True)
+    out["rn"] = (out.groupby("lang").cumcount() + 1).astype(np.int64)
+    return out[["lang", "doc_id", "rn"]]

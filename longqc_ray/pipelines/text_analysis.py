@@ -262,3 +262,70 @@ def fuzzy_span_docs(
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+# Sequence packing (training-data op the reference lacks): assign each
+# doc, in doc_id order, to the pack bin floor(prefix_tokens_before /
+# cap) — the distributed-scan (ordered prefix sum) pattern.
+PACK_CAP_TOKENS = 2048
+PACK_RANGE_SIZE = 1000  # doc_ids per ordered range partition
+
+
+def pack_docs(
+    sf_dir: str, cap_tokens: int = PACK_CAP_TOKENS, range_size: int = PACK_RANGE_SIZE
+) -> pd.DataFrame:
+    """Distributed ordered prefix sum → sequence packing.
+
+    Two passes over a NARROW (doc_id, n_tokens) projection:
+    1. per-RANGE token sums (range = doc_id // range_size, an ordered
+       partition key) merge driver-side into per-range prefix OFFSETS
+       — the classic two-level scan, so no stage ever sees global
+       order;
+    2. each range, grouped and sorted internally, adds its offset to
+       its local cumulative sum; pack_id = prefix_before // cap.
+
+    Partitioning assumption (documented per SURVEY §2.4 note): the
+    order key is the unique monotone doc_id; an arbitrary sort key
+    would need a ds.sort first. Ranges scale with data size, offsets
+    are O(n_ranges) on the driver."""
+    import ray
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        nt = np.array([len(_TOKEN_RE.findall(x)) for x in texts], dtype=np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "rng": pa.array(ids // range_size, pa.int64()),
+        })
+
+    narrow = ds.map_batches(tok, batch_format="pyarrow", batch_size=4096).materialize()
+
+    from ray.data.aggregate import Sum
+
+    sums = narrow.groupby("rng").aggregate(Sum("n_tokens", alias_name="s")).to_pandas()
+    sums = sums.sort_values("rng").reset_index(drop=True)
+    rng_ids = sums["rng"].to_numpy().astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sums["s"].to_numpy())[:-1]]).astype(np.int64)
+    off_ref = ray.put((rng_ids, offsets))
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        r_ids, offs = ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="stable")
+        base = int(offs[np.searchsorted(r_ids, int(g["rng"].iloc[0]))])
+        nt = g["n_tokens"].to_numpy()
+        before = base + np.cumsum(nt) - nt
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": nt,
+            "pack_id": (before // cap_tokens).astype(np.int64),
+        })
+
+    return (
+        narrow.groupby("rng")
+        .map_groups(per_range, batch_format="pandas")
+        .to_pandas()
+    )

@@ -26,6 +26,8 @@ SQL_BACKED = [
     "top_docs",
     "cohort_union",
     "deterministic_sample",
+    "stratified_sample_docs",
+    "pack_docs",
     "pricing_summary",
     "nation_revenue",
     "order_revenue_join",
