@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_occupancy": relational.user_occupancy,            # A15 occupancy
         "user_gap_profile": relational.user_gap_profile,        # M11 gaps
         "user_activity_intervals": relational.user_activity_intervals,  # M12/T4 merge
+        "approx_distinct_users": relational.approx_distinct_users,  # A17 HLL scale path
         # --- dedup ladder ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,

@@ -1,0 +1,114 @@
+"""Mergeable cardinality sketch: HyperLogLog (Flajolet et al. 2007,
+public algorithm; the bias-correction constants are the published
+alpha_m values).
+
+The exact count-distinct in ``relational.user_occupancy`` shuffles
+every (key) pair; at 10^12 rows an exact distinct is an all-to-all
+over the full key set. The HLL register array is a CONSTANT-size
+(2^p bytes) commutative-merge partial — per-batch registers reduce
+with elementwise max, so the shuffle carries 2^p bytes per block no
+matter the data size (the same mergeable-partial pattern as
+functions/stats.weighted_histogram).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..kernels.text import _fnv1a_64_np
+
+DEFAULT_P = 12  # 4096 registers → ~1.6% standard error
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(hashes: np.ndarray, p: int = DEFAULT_P) -> np.ndarray:
+    """(2^p,) uint8 register array from uint64 hashes — vectorized:
+    bucket = top p bits, rank = 1 + leading-zero count of the
+    remaining 64-p bits (clamped)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if hashes.size == 0:
+        return regs
+    h = hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | ((np.uint64(1) << np.uint64(p)) - np.uint64(1))
+    # leading zeros of `rest`: 63 - floor(log2(rest)); rest has its low
+    # p bits forced to 1 so it is never 0 and the rank caps at 64-p+1
+    lz = np.uint8(63) - np.floor(np.log2(rest.astype(np.float64))).astype(np.uint8)
+    rank = lz.astype(np.uint8) + np.uint8(1)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimate with the small-range (linear counting)
+    correction; the large-range correction is unnecessary with 64-bit
+    hashes."""
+    m = regs.size
+    est = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            return m * np.log(m / zeros)
+    return float(est)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """MurmurHash3 fmix64 finalizer (public): FNV-1a's HIGH bits do
+    not avalanche for short inputs, and HLL takes its bucket index
+    from the top p bits — without this mix, small integer keys land in
+    a handful of buckets and the estimate collapses."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xC4CEB9FE1A85EC53)
+        h = h ^ (h >> np.uint64(33))
+    return h
+
+
+def _hash_column(t: pa.Table, col: str) -> np.ndarray:
+    """uint64 per value: FNV-1a over the string form (shared padded
+    byte-matrix kernel) + fmix64 finalizer."""
+    vals = t.column(col).to_pylist()
+    if not vals:
+        return np.empty(0, dtype=np.uint64)
+    enc = [str(v).encode("utf-8", "replace") for v in vals]
+    width = max(len(e) for e in enc)
+    mat = np.frombuffer(
+        np.array(enc, dtype=f"S{width}").tobytes(), dtype=np.uint8
+    ).reshape(len(enc), width)
+    return _mix64(_fnv1a_64_np(mat))
+
+
+def approx_distinct(ds: rd.Dataset, col: str, p: int = DEFAULT_P) -> float:
+    """Distributed approximate count-distinct: per-batch register
+    partials (rows → one (m,) array each) merged by elementwise max —
+    block output is CONSTANT size, the driver merge is O(blocks·m)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = hll_registers(_hash_column(t, col), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in parts["regs"]:
+        merged = hll_merge(merged, np.frombuffer(b, dtype=np.uint8))
+    return hll_estimate(merged)

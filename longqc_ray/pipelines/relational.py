@@ -735,3 +735,17 @@ def stratified_sample_docs(sf_dir: str, k: int = STRATA_K) -> pd.DataFrame:
     out = parts.groupby("lang", sort=True).head(k).reset_index(drop=True)
     out["rn"] = (out.groupby("lang").cumcount() + 1).astype(np.int64)
     return out[["lang", "doc_id", "rn"]]
+
+
+def approx_distinct_users(sf_dir: str) -> pa.Table:
+    """A17 scale path: HyperLogLog approximate distinct user count
+    (functions/sketch.py) — constant-size mergeable register partials
+    instead of the exact pair shuffle. Rows-only oracle (the estimate
+    is implementation-defined); accuracy is pinned ≤2.5% in pytest."""
+    from ..functions.sketch import approx_distinct
+
+    ds = table(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({
+        "approx_users": pa.array([int(round(est))], pa.int64()),
+    })

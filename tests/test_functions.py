@@ -187,3 +187,38 @@ def test_quantile_disc_matches_inverted_cdf():
     got = quantile_disc(ds, "v", qs)
     want = [float(np.percentile(vals, q * 100, method="inverted_cdf")) for q in qs]
     assert got == want
+
+
+def test_hll_accuracy_and_merge():
+    """HLL estimate within 2.5% at 4096 registers; merge == union."""
+    import numpy as np
+
+    from longqc_ray.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    rng = np.random.default_rng(11)
+    for true_n in (100, 5_000, 200_000):
+        h = rng.integers(0, 2**64, size=true_n, dtype=np.uint64)
+        h = np.unique(h)
+        est = hll_estimate(hll_registers(h))
+        assert abs(est - h.size) / h.size < 0.025, (true_n, est)
+        # merge of two halves == registers of the union
+        a = hll_registers(h[: h.size // 2])
+        b = hll_registers(h[h.size // 2 :])
+        assert np.array_equal(hll_merge(a, b), hll_registers(h))
+
+
+def test_approx_distinct_users_close_to_exact():
+    import duckdb
+
+    from longqc_ray.pipelines.relational import approx_distinct_users
+
+    sf = "/root/testdata/sf0.001"
+    exact = duckdb.connect().execute(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    est = approx_distinct_users(sf).column("approx_users")[0].as_py()
+    assert abs(est - exact) / exact < 0.05, (est, exact)
