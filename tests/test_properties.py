@@ -1,0 +1,69 @@
+"""Hypothesis property tests for the pure kernels that back the SQL
+oracle contract — mirrors the reference's unit-test strategy
+(SURVEY.md §5) with generated rather than enumerated inputs."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from longqc_ray.kernels.fuzzy import best_window_brute, edit_distance, myers_search_batch
+from longqc_ray.pipelines.util import cents
+
+
+@given(st.lists(st.floats(min_value=-1e7, max_value=1e7,
+                          allow_nan=False, allow_infinity=False), max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_cents_half_away_from_zero(xs):
+    """cents == DuckDB round() semantics: half away from zero, exact
+    int64, sign-symmetric."""
+    v = np.asarray(xs, dtype=np.float64)
+    got = cents(v)
+    for x, g in zip(v, got):
+        y = x * 100.0
+        want = int(np.sign(y) * np.floor(abs(y) + 0.5))
+        assert g == want
+    assert np.array_equal(cents(-v), -got)
+
+
+@given(
+    st.text(alphabet="abc ", min_size=0, max_size=60),
+    st.text(alphabet="abc ", min_size=1, max_size=12),
+)
+@settings(max_examples=150, deadline=None)
+def test_myers_equals_definitional_dp(text, pattern):
+    best, end = myers_search_batch([text], pattern)
+    if not text:
+        assert best[0] == len(pattern) and end[0] == -1
+        return
+    b_ed, b_end = best_window_brute(text, pattern)
+    assert (int(best[0]), int(end[0])) == (b_ed, b_end)
+
+
+@given(
+    st.text(alphabet="abcd", min_size=0, max_size=20),
+    st.text(alphabet="abcd", min_size=0, max_size=20),
+)
+@settings(max_examples=150, deadline=None)
+def test_edit_distance_metric_properties(a, b):
+    d = edit_distance(a, b)
+    assert d == edit_distance(b, a)                # symmetry
+    assert (d == 0) == (a == b)                    # identity
+    assert d <= max(len(a), len(b))                # bound
+    assert d >= abs(len(a) - len(b))               # length bound
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=400),
+       st.floats(min_value=0.01, max_value=0.99))
+@settings(max_examples=50, deadline=None)
+def test_nxx_local_twin_definition(vals, frac):
+    """nxx_exact_local returns the smallest v with sum(>=v) >= frac*total
+    over the sorted-desc cumulative scan."""
+    from longqc_ray.functions.stats import nxx_exact_local
+
+    v = np.asarray(vals, dtype=np.float64)
+    if v.sum() == 0:
+        return
+    got = nxx_exact_local(v, frac)
+    assert got in set(v.tolist())
+    total = v.sum()
+    assert v[v >= got].sum() >= frac * total - 1e-9
