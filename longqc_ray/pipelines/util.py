@@ -131,10 +131,20 @@ def hash_join(
         right.map_batches(tag("r", right_key), batch_format="pyarrow")
     )
 
+    # integer columns become float64 in the unioned pandas frame
+    # (null-padding from the other side); restore after the inner merge
+    int_cols = [
+        n for n in set(l_cols + r_cols)
+        if pa.types.is_integer((l_schema if n in l_cols else r_schema).field(n).type)
+    ]
+
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == "l"][l_cols]
         r = g[g["__side"] == "r"][r_cols]
-        return l.merge(r, left_on=left_key, right_on=right_key, how="inner")
+        out = l.merge(r, left_on=left_key, right_on=right_key, how="inner")
+        for c in int_cols:
+            out[c] = out[c].astype(np.int64)
+        return out
 
     return both.groupby("__part").map_groups(merge_part, batch_format="pandas")
 

@@ -222,3 +222,54 @@ def test_approx_distinct_users_close_to_exact():
     ).fetchone()[0]
     est = approx_distinct_users(sf).column("approx_users")[0].as_py()
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_hash_join_and_asof_join_string_keys():
+    """_part_hash handles non-integer keys (round-1 advice): joins on
+    string keys partition correctly and match pandas merges."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from longqc_ray.pipelines.util import asof_join, hash_join
+
+    left = pa.table({
+        "k": pa.array([f"u{i%7}" for i in range(50)], pa.string()),
+        "lv": pa.array(list(range(50)), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([f"u{i}" for i in range(7)], pa.string()),
+        "rv": pa.array([i * 10 for i in range(7)], pa.int64()),
+    })
+    got = (
+        hash_join(rd.from_arrow(left), rd.from_arrow(right), "k", "k", n_parts=8)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    want = (
+        left.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+        .sort_values(["k", "lv"]).reset_index(drop=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # asof on string `by` key
+    l2 = pa.table({
+        "k": pa.array(["a", "a", "b", "b"], pa.string()),
+        "t": pa.array([5, 10, 5, 10], pa.int64()),
+    })
+    r2 = pa.table({
+        "k": pa.array(["a", "b"], pa.string()),
+        "rt": pa.array([4, 7], pa.int64()),
+        "rv": pa.array([100, 200], pa.int64()),
+    })
+    j = (
+        asof_join(rd.from_arrow(l2), rd.from_arrow(r2), by="k", left_on="t", right_on="rt")
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    assert j[["k", "t", "rv"]].values.tolist() == [
+        ["a", 5, 100], ["a", 10, 100], ["b", 10, 200]
+    ]
+
+    # typo'd key column raises a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="partition key column"):
+        hash_join(rd.from_arrow(left), rd.from_arrow(right), "nope", "k").to_pandas()
