@@ -234,28 +234,77 @@ def _user_sorted(g: pd.DataFrame, extra: list[str] | None = None):
 def user_sessions(sf_dir: str) -> pd.DataFrame:
     """Ordered within-group merge (M12 construct_polread,
     lq_sequel.py:76-137): per user, sort events by time, split into
-    sessions at >1h gaps. Sort happens INSIDE the partition (never
-    relying on block order, SURVEY.md §7.3 item 6); the per-user
-    reduce is np.add.reduceat over the partition-sorted arrays —
-    one vectorized pass per PARTITION, not one Python call per user."""
+    sessions at >1h gaps.
+
+    MAP-SIDE COMBINER (same associativity as
+    ``user_activity_intervals``): each batch emits its per-user
+    partial SESSIONS with attached (n_events, value_cents) sums; the
+    shuffle carries session rows, never raw events. Every output
+    column is derivable from the merged sessions: n_sessions = session
+    count, n_events / total_value = sums, first/last = first start /
+    last end."""
     ds = table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        g, uid, ts, new_user, starts = _user_sorted(g)
-        vc = cents(g["value"].to_numpy())
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        vc = cents(t.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((ts, uid))
+        uid, ts, vc = uid[order], ts[order], vc[order]
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
         gap = np.concatenate([[0], np.diff(ts)])
-        brk = ((~new_user) & (gap > _SESSION_GAP_US)).astype(np.int64)
-        ends = np.append(starts[1:], uid.size) - 1
-        return pd.DataFrame({
-            "user_id": uid[starts],
-            "n_events": np.diff(np.append(starts, uid.size)).astype(np.int64),
-            "n_sessions": 1 + np.add.reduceat(brk, starts),
-            "first_ts_s": ts[starts] // 1_000_000,
-            "last_ts_s": ts[ends] // 1_000_000,
-            "total_value_cents": np.add.reduceat(vc, starts),
+        iv_start = np.nonzero(new_user | (gap > _SESSION_GAP_US))[0]
+        iv_end = np.append(iv_start[1:], uid.size) - 1
+        return pa.table({
+            "user_id": pa.array(uid[iv_start], pa.int64()),
+            "start_us": pa.array(ts[iv_start], pa.int64()),
+            "end_us": pa.array(ts[iv_end], pa.int64()),
+            "n": pa.array(np.diff(np.append(iv_start, uid.size)), pa.int64()),
+            "vc": pa.array(np.add.reduceat(vc, iv_start), pa.int64()),
         })
 
-    return _grouped_parts(ds, "user_id", per_part)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "start_us", "end_us"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        s = g["start_us"].to_numpy()
+        e = g["end_us"].to_numpy()
+        nn = g["n"].to_numpy()
+        vv = g["vc"].to_numpy()
+        sess: list[tuple] = []  # (user, start, end, n, vc) merged sessions
+        cu = None
+        cs = ce = cn = cv = 0
+        for i in range(uid.size):
+            if uid[i] != cu or s[i] - ce > _SESSION_GAP_US:
+                if cu is not None:
+                    sess.append((cu, cs, ce, cn, cv))
+                cu, cs, ce, cn, cv = uid[i], s[i], e[i], nn[i], vv[i]
+            else:
+                ce = max(ce, e[i]); cn += nn[i]; cv += vv[i]
+        if cu is not None:
+            sess.append((cu, cs, ce, cn, cv))
+        if not sess:
+            return pd.DataFrame({
+                "user_id": np.empty(0, np.int64), "n_events": np.empty(0, np.int64),
+                "n_sessions": np.empty(0, np.int64), "first_ts_s": np.empty(0, np.int64),
+                "last_ts_s": np.empty(0, np.int64), "total_value_cents": np.empty(0, np.int64),
+            })
+        arr = np.asarray(sess, dtype=np.int64)
+        u = arr[:, 0]
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        first = np.nonzero(new_user)[0]
+        ends = np.append(first[1:], u.size) - 1
+        return pd.DataFrame({
+            "user_id": u[first],
+            "n_events": np.add.reduceat(arr[:, 3], first),
+            "n_sessions": np.diff(np.append(first, u.size)).astype(np.int64),
+            "first_ts_s": arr[first, 1] // 1_000_000,
+            "last_ts_s": arr[ends, 2] // 1_000_000,
+            "total_value_cents": np.add.reduceat(arr[:, 4], first),
+        })
+
+    return _grouped_parts(parts, "user_id", per_part)
 
 
 # ---------------------------------------------------------------- O3/O4/O7
@@ -494,28 +543,62 @@ def user_activity_intervals(sf_dir: str) -> pd.DataFrame:
     10^12 rows) and hash-comparable against the SQL twin."""
     ds = table(sf_dir, "events", columns=["user_id", "ts"])
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        g, uid, ts, new_user, starts = _user_sorted(g)
+    # MAP-SIDE COMBINER: threshold-interval merge is associative
+    # (closing "within 1h" on subsets, then re-closing the merged
+    # partials, equals closing the union), so each batch emits its
+    # per-user PARTIAL intervals and the shuffle carries interval rows
+    # (~n_intervals + one per batch-boundary), never the raw events.
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
         gap = np.concatenate([[0], np.diff(ts)])
-        # interval boundaries across the WHOLE partition: a new user or
-        # a >1h within-user gap starts an interval
         iv_start = np.nonzero(new_user | (gap > _SESSION_GAP_US))[0]
         iv_end = np.append(iv_start[1:], uid.size) - 1
-        # ordinal within user + per-user interval count, all vectorized
-        iv_new_user = new_user[iv_start]
-        user_first_iv = np.nonzero(iv_new_user)[0]
-        n_per_user = np.diff(np.append(user_first_iv, iv_start.size))
-        iv_idx = np.arange(iv_start.size)
-        own_first = user_first_iv[np.searchsorted(user_first_iv, iv_idx, side="right") - 1]
+        return pa.table({
+            "user_id": pa.array(uid[iv_start], pa.int64()),
+            "start_us": pa.array(ts[iv_start], pa.int64()),
+            "end_us": pa.array(ts[iv_end], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "start_us", "end_us"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        s = g["start_us"].to_numpy()
+        e = g["end_us"].to_numpy()
+        # sequential union-with-threshold over the (few) interval rows:
+        # O(intervals), not O(events)
+        out_u, out_s, out_e = [], [], []
+        cur_u = None
+        cur_s = cur_e = 0
+        for i in range(uid.size):
+            if uid[i] != cur_u or s[i] - cur_e > _SESSION_GAP_US:
+                if cur_u is not None:
+                    out_u.append(cur_u); out_s.append(cur_s); out_e.append(cur_e)
+                cur_u, cur_s, cur_e = uid[i], s[i], e[i]
+            else:
+                cur_e = max(cur_e, e[i])
+        if cur_u is not None:
+            out_u.append(cur_u); out_s.append(cur_s); out_e.append(cur_e)
+        u = np.asarray(out_u, dtype=np.int64)
+        new_user = np.concatenate([[True], u[1:] != u[:-1]]) if u.size else np.empty(0, bool)
+        first = np.nonzero(new_user)[0]
+        n_per_user = np.diff(np.append(first, u.size))
+        idx = np.arange(u.size)
+        own_first = first[np.searchsorted(first, idx, side="right") - 1] if u.size else idx
         return pd.DataFrame({
-            "user_id": uid[iv_start],
-            "iv": (iv_idx - own_first + 1).astype(np.int64),
-            "start_s": ts[iv_start] // 1_000_000,
-            "end_s": ts[iv_end] // 1_000_000,
+            "user_id": u,
+            "iv": (idx - own_first + 1).astype(np.int64),
+            "start_s": np.asarray(out_s, dtype=np.int64) // 1_000_000,
+            "end_s": np.asarray(out_e, dtype=np.int64) // 1_000_000,
             "n_intervals": np.repeat(n_per_user, n_per_user).astype(np.int64),
         })
 
-    return _grouped_parts(ds, "user_id", per_part)
+    return _grouped_parts(parts, "user_id", per_part)
 
 
 def user_occupancy(sf_dir: str) -> pd.DataFrame:
