@@ -12,7 +12,6 @@ Patterns encoded here (and reused by every query):
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -45,10 +44,6 @@ def read_wide_parquet(files: list[str], columns: list[str] | None = None) -> rd.
     total = sum(os.path.getsize(f) for f in files)
     n_blocks = max(len(files), int(np.ceil(total / WIDE_BLOCK_BYTES)))
     return rd.read_parquet(files, columns=columns, override_num_blocks=n_blocks)
-
-
-def md5_hex(values: list[str]) -> list[str]:
-    return [hashlib.md5(v.encode("utf-8", "replace")).hexdigest() for v in values]
 
 
 def cents(x: np.ndarray) -> np.ndarray:
