@@ -636,24 +636,44 @@ def purchase_click_asof(sf_dir: str) -> pd.DataFrame:
     reference has none, a training-data pipeline needs one): each
     purchase event matched to the latest click of the SAME user at or
     before it. Hash-partitioned on user_id + per-partition sorted
-    merge (util.asof_join); inner semantics like DuckDB ASOF JOIN."""
-    from .util import asof_join
+    merge (util.asof_merge_tagged); inner semantics like DuckDB ASOF
+    JOIN. Both sides are filters of the SAME table, so the tagged
+    union is built in ONE scan (one read, one map pass) rather than
+    two reads through the generic two-dataset ``asof_join``."""
+    from .util import _part_hash, asof_merge_tagged
 
     ds = table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_parts = 64
 
-    def side(which: str, id_name: str, ts_name: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            out = batch.filter(pc.equal(batch.column("event_type"), which))
-            return pa.table({
-                id_name: out.column("event_id"),
-                "user_id": out.column("user_id"),
-                ts_name: out.column("ts"),
-            })
-        return fn
+    def tag_both(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, "purchase"), pc.equal(et, "click"))
+        b = batch.filter(keep)
+        h = _part_hash(b, "user_id", n_parts)
+        is_l = pc.equal(b.column("event_type"), "purchase").to_numpy(zero_copy_only=False)
+        eid = b.column("event_id")
+        ts = b.column("ts")
+        null_id = pa.nulls(b.num_rows, eid.type)
+        null_ts = pa.nulls(b.num_rows, ts.type)
+        mask = pa.array(is_l)
+        return pa.table({
+            "event_id": pc.if_else(mask, eid, null_id),
+            "click_event_id": pc.if_else(mask, null_id, eid),
+            "user_id": b.column("user_id"),
+            "ts": pc.if_else(mask, ts, null_ts),
+            "click_ts": pc.if_else(mask, null_ts, ts),
+            "__part": pa.array(h, pa.int64()),
+            "__side": pc.if_else(mask, pa.scalar("l"), pa.scalar("r")),
+        })
 
-    left = ds.map_batches(side("purchase", "event_id", "ts"), batch_format="pyarrow")
-    right = ds.map_batches(side("click", "click_event_id", "click_ts"), batch_format="pyarrow")
-    j = asof_join(left, right, by="user_id", left_on="ts", right_on="click_ts").to_pandas()
+    both = ds.map_batches(tag_both, batch_format="pyarrow")
+    j = asof_merge_tagged(
+        both,
+        l_cols=["event_id", "user_id", "ts"],
+        r_cols=["click_event_id", "user_id", "click_ts"],
+        by="user_id", left_on="ts", right_on="click_ts",
+        int_cols=["event_id", "click_event_id"],
+    ).to_pandas()
     lag = (
         j["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         - j["click_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)

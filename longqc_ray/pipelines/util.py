@@ -144,6 +144,39 @@ def hash_join(
     return both.groupby("__part").map_groups(merge_part, batch_format="pandas")
 
 
+def asof_merge_tagged(
+    both: rd.Dataset,
+    l_cols: list[str],
+    r_cols: list[str],
+    by: str,
+    left_on: str,
+    right_on: str,
+    int_cols: list[str],
+) -> rd.Dataset:
+    """Partitioned backward as-of merge over a pre-tagged union.
+
+    ``both`` must carry ``__part`` (bounded hash of ``by``) and
+    ``__side`` ('l'/'r') columns plus the null-padded superset of both
+    sides' columns. Exposed so single-source callers (both sides are
+    filters of ONE table, e.g. purchase_click_asof) can build the
+    tagged union in one scan instead of reading the input twice."""
+    import pandas as pd
+
+    def merge_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        l = g[g["__side"] == "l"][l_cols].sort_values(left_on, kind="stable")
+        r = g[g["__side"] == "r"][r_cols].sort_values(right_on, kind="stable")
+        out = pd.merge_asof(
+            l, r, left_on=left_on, right_on=right_on, by=by,
+            direction="backward", allow_exact_matches=True,
+        )
+        out = out.dropna(subset=[right_on])
+        for c in int_cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return both.groupby("__part").map_groups(merge_part, batch_format="pandas")
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -165,8 +198,6 @@ def asof_join(
     merge is exact; only projected columns shuffle, and ``n_parts``
     scales with the cluster exactly like ``hash_join``.
     """
-    import pandas as pd
-
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
     l_cols = list(l_schema.names)
@@ -202,20 +233,7 @@ def asof_join(
     both = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow")
     )
-
-    def merge_part(g: "pd.DataFrame") -> "pd.DataFrame":
-        l = g[g["__side"] == "l"][l_cols].sort_values(left_on, kind="stable")
-        r = g[g["__side"] == "r"][r_cols].sort_values(right_on, kind="stable")
-        out = pd.merge_asof(
-            l, r, left_on=left_on, right_on=right_on, by=by,
-            direction="backward", allow_exact_matches=True,
-        )
-        out = out.dropna(subset=[right_on])
-        for c in int_cols:
-            out[c] = out[c].astype(np.int64)
-        return out
-
-    return both.groupby("__part").map_groups(merge_part, batch_format="pandas")
+    return asof_merge_tagged(both, l_cols, r_cols, by, left_on, right_on, int_cols)
 
 
 def preagg_sum(keys: list[str], sum_cols: list[str]):
