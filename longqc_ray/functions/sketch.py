@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from ..kernels.text import _fnv1a_64_np
+from ..kernels.text import fnv1a_64_varlen_np
 
 DEFAULT_P = 12  # 4096 registers → ~1.6% standard error
 
@@ -83,17 +83,20 @@ def _mix64(h: np.ndarray) -> np.ndarray:
 
 
 def _hash_column(t: pa.Table, col: str) -> np.ndarray:
-    """uint64 per value: FNV-1a over the string form (shared padded
-    byte-matrix kernel) + fmix64 finalizer."""
+    """uint64 per value: length-aware FNV-1a over the string form +
+    fmix64 finalizer. Length-aware matters: the padded-width kernel
+    would hash the same value differently in batches with different
+    max widths, splitting one distinct value into several."""
     vals = t.column(col).to_pylist()
     if not vals:
         return np.empty(0, dtype=np.uint64)
     enc = [str(v).encode("utf-8", "replace") for v in vals]
-    width = max(len(e) for e in enc)
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    width = int(lens.max())
     mat = np.frombuffer(
         np.array(enc, dtype=f"S{width}").tobytes(), dtype=np.uint8
     ).reshape(len(enc), width)
-    return _mix64(_fnv1a_64_np(mat))
+    return _mix64(fnv1a_64_varlen_np(mat, lens))
 
 
 def approx_distinct(ds: rd.Dataset, col: str, p: int = DEFAULT_P) -> float:

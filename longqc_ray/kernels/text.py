@@ -114,6 +114,29 @@ def _fnv1a_64_np(windows: np.ndarray) -> np.ndarray:
     return h
 
 
+def fnv1a_64_varlen_np(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over rows of a zero-PADDED (m, n) uint8 matrix
+    where row i's true byte length is ``lens[i]`` — each row's hash is
+    snapshotted at its own length, so padding never feeds the hash.
+
+    ``_fnv1a_64_np`` hashes every column including padding, which makes
+    a short row's hash depend on the batch's max width (fine for the
+    fixed-width n-gram windows it was built for, wrong for variable-
+    length keys: the same word/value would hash differently across
+    batches). Row hashes equal ``fnv1a_64`` of the unpadded bytes
+    bit-for-bit (asserted in tests)."""
+    h = np.full(mat.shape[0], _FNV_BASIS, dtype=np.uint64)
+    out = np.full(mat.shape[0], _FNV_BASIS, dtype=np.uint64)  # len-0 rows
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            h ^= mat[:, j].astype(np.uint64)
+            h = h * _FNV_PRIME
+            done = lens == j + 1
+            if done.any():
+                out[done] = h[done]
+    return out
+
+
 def char_ngram_buckets_np(
     text: str, ns: tuple[int, ...] = (2, 3), n_buckets: int = 1 << 16
 ) -> np.ndarray:

@@ -361,12 +361,14 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
 
     Vectorized across the WHOLE batch: all word occurrences flatten
     into one array, unique words are hashed once via the shared
-    ``_fnv1a_64_np`` kernel over a zero-padded fixed-width byte
-    matrix, the ±1 bit contributions gather by inverse index, and the
-    per-doc sign-sums reduce with one ``np.add.reduceat``. Summing ±1
-    per occurrence equals the term-frequency weighting exactly, so no
-    per-doc unique pass is needed. No per-row Python beyond split()."""
-    from ..kernels.text import _fnv1a_64_np
+    ``fnv1a_64_varlen_np`` kernel over a zero-padded byte matrix
+    (length-aware, so a word's hash never depends on the batch's max
+    word width — batch-boundary invariant), the ±1 bit contributions
+    gather by inverse index, and the per-doc sign-sums reduce with one
+    ``np.add.reduceat``. Summing ±1 per occurrence equals the
+    term-frequency weighting exactly, so no per-doc unique pass is
+    needed. No per-row Python beyond split()."""
+    from ..kernels.text import fnv1a_64_varlen_np
 
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
@@ -377,11 +379,12 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
         return out
     uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
     enc = [w.encode("utf-8", "replace") for w in uniq]
-    width = max(len(e) for e in enc)
+    elens = np.array([len(e) for e in enc], dtype=np.int64)
+    width = int(elens.max())
     mat = np.frombuffer(
         np.array(enc, dtype=f"S{width}").tobytes(), dtype=np.uint8
     ).reshape(len(enc), width)
-    hs = _fnv1a_64_np(mat)
+    hs = fnv1a_64_varlen_np(mat, elens)
     bit_idx = np.arange(64, dtype=np.uint64)
     pm = (((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)
     contrib = pm[inv]

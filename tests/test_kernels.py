@@ -36,6 +36,20 @@ def test_fnv_known_vector():
     assert fnv1a_64(b"") == 0xCBF29CE484222325
 
 
+def test_fnv_varlen_matches_python_and_is_width_invariant():
+    from longqc_ray.kernels.text import fnv1a_64_varlen_np
+
+    words = [b"", b"a", b"ab", b"hello", b"x" * 17, "né".encode("utf-8")]
+    lens = np.array([len(w) for w in words], dtype=np.int64)
+    for extra_pad in (0, 5):  # hash must not depend on the batch's max width
+        width = int(lens.max()) + extra_pad
+        mat = np.frombuffer(
+            np.array(words, dtype=f"S{width}").tobytes(), dtype=np.uint8
+        ).reshape(len(words), width)
+        got = fnv1a_64_varlen_np(mat, lens)
+        assert [int(h) for h in got] == [fnv1a_64(w) for w in words]
+
+
 def test_mulaw_roundtrip_snr():
     rng = np.random.default_rng(1)
     x = rng.uniform(-0.9, 0.9, 8000)
