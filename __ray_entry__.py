@@ -201,6 +201,73 @@ FROM best b LEFT JOIN ends e ON e.doc_id = b.doc_id
 """
 
 
+# SimHash in pure SQL: FNV-1a 64 per word (byte values recovered from
+# hex(encode(w)), folded with list_reduce in HUGEINT mod 2^64 — matches
+# kernels/text.fnv1a_64 bit-for-bit), then the sign-sum of term-
+# frequency-weighted hash bits, packed to an int64. Valid twins because
+# the corpus is ASCII (Python str.lower()/split() == DuckDB
+# lower()/'\s+' split) and ties (sign-sum == 0) yield bit 0 on both
+# sides. `sim` ends with every doc_id, zero-word docs hashed to 0.
+_SIMHASH_CTE = r"""
+words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents
+), wf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM words WHERE w <> '' GROUP BY 1, 2
+), hashed AS (
+  SELECT doc_id, cnt,
+    list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(range(1, octet_length(encode(w)) + 1),
+          i -> ((strpos('0123456789ABCDEF', substring(hex(encode(w)), 2*i-1, 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substring(hex(encode(w)), 2*i, 1)) - 1))::HUGEINT)),
+      (h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+    )::UBIGINT AS h
+  FROM wf
+), bits AS (
+  SELECT doc_id, b.i,
+         CASE WHEN sum(cnt * (2 * ((h >> b.i) & 1)::BIGINT - 1)) > 0 THEN 1 ELSE 0 END AS bit
+  FROM hashed, (SELECT unnest(range(0, 64)) AS i) b
+  GROUP BY doc_id, b.i
+), packed AS (
+  SELECT doc_id, CAST(sum(bit::HUGEINT * (1::UBIGINT << i)::HUGEINT) AS UBIGINT) AS uh
+  FROM bits GROUP BY doc_id
+), sim AS (
+  SELECT d.doc_id, coalesce(p.uh, 0::UBIGINT) AS uh
+  FROM documents d LEFT JOIN packed p ON p.doc_id = d.doc_id
+)
+"""
+
+_SIMHASH_DOCS_SQL = "WITH " + _SIMHASH_CTE + """
+SELECT doc_id,
+       CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                 THEN uh::HUGEINT - 18446744073709551616::HUGEINT
+                 ELSE uh::HUGEINT END AS BIGINT) AS simhash
+FROM sim
+"""
+
+# Banded pigeonhole candidates (4 × 16-bit bands == dedup.SIMHASH_BANDS)
+# + exact Hamming verify, mirroring dedup.simhash_near_dups: rn <= 64
+# replicates BUCKET_CAP (the 64 smallest doc_ids per bucket — the
+# engine's np.unique(...)[:BUCKET_CAP]); a < b because the engine's
+# pairs come from triu over the sorted unique id array.
+_SIMHASH_PAIRS_SQL = "WITH " + _SIMHASH_CTE + r""",
+bucketed AS (
+  SELECT doc_id, uh, b.band, ((uh >> (16 * b.band)) & 65535)::BIGINT AS bucket,
+         row_number() OVER (PARTITION BY b.band, ((uh >> (16 * b.band)) & 65535)
+                            ORDER BY doc_id) AS rn
+  FROM sim, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.uh AS ua, y.uh AS ub
+  FROM bucketed x JOIN bucketed y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  WHERE x.rn <= 64 AND y.rn <= 64
+)
+SELECT a, b, CAST(bit_count(xor(ua, ub)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ua, ub)) <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_corpus_stats": """
@@ -391,6 +458,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "simhash_docs": _SIMHASH_DOCS_SQL,
+        "simhash_near_dups": _SIMHASH_PAIRS_SQL,
         # dedup_minhash verdict: transitive closure (recursive CTE)
         # over the ground-truth pairs, min-id representative per
         # cluster — the SQL twin of union-find.

@@ -42,6 +42,8 @@ SQL_BACKED = [
     "dedup_exact",
     "dedup_minhash",
     "ngram_jaccard_pairs",
+    "simhash_docs",
+    "simhash_near_dups",
     "repetition_docs",
     "fuzzy_span_docs",
     "embedding_near_dups",
@@ -83,7 +85,7 @@ def test_rows_only_queries_run():
     qs = entrymod.queries()
     rows_only = set(qs) - set(entrymod.oracle_sql())
     # cheap subset (model-scorer pipelines are covered by e2e tests)
-    for name in ["simhash_docs", "lang_id_docs", "ann_lsh"]:
+    for name in ["lang_id_docs", "ann_lsh"]:
         assert name in rows_only
         df = to_pandas(qs[name](SF_DIR))
         assert len(df.columns) >= 2
