@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": text_analysis.repetition_docs,
         "fuzzy_span_docs": text_analysis.fuzzy_span_docs,  # lq_adapt.py:10-78 analogue
         "pack_docs": text_analysis.pack_docs,  # sequence packing (distributed prefix scan)
+        "contamination_docs": text_analysis.contamination_docs,  # train/eval 8-gram overlap
+        "chunk_dedup_docs": text_analysis.chunk_dedup_docs,  # corpus-level line-dedup analogue
         # --- flagship + multimodal (audio payload real, oracle = pytest) ---
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,
@@ -460,6 +462,54 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         "simhash_docs": _SIMHASH_DOCS_SQL,
         "simhash_near_dups": _SIMHASH_PAIRS_SQL,
+        # train/eval decontamination: distinct word-8-gram overlap with
+        # the benchmark slice (doc_id % 97 == 0); raw-string join =
+        # the engine's FNV-hashed broadcast membership (ASCII corpus)
+        "contamination_docs": r"""
+            WITH ws AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i : i + 7], ' ') AS g
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM ws)
+            ),
+            bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+            cnt AS (
+              SELECT s.doc_id, count(*) AS n_sh,
+                     sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+              FROM sh s LEFT JOIN bench b ON s.g = b.g
+              WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(c.n_sh, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(c.n_cont, 0) AS BIGINT) AS n_contaminated,
+                   coalesce(c.n_cont, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+            WHERE d.doc_id % 97 <> 0
+        """,
+        # corpus-level line dedup (10-word chunk units): chunks seen in
+        # >= 2 distinct docs are boilerplate; survivors rejoin in order
+        "chunk_dedup_docs": r"""
+            WITH ws AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+              FROM documents
+            ),
+            ch AS (
+              SELECT doc_id, j, array_to_string(ws[j*10+1 : j*10+10], ' ') AS c
+              FROM (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS j FROM ws)
+            ),
+            freq AS (SELECT c FROM (SELECT c, count(DISTINCT doc_id) AS nd FROM ch GROUP BY c) WHERE nd >= 2),
+            kept AS (SELECT doc_id, j, c FROM ch WHERE c NOT IN (SELECT c FROM freq)),
+            agg AS (SELECT doc_id, string_agg(c, ' ' ORDER BY j) AS ct, count(*) AS n_kept FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS nc FROM ch GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.ct, '') AS clean_text,
+                   CAST(coalesce(t.nc, 0) AS BIGINT) AS n_chunks,
+                   CAST(coalesce(t.nc, 0) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM documents d
+            LEFT JOIN tot t ON t.doc_id = d.doc_id
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
         # dedup_minhash verdict: transitive closure (recursive CTE)
         # over the ground-truth pairs, min-id representative per
         # cluster — the SQL twin of union-find.

@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from ..kernels.text import fnv1a_64_varlen_np
+from ..kernels.text import fnv1a_64_strs
 
 DEFAULT_P = 12  # 4096 registers → ~1.6% standard error
 
@@ -90,13 +90,7 @@ def _hash_column(t: pa.Table, col: str) -> np.ndarray:
     vals = t.column(col).to_pylist()
     if not vals:
         return np.empty(0, dtype=np.uint64)
-    enc = [str(v).encode("utf-8", "replace") for v in vals]
-    lens = np.array([len(e) for e in enc], dtype=np.int64)
-    width = int(lens.max())
-    mat = np.frombuffer(
-        np.array(enc, dtype=f"S{width}").tobytes(), dtype=np.uint8
-    ).reshape(len(enc), width)
-    return _mix64(fnv1a_64_varlen_np(mat, lens))
+    return _mix64(fnv1a_64_strs([str(v) for v in vals]))
 
 
 def approx_distinct(ds: rd.Dataset, col: str, p: int = DEFAULT_P) -> float:

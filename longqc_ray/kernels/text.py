@@ -137,6 +137,21 @@ def fnv1a_64_varlen_np(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return out
 
 
+def fnv1a_64_strs(strs: list[str]) -> np.ndarray:
+    """uint64 FNV-1a per string (UTF-8 bytes), batch-vectorized via the
+    length-aware padded-matrix kernel. Batch-width invariant: a string
+    hashes identically regardless of which batch it appears in."""
+    if not strs:
+        return np.empty(0, dtype=np.uint64)
+    enc = [s.encode("utf-8", "replace") for s in strs]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    width = max(int(lens.max()), 1)
+    mat = np.frombuffer(
+        np.array(enc, dtype=f"S{width}").tobytes(), dtype=np.uint8
+    ).reshape(len(enc), width)
+    return fnv1a_64_varlen_np(mat, lens)
+
+
 def char_ngram_buckets_np(
     text: str, ns: tuple[int, ...] = (2, 3), n_buckets: int = 1 << 16
 ) -> np.ndarray:

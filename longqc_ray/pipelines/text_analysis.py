@@ -329,3 +329,163 @@ def pack_docs(
         .map_groups(per_range, batch_format="pandas")
         .to_pandas()
     )
+
+
+# --- corpus-level web-pipeline ops: decontamination + chunk dedup ----
+
+CONTAM_N = 8           # word-shingle width (8-13-gram decontamination shape)
+CONTAM_BENCH_MOD = 97  # benchmark membership: doc_id % MOD == 0
+CHUNK_WORDS = 10       # "line" unit for this newline-free corpus
+CHUNK_MIN_DOCS = 2     # chunk is boilerplate when seen in >= this many docs
+
+
+def _doc_shingles(text: str, n: int) -> list[str]:
+    ws = text.lower().split()
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def contamination_docs(
+    sf_dir: str, n: int = CONTAM_N, bench_mod: int = CONTAM_BENCH_MOD
+) -> rd.Dataset:
+    """Benchmark-contamination check: per non-benchmark doc, how many of
+    its distinct word ``n``-gram shingles appear anywhere in the
+    benchmark slice (docs with ``doc_id % bench_mod == 0``) — the
+    train/eval overlap scan an LLM data pipeline runs before training.
+
+    Scale shape: the benchmark side is SMALL by construction (an eval
+    set, not the corpus), so its distinct shingle hashes are a
+    filtered, bounded collect → ``ray.put`` broadcast; the corpus side
+    streams through one ``map_batches`` doing a vectorized
+    ``np.searchsorted`` membership per batch. No shuffle at all.
+    Shingles compare by 64-bit FNV (collision odds ~m²/2⁶⁴; the SQL
+    oracle compares raw strings, so a collision would surface as a
+    driver mismatch, not silently)."""
+    from ..kernels.text import fnv1a_64_strs
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t.column("text").to_pylist()
+        hs: list[np.ndarray] = []
+        for i in np.nonzero(ids % bench_mod == 0)[0]:
+            sh = _doc_shingles(texts[i], n)
+            if sh:
+                hs.append(np.unique(fnv1a_64_strs(sh)))
+        flat = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pa.table({"h": pa.array(flat.view(np.int64), pa.int64())})
+
+    bench = ds.map_batches(bench_hashes, batch_format="pyarrow").to_pandas()
+    bench_sorted = np.unique(bench["h"].to_numpy().view(np.uint64))
+    bref = ray.put(bench_sorted)
+
+    def score(t: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t.column("text").to_pylist()
+        keep = np.nonzero(ids % bench_mod != 0)[0]
+        n_sh = np.zeros(keep.size, dtype=np.int64)
+        n_cont = np.zeros(keep.size, dtype=np.int64)
+        for j, i in enumerate(keep):
+            sh = _doc_shingles(texts[i], n)
+            if not sh:
+                continue
+            hs = np.unique(fnv1a_64_strs(sh))
+            n_sh[j] = hs.size
+            if bs.size:
+                pos = np.searchsorted(bs, hs)
+                pos[pos == bs.size] = 0
+                n_cont[j] = int((bs[pos] == hs).sum())
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_shingles": pa.array(n_sh, pa.int64()),
+            "n_contaminated": pa.array(n_cont, pa.int64()),
+            "contaminated": pa.array(n_cont > 0, pa.bool_()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+def _doc_chunks(text: str, chunk: int) -> list[str]:
+    ws = text.lower().split()
+    return [" ".join(ws[i : i + chunk]) for i in range(0, len(ws), chunk)]
+
+
+def chunk_dedup_docs(
+    sf_dir: str, chunk: int = CHUNK_WORDS, min_docs: int = CHUNK_MIN_DOCS
+) -> rd.Dataset:
+    """Corpus-level repeated-chunk removal — the line-dedup step of web
+    pipelines (drop lines that recur across many pages), expressed over
+    ``chunk``-word units because this corpus has no newlines (on real
+    data the splitter is ``text.split('\\n')``; everything downstream
+    is unit-agnostic).
+
+    Two streaming passes:
+    1. per-batch: per-doc DISTINCT chunk hashes → partial doc-counts
+       (map-side combine) → ``groupby(h).sum`` — a NARROW key-count
+       shuffle (16 bytes/chunk, the dedup_exact shape) → filter
+       ``n_docs >= min_docs`` BEFORE collecting, so only the rare
+       boilerplate chunks (not the corpus's whole chunk vocabulary)
+       reach the driver → ``ray.put`` broadcast;
+    2. per-batch rewrite: drop chunks whose hash is in the broadcast
+       set (``np.searchsorted``), reassemble the survivors in order.
+
+    Output text is whitespace-normalized lowercase (chunks rejoin with
+    single spaces) — the op runs on normalized text by design."""
+    from ray.data.aggregate import Sum
+
+    from ..kernels.text import fnv1a_64_strs
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        per_doc = [np.unique(fnv1a_64_strs(c)) if (c := _doc_chunks(x, chunk)) else
+                   np.empty(0, np.uint64) for x in texts]
+        flat = np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
+        h, cnt = np.unique(flat, return_counts=True)
+        return pa.table({
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "nd": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=4096)
+        .groupby("h")
+        .aggregate(Sum("nd", alias_name="n_docs"))
+    )
+
+    def frequent(t: pa.Table) -> pa.Table:
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(nd >= min_docs)).select(["h"])
+
+    freq = counts.map_batches(frequent, batch_format="pyarrow").to_pandas()
+    freq_sorted = np.unique(freq["h"].to_numpy().view(np.uint64))
+    fref = ray.put(freq_sorted)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        fs = ray.get(fref)
+        texts = t.column("text").to_pylist()
+        clean, n_chunks, n_removed = [], np.zeros(len(texts), np.int64), np.zeros(len(texts), np.int64)
+        for i, x in enumerate(texts):
+            cs = _doc_chunks(x, chunk)
+            n_chunks[i] = len(cs)
+            if not cs:
+                clean.append("")
+                continue
+            hs = fnv1a_64_strs(cs)
+            bad = np.zeros(len(cs), dtype=bool)
+            if fs.size:
+                pos = np.searchsorted(fs, hs)
+                pos[pos == fs.size] = 0
+                bad = fs[pos] == hs
+            n_removed[i] = int(bad.sum())
+            clean.append(" ".join(c for c, rm in zip(cs, bad) if not rm))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "clean_text": pa.array(clean, pa.string()),
+            "n_chunks": pa.array(n_chunks, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    return ds.map_batches(rewrite, batch_format="pyarrow", batch_size=4096)

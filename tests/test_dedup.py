@@ -124,3 +124,53 @@ def test_dedup_exact_on_planted_dir(tmp_path):
     for _, row in dup_groups.iterrows():
         t = texts[ids.index(int(row["doc_id"]))]
         assert int(row["doc_id"]) == min(i for i, x in zip(ids, texts) if x == t)
+
+
+def _write_docs(tmp_path, ids, texts):
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["s"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+
+def test_contamination_planted(tmp_path):
+    """Doc copying 8 consecutive benchmark words is flagged; others not."""
+    from longqc_ray.pipelines.text_analysis import contamination_docs
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    leak = "alpha beta gamma delta epsilon zeta eta theta other words here now"
+    clean = "one two three four five six seven eight nine ten eleven twelve"
+    # doc_id 0 is benchmark (0 % 97 == 0); 1, 2 are corpus docs
+    _write_docs(tmp_path, [0, 1, 2], [bench, leak, clean])
+    df = contamination_docs(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert 0 not in df.index  # benchmark docs excluded from output
+    assert bool(df.loc[1, "contaminated"]) and int(df.loc[1, "n_contaminated"]) == 1
+    assert not bool(df.loc[2, "contaminated"]) and int(df.loc[2, "n_contaminated"]) == 0
+    assert int(df.loc[2, "n_shingles"]) == 12 - 8 + 1
+
+
+def test_chunk_dedup_planted(tmp_path):
+    """A 10-word chunk shared by two docs is removed from both; unique
+    content and sub-chunk tails survive."""
+    from longqc_ray.pipelines.text_analysis import chunk_dedup_docs
+
+    boiler = "copyright notice all rights reserved contact us terms privacy policy"
+    u1 = "apple banana cherry date elderberry fig grape honeydew kiwi lemon"
+    u2 = "mango nectarine orange papaya quince raspberry strawberry tangerine ugli vanilla"
+    u3 = "amber bronze copper denim emerald fuchsia gold hazel indigo jade"
+    docs = {
+        10: boiler + " " + u1,   # chunk0 = boiler (dup), chunk1 = u1
+        11: boiler + " " + u2,   # chunk0 = boiler (dup), chunk1 = u2
+        12: u3 + " tail words",  # chunk0 = u3 (unique), chunk1 = partial tail
+    }
+    ids = sorted(docs)
+    _write_docs(tmp_path, ids, [docs[i] for i in ids])
+    df = chunk_dedup_docs(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert df.loc[10, "clean_text"] == u1 and int(df.loc[10, "n_removed"]) == 1
+    assert df.loc[11, "clean_text"] == u2 and int(df.loc[11, "n_removed"]) == 1
+    assert df.loc[12, "clean_text"] == u3 + " tail words"
+    assert int(df.loc[12, "n_chunks"]) == 2 and int(df.loc[12, "n_removed"]) == 0

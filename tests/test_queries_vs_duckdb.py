@@ -44,6 +44,8 @@ SQL_BACKED = [
     "ngram_jaccard_pairs",
     "simhash_docs",
     "simhash_near_dups",
+    "contamination_docs",
+    "chunk_dedup_docs",
     "repetition_docs",
     "fuzzy_span_docs",
     "embedding_near_dups",
