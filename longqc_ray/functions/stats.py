@@ -33,35 +33,44 @@ import ray.data as rd
 def weighted_histogram(
     ds: rd.Dataset, col: str, lo: float, hi: float, n_bins: int = 4096
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(bin_edges, count_per_bin, value_sum_per_bin) — exact partials
-    computed per batch, merged by a tiny grouped sum (mergeable-sketch
-    pattern). ``hi`` must already be an exclusive upper edge
-    (strictly greater than the column max)."""
+    """(bin_edges, count_per_bin, value_sum_per_bin) — an exact
+    mergeable sketch expressed as ONE custom ``AggregateFn`` whose
+    accumulator is the fixed-size (cnt, wsum) bin-vector pair (~64 KiB):
+    per-block numpy histograms combine inside tasks and merge pairwise,
+    so there is NO per-bin groupby shuffle at all (the previous shape
+    paid an AllToAll sort of n_blocks×n_bins partial rows). ``hi`` must
+    already be an exclusive upper edge (strictly greater than the
+    column max)."""
+    from ray.data.aggregate import AggregateFn
+
     edges = np.linspace(lo, hi, n_bins + 1)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    # accumulators that cross task boundaries round-trip through Arrow
+    # and come back as Python LISTS — coerce before every `+`, else
+    # list concatenation silently corrupts the merge
+    def _pair(a) -> tuple[np.ndarray, np.ndarray]:
+        return (np.asarray(a[0], dtype=np.int64), np.asarray(a[1], dtype=np.float64))
+
+    def acc_block(a, block) -> tuple[np.ndarray, np.ndarray]:
+        if isinstance(block, pa.Table):
+            v = block.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        else:  # pandas block
+            v = block[col].to_numpy().astype(np.float64)
         cnt, _ = np.histogram(v, bins=edges)
         wsum, _ = np.histogram(v, bins=edges, weights=v)
-        return pa.table(
-            {
-                "bin": pa.array(np.arange(n_bins), pa.int64()),
-                "cnt": pa.array(cnt, pa.int64()),
-                "wsum": pa.array(wsum, pa.float64()),
-            }
-        )
+        a = _pair(a)
+        return (a[0] + cnt, a[1] + wsum)
 
-    parts = ds.select_columns([col]).map_batches(
-        partial, batch_format="pyarrow", batch_size=65536
+    fn = AggregateFn(
+        init=lambda k: (np.zeros(n_bins, dtype=np.int64), np.zeros(n_bins)),
+        merge=lambda a, b: (_pair(a)[0] + _pair(b)[0], _pair(a)[1] + _pair(b)[1]),
+        accumulate_block=acc_block,
+        name="whist",
     )
-    from ray.data.aggregate import Sum
-
-    agg = parts.groupby("bin").aggregate(Sum("cnt", alias_name="cnt"), Sum("wsum", alias_name="wsum")).to_pandas()
-    cnt = np.zeros(n_bins, dtype=np.int64)
-    wsum = np.zeros(n_bins)
-    cnt[agg["bin"].values] = agg["cnt"].values
-    wsum[agg["bin"].values] = agg["wsum"].values
-    return edges, cnt, wsum
+    # the result round-trips through an Arrow block → arrays come back
+    # as Python lists; coerce to numpy
+    res = ds.select_columns([col]).aggregate(fn)["whist"]
+    return edges, np.asarray(res[0], dtype=np.int64), np.asarray(res[1], dtype=np.float64)
 
 
 def _narrow_stats(ds: rd.Dataset, col: str) -> tuple[rd.Dataset, float, float, int]:
@@ -106,11 +115,25 @@ def _collect_bins(
     return out
 
 
-def nxx(ds: rd.Dataset, col: str, frac: float = 0.5, n_bins: int = 4096) -> float:
+def nxx(
+    ds: rd.Dataset,
+    col: str,
+    frac: float = 0.5,
+    n_bins: int = 4096,
+    prior_stats: tuple[float, float, int] | None = None,
+) -> float:
     """Exact NXX: smallest value v such that the sum of all values >= v
     is >= frac * total (the reference's N50 definition, lq_utils.py:33-53).
+
+    ``prior_stats`` = (min, max, count) lets a caller that already
+    knows the column range (e.g. from parquet footer statistics —
+    ``util.parquet_column_stats``) skip the min/max/count execution.
     """
-    stats, lo, hi, n = _narrow_stats(ds, col)
+    if prior_stats is not None:
+        lo, hi, n = prior_stats
+        stats = ds.select_columns([col]).materialize()
+    else:
+        stats, lo, hi, n = _narrow_stats(ds, col)
     if n == 0:
         return float("nan")
     if lo == hi:

@@ -54,9 +54,14 @@ def doc_corpus_stats(sf_dir: str) -> pa.Table:
 
 def doc_n50(sf_dir: str) -> pa.Table:
     """N50 weighted quantile over document lengths (A2, lq_utils.py:33-53)
-    via the 2-pass histogram refinement — no global sort."""
+    via the 2-pass histogram refinement — no global sort. The column
+    range/count come free from the parquet footers (scan-level stats),
+    skipping the min/max/count execution when available."""
+    from .util import parquet_column_stats
+
     ds = table(sf_dir, "documents", columns=["n_chars"])
-    v = nxx(ds, "n_chars", frac=0.5)
+    v = nxx(ds, "n_chars", frac=0.5,
+            prior_stats=parquet_column_stats(sf_dir, "documents", "n_chars"))
     return pa.table({"n50": pa.array([int(v)], pa.int64())})
 
 

@@ -24,6 +24,44 @@ def table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def parquet_column_stats(
+    sf_dir: str, name: str, col: str
+) -> tuple[float, float, int] | None:
+    """(min, max, row_count) of a flat numeric column straight from the
+    parquet FOOTER statistics — the scan-level shortcut every engine
+    uses for range pruning, here saving order-statistics queries one
+    whole min/max/count execution. Metadata-only: one footer read per
+    file, no row data touched (at cluster scale, footer reads fan out
+    as tasks; this driver-side loop is for the single-directory small
+    case). Returns None when any row group lacks exact stats — callers
+    must fall back to the aggregate pass. Only trustworthy for numeric
+    columns (string footer min/max may be truncated)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    lo: float | None = None
+    hi: float | None = None
+    n = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = next((i for i in range(len(md.schema)) if md.schema.column(i).name == col), None)
+        if idx is None:
+            return None
+        n += md.num_rows
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = float(st.min) if lo is None else min(lo, float(st.min))
+            hi = float(st.max) if hi is None else max(hi, float(st.max))
+    if n == 0 or lo is None:
+        return None
+    return lo, hi, n
+
+
 WIDE_BLOCK_BYTES = 64 * 2**20  # ~64 MiB blocks for wide binary rows
 
 
