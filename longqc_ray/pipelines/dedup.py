@@ -146,13 +146,45 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 # ---------------------------------------------------------------- minhash
 
-def _signature_ds(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
+def _sig_ds(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
+    """(id, sig) — MinHash signatures computed ONCE and materialized as
+    a narrow dataset (~520 B/doc in the object store), so banding and
+    the estimate prefilter reuse them instead of re-hashing texts
+    (the previous shape recomputed ~every candidate's signature in the
+    fetch pass — on a low-vocabulary corpus that is ~the whole corpus
+    twice)."""
+
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         sigs = minhash_signature_batch(texts)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1).view(np.int64), pa.int64()), N_PERM
+            ),
+        })
+
+    # batch_size 256 (not 1024): the signature kernel is ~0.25 ms/doc,
+    # so 256-doc tasks keep a 32-way pool busy even on a 5k-doc input
+    # (measured 1.19 s → 0.35 s); at cluster scale block counts dwarf
+    # the pool either way.
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256).materialize()
+
+
+def _sig_matrix(t: pa.Table) -> np.ndarray:
+    """(n, N_PERM) uint64 view of a sig fixed-size-list column."""
+    col = t.column("sig")
+    chunked = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = chunked.flatten().to_numpy(zero_copy_only=False)
+    return flat.view(np.uint64).reshape(-1, N_PERM)
+
+
+def _band_rows(sig_ds: rd.Dataset, id_col: str) -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        sigs = _sig_matrix(batch)
         bands = _band_hashes(sigs)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        n = len(texts)
+        n = sigs.shape[0]
         # explode: one row per (doc, band) — fixed 16× fan-out of 16-byte rows
         return pa.table({
             id_col: pa.array(np.repeat(ids, LSH_BANDS), pa.int64()),
@@ -160,11 +192,7 @@ def _signature_ds(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
             "bucket": pa.array(bands.reshape(-1), pa.int64()),
         })
 
-    # batch_size 256 (not 1024): the signature kernel is ~0.25 ms/doc,
-    # so 256-doc tasks keep a 32-way pool busy even on a 5k-doc input
-    # (measured 1.19 s → 0.35 s); at cluster scale block counts dwarf
-    # the pool either way.
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
+    return sig_ds.map_batches(fn, batch_format="pyarrow")
 
 
 N_BUCKET_PARTS = 64
@@ -260,56 +288,85 @@ def minhash_near_dups(
 ) -> pd.DataFrame:
     """Full MinHash-LSH near-dup pipeline over any (id, text) dataset.
 
-    Returns verified pairs (a, b, jaccard) with jaccard ≥ tau. Texts
-    for verification are re-read ONLY for candidate ids (pruned
-    ``is_in`` filter) — the full corpus never collects."""
-    band_rows = _signature_ds(ds, id_col, text_col)
-    pairs = _candidate_pairs(band_rows, id_col)
+    Returns verified pairs (a, b, jaccard) with jaccard ≥ tau.
+    Signatures are computed once (materialized narrow dataset) and
+    reused by banding AND the estimate prefilter; texts are re-read
+    ONLY for docs in near-threshold pairs (pruned ``is_in`` filter,
+    shingle sets computed in the same distributed pass) — the full
+    corpus never collects and is never hashed twice."""
+    sig_ds = _sig_ds(ds, id_col, text_col)
+    pairs = _candidate_pairs(_band_rows(sig_ds, id_col), id_col)
+    empty = pd.DataFrame({
+        "a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+        "jaccard": np.empty(0, np.float64),
+    })
     if pairs.empty:
-        return pd.DataFrame({
-            "a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
-            "jaccard": np.empty(0, np.float64),
-        })
-    cand_ids = pa.array(
-        sorted(set(pairs["a"].tolist()) | set(pairs["b"].tolist())), pa.int64()
-    )
+        return empty
+    pa_np = pairs["a"].to_numpy().astype(np.int64)
+    pb_np = pairs["b"].to_numpy().astype(np.int64)
+    cand_ids = pa.array(np.unique(np.concatenate([pa_np, pb_np])), pa.int64())
 
-    # candidate fetch ALSO recomputes each candidate's signature inside
-    # the same distributed pass (was a serial driver loop, 0.48 s on
-    # the 5k-doc bench) — the driver only gathers (id, text, sig) for
-    # candidate docs, never the corpus
-    def fetch_with_sig(t: pa.Table) -> pa.Table:
-        f = t.filter(pc.is_in(t.column(id_col), value_set=cand_ids))
-        texts = f.column(text_col).to_pylist()
-        sigs = minhash_signature_batch(texts)
-        return pa.table({
-            id_col: f.column(id_col),
-            text_col: f.column(text_col),
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(sigs.reshape(-1).view(np.int64), pa.int64()), N_PERM
-            ),
-        })
-
-    cand_df = ds.map_batches(fetch_with_sig, batch_format="pyarrow").to_pandas()
-    cand = cand_df.set_index(id_col)[text_col].to_dict()
     # vectorized MinHash-estimate prefilter: a low-vocabulary corpus
     # floods LSH buckets with candidates (98k pairs on the 5k-doc
     # bench); estimating jaccard from signature agreement is one
     # gather+mean over all pairs, and only near-threshold survivors
-    # pay the exact set intersection
-    ids_arr = cand_df[id_col].to_numpy().astype(np.int64)
+    # pay the exact set intersection. Sigs come from the materialized
+    # sig dataset (Arrow refs, no pandas object stacking).
+    sig_tbl = pa.concat_tables(
+        ray.get(
+            sig_ds.map_batches(
+                lambda t: t.filter(pc.is_in(t.column(id_col), value_set=cand_ids)),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+    )
+    ids_arr = sig_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ids_arr, kind="stable")
     sorted_ids = ids_arr[order]
-    sigs = np.stack(cand_df["sig"].to_numpy()[order]).view(np.uint64)
-    ai = np.searchsorted(sorted_ids, pairs["a"].to_numpy().astype(np.int64))
-    bi = np.searchsorted(sorted_ids, pairs["b"].to_numpy().astype(np.int64))
-    est = (sigs[ai] == sigs[bi]).mean(axis=1)
+    sigs = _sig_matrix(sig_tbl)[order]
+    ai = np.searchsorted(sorted_ids, pa_np)
+    bi = np.searchsorted(sorted_ids, pb_np)
+    # per-column accumulation, NOT (n_pairs, N_PERM) gathers: the big
+    # fresh intermediates (~100 MB at 98k pairs) cost ~2 s of
+    # first-touch page faults on this VM; 64 small reused temporaries
+    # do the same work in ~50 ms
+    match = np.zeros(ai.size, dtype=np.int16)
+    for j in range(N_PERM):
+        match += sigs[ai, j] == sigs[bi, j]
+    est = match / float(N_PERM)
     maybe = est >= tau - 0.2
-    jac = np.zeros(len(pairs))
     idx = np.nonzero(maybe)[0]
-    pa_np, pb_np = pairs["a"].to_numpy(), pairs["b"].to_numpy()
+    if idx.size == 0:
+        return empty
+
+    # shingle sets ONLY for docs in near-threshold pairs (usually a
+    # tiny slice of the candidate set), computed distributed
+    need_ids = pa.array(np.unique(np.concatenate([pa_np[idx], pb_np[idx]])), pa.int64())
+
+    def fetch_shingles(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t.column(id_col), value_set=need_ids))
+        texts = f.column(text_col).to_pylist()
+        return pa.table({
+            id_col: f.column(id_col),
+            "sh": pa.array(
+                [_shingle_hashes(x).view(np.int64) for x in texts],
+                pa.list_(pa.int64()),
+            ),
+        })
+
+    sh_tbl = pa.concat_tables(
+        ray.get(ds.map_batches(fetch_shingles, batch_format="pyarrow").to_arrow_refs())
+    )
+    sh = {
+        int(i): np.asarray(s, dtype=np.int64).view(np.uint64)
+        for i, s in zip(sh_tbl.column(id_col).to_pylist(), sh_tbl.column("sh").to_pylist())
+    }
+    jac = np.zeros(len(pairs))
     for j in idx:
-        jac[j] = exact_jaccard(cand[int(pa_np[j])], cand[int(pb_np[j])])
+        sa, sb = sh[int(pa_np[j])], sh[int(pb_np[j])]
+        inter = np.intersect1d(sa, sb).size
+        union = sa.size + sb.size - inter
+        jac[j] = inter / union if union else 0.0
     keep = jac >= tau
     return pd.DataFrame({
         "a": pa_np[keep],
