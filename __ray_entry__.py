@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": text_analysis.pack_docs,  # sequence packing (distributed prefix scan)
         "contamination_docs": text_analysis.contamination_docs,  # train/eval 8-gram overlap
         "chunk_dedup_docs": text_analysis.chunk_dedup_docs,  # corpus-level line-dedup analogue
+        "vocab_top_tokens": text_analysis.vocab_top_tokens,  # vocabulary frequency scan
         # --- flagship + multimodal (audio payload real, oracle = pytest) ---
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,
@@ -487,6 +488,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.n_cont, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
             WHERE d.doc_id % 97 <> 0
+        """,
+        "vocab_top_tokens": f"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '{_TOK}')) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 100
         """,
         # corpus-level line dedup (10-word chunk units): chunks seen in
         # >= 2 distinct docs are boilerplate; survivors rejoin in order

@@ -331,6 +331,44 @@ def pack_docs(
     )
 
 
+VOCAB_TOP_K = 100
+
+
+def vocab_top_tokens(sf_dir: str, k: int = VOCAB_TOP_K) -> pd.DataFrame:
+    """Corpus vocabulary: top-``k`` tokens by total occurrence count
+    (the vocab-building / token-frequency scan of a training-data
+    pipeline). Per-batch ``np.unique`` partial counts (map-side
+    combine) → a NARROW (token, count) groupby — the only shuffle,
+    O(vocab) not O(corpus) — → driver-side top-k over the merged
+    vocabulary (bounded: vocabulary, not corpus; for open-web-scale
+    vocabularies swap the final collect for ``ds.sort().limit(k)``).
+    Deterministic tie-break on the token string."""
+    from ray.data.aggregate import Sum
+
+    ds = table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(_TOKEN_RE.findall(t))
+        u, c = (np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                if toks else (np.empty(0, object), np.empty(0, np.int64)))
+        return pa.table({
+            "token": pa.array(u.tolist(), pa.string()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+    merged["n"] = merged["n"].astype(np.int64)
+    out = merged.sort_values(["n", "token"], ascending=[False, True], kind="stable")
+    return out.head(k).reset_index(drop=True)[["token", "n"]]
+
+
 # --- corpus-level web-pipeline ops: decontamination + chunk dedup ----
 
 CONTAM_N = 8           # word-shingle width (8-13-gram decontamination shape)

@@ -46,6 +46,7 @@ SQL_BACKED = [
     "simhash_near_dups",
     "contamination_docs",
     "chunk_dedup_docs",
+    "vocab_top_tokens",
     "repetition_docs",
     "fuzzy_span_docs",
     "embedding_near_dups",
