@@ -271,6 +271,59 @@ FROM cand WHERE bit_count(xor(ua, ub)) <= 3
 """
 
 
+# HyperLogLog replicated in SQL (p=12, 4096 registers), exact twin of
+# functions/sketch.py: FNV-1a of the user_id string (same hex-decoded
+# byte fold as the simhash CTE) → MurmurHash3 fmix64 finalizer (the
+# 64×64-bit multiplies split into 32-bit limbs — a full product
+# overflows INT128) → register index = top 12 bits, rank = 65 −
+# bit-length of (h<<12 | 0xFFF) via bin() (the engine uses the same
+# exact integer bit-length, so no libm dependency) → max per register
+# → bias-corrected estimate with linear-counting small-range branch.
+def _mulmod64_sql(h: str, c: int) -> str:
+    """SQL expr for (h * c) mod 2^64 over UBIGINT via 32-bit limbs."""
+    c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"((((( (({h}) >> 32)::HUGEINT * {c_lo} + (({h}) & 4294967295)::HUGEINT * {c_hi})"
+        f" % 4294967296) * 4294967296)"
+        f" + (({h}) & 4294967295)::HUGEINT * {c_lo}) % 18446744073709551616::HUGEINT)::UBIGINT"
+    )
+
+
+_HLL_SQL = rf"""
+WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events),
+fnv AS (
+  SELECT list_reduce(
+    list_prepend(14695981039346656037::HUGEINT,
+      list_transform(range(1, octet_length(encode(s)) + 1),
+        i -> ((strpos('0123456789ABCDEF', substring(hex(encode(s)), 2*i-1, 1)) - 1) * 16
+            + (strpos('0123456789ABCDEF', substring(hex(encode(s)), 2*i, 1)) - 1))::HUGEINT)),
+    (h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+  )::UBIGINT AS h0
+  FROM u
+),
+m1 AS (SELECT {_mulmod64_sql("xor(h0, h0 >> 33)", 0xFF51AFD7ED558CCD)} AS h FROM fnv),
+m2 AS (SELECT {_mulmod64_sql("xor(h, h >> 33)", 0xC4CEB9FE1A85EC53)} AS h FROM m1),
+mixed AS (SELECT xor(h, h >> 33) AS h FROM m2),
+r AS (
+  SELECT (h >> 52)::BIGINT AS idx,
+         65 - length(bin((((h::HUGEINT * 4096) % 18446744073709551616::HUGEINT)::UBIGINT) | 4095::UBIGINT)) AS rank
+  FROM mixed
+),
+regs AS (SELECT idx, max(rank) AS reg FROM r GROUP BY idx),
+agg AS (SELECT count(*) AS n_nonzero, sum(pow(2.0, -reg)) AS ssum FROM regs),
+est AS (
+  SELECT 0.7213 / (1.0 + 1.079 / 4096) * 4096.0 * 4096.0
+         / (ssum + (4096 - n_nonzero) * 1.0) AS raw,
+         4096 - n_nonzero AS zeros
+  FROM agg
+)
+SELECT CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                       THEN 4096.0 * ln(4096.0 / zeros)
+                       ELSE raw END) AS BIGINT) AS approx_users
+FROM est
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_corpus_stats": """
@@ -489,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
             WHERE d.doc_id % 97 <> 0
         """,
+        "approx_distinct_users": _HLL_SQL,
         "vocab_top_tokens": f"""
             SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest(regexp_extract_all(text, '{_TOK}')) AS token FROM documents)

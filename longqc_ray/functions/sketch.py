@@ -43,10 +43,20 @@ def hll_registers(hashes: np.ndarray, p: int = DEFAULT_P) -> np.ndarray:
     h = hashes.astype(np.uint64)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | ((np.uint64(1) << np.uint64(p)) - np.uint64(1))
-    # leading zeros of `rest`: 63 - floor(log2(rest)); rest has its low
-    # p bits forced to 1 so it is never 0 and the rank caps at 64-p+1
-    lz = np.uint8(63) - np.floor(np.log2(rest.astype(np.float64))).astype(np.uint8)
-    rank = lz.astype(np.uint8) + np.uint8(1)
+    # rank = 1 + leading-zero count of `rest` (low p bits forced to 1,
+    # so rest > 0 and the rank caps at 64-p+1). EXACT integer
+    # bit-length via 6-step binary reduction — float log2 rounds a
+    # value just below 2^k up to 2^k for >=2^53, off-by-one rank (and
+    # it makes the DuckDB oracle twin, which uses bin()-length,
+    # implementation-identical rather than libm-dependent).
+    bl = np.zeros(rest.shape, dtype=np.uint8)
+    cur = rest.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = cur >= (np.uint64(1) << np.uint64(s))
+        bl[big] += np.uint8(s)
+        cur[big] >>= np.uint64(s)
+    bl += cur.astype(np.uint8)  # the final surviving bit
+    rank = np.uint8(65) - bl
     np.maximum.at(regs, idx, rank)
     return regs
 

@@ -848,8 +848,10 @@ def stratified_sample_docs(sf_dir: str, k: int = STRATA_K) -> pd.DataFrame:
 def approx_distinct_users(sf_dir: str) -> pa.Table:
     """A17 scale path: HyperLogLog approximate distinct user count
     (functions/sketch.py) — constant-size mergeable register partials
-    instead of the exact pair shuffle. Rows-only oracle (the estimate
-    is implementation-defined); accuracy is pinned ≤2.5% in pytest."""
+    instead of the exact pair shuffle. The estimate is fully
+    deterministic (exact integer bit-length ranks), so the DuckDB
+    oracle replicates the whole sketch in SQL; accuracy vs the exact
+    count is additionally pinned ≤2.5% in pytest."""
     from ..functions.sketch import approx_distinct
 
     ds = table(sf_dir, "events", columns=["user_id"])

@@ -39,6 +39,7 @@ SQL_BACKED = [
     "user_occupancy",
     "user_gap_profile",
     "user_activity_intervals",
+    "approx_distinct_users",
     "dedup_exact",
     "dedup_minhash",
     "ngram_jaccard_pairs",
