@@ -71,7 +71,10 @@ def _salted_clips(clips: list[str], repeat: int) -> list[str]:
     return sorted(glob.glob(os.path.join(root, "*.parquet")))
 
 
-def run_flagship(sf_dir: str, cpus: int, repeat: int = 1, materialize: bool = False) -> dict:
+def run_flagship(
+    sf_dir: str, cpus: int, repeat: int = 1, materialize: bool = False,
+    compute_heavy: bool = False,
+) -> dict:
     """Timed flagship run; returns {sec, rows_in, rows_out, clips_per_sec}.
 
     ``materialize``+``repeat`` is the scaling protocol: the input is
@@ -82,9 +85,22 @@ def run_flagship(sf_dir: str, cpus: int, repeat: int = 1, materialize: bool = Fa
     would benchmark the disk, not the engine (see BASELINE.md)."""
     import glob
 
+    import dataclasses
+
+    from longqc_ray.config import DEFAULT_CONFIG
     from longqc_ray.pipelines.quality_filter import filter_clips
     from longqc_ray.pipelines.util import read_wide_parquet
     from longqc_ray.state.scorers import put_model_refs
+
+    # compute-heavy profile: 8x the FFT/SNR work per clip (a real
+    # config knob) — the compute-bound regime for the scaling
+    # criterion, since this box's memory streaming stops scaling past
+    # ~12-16 streams while pure compute scales at ~0.98 (BASELINE.md
+    # engine-free controls)
+    config = (
+        dataclasses.replace(DEFAULT_CONFIG, snr_max_samples=65536)
+        if compute_heavy else DEFAULT_CONFIG
+    )
 
     sf = _sf_of(sf_dir)
     clips = sorted(glob.glob(os.path.join(_clips_dir(sf), "clips", "*.parquet")))
@@ -103,7 +119,8 @@ def run_flagship(sf_dir: str, cpus: int, repeat: int = 1, materialize: bool = Fa
     # Ray worker processes + the scorer actor pool exist before t0 —
     # process spawn is a per-node fixed cost, not engine throughput
     filter_clips(
-        read_wide_parquet(clips[:2]), scorer_concurrency=pool, model_refs=refs,
+        read_wide_parquet(clips[:2]), config=config, scorer_concurrency=pool,
+        model_refs=refs,
     ).count()
     if repeat > 1:
         # the scaling workload is "repeat× MORE data", not repeat
@@ -130,7 +147,7 @@ def run_flagship(sf_dir: str, cpus: int, repeat: int = 1, materialize: bool = Fa
     # parallelism; the remaining CPUs serve reads/dedup/misc tasks.
     # Autoscaling (min,max) ramps too slowly to matter in one run.
     t0 = time.time()
-    kept = filter_clips(ds, scorer_concurrency=pool, model_refs=refs)
+    kept = filter_clips(ds, config=config, scorer_concurrency=pool, model_refs=refs)
     rows_out = kept.count()
     sec = time.time() - t0
     return {
@@ -174,6 +191,7 @@ def main() -> None:
     if "--cpus" in args:
         cpus = int(args[args.index("--cpus") + 1])
     flagship_only = "--flagship-only" in args
+    compute_heavy = "--compute-heavy" in args
 
     if "--scaling" in args:
         # fresh processes at N, 2N and 4N CPUs on the same input
@@ -192,7 +210,8 @@ def main() -> None:
             for n in cpu_counts:
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--flagship-only",
-                     "--cpus", str(n), "--scaling-protocol"],
+                     "--cpus", str(n), "--scaling-protocol"]
+                    + (["--compute-heavy"] if compute_heavy else []),
                     capture_output=True, text=True, env={**os.environ},
                 )
                 line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -203,7 +222,8 @@ def main() -> None:
 
         med = {n: statistics.median(tputs[n]) for n in cpu_counts}
         print(json.dumps({
-            "metric": "flagship filter scaling (fresh ray sessions, same input, median of 3)",
+            "metric": "flagship filter scaling (fresh ray sessions, same input, median of 3)"
+                      + (" [compute-heavy profile]" if compute_heavy else ""),
             "value": statistics.median(secs[32]),
             "unit": "sec",
             "queries": {
@@ -236,6 +256,7 @@ def main() -> None:
         sf_dir, cpus,
         repeat=4 if scaling_protocol else 1,
         materialize=scaling_protocol,
+        compute_heavy=compute_heavy,
     )
     queries = {} if flagship_only else run_queries(sf_dir)
     total = flag["sec"] + sum(queries.values())
