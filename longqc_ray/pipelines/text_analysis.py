@@ -338,11 +338,11 @@ def vocab_top_tokens(sf_dir: str, k: int = VOCAB_TOP_K) -> pd.DataFrame:
     """Corpus vocabulary: top-``k`` tokens by total occurrence count
     (the vocab-building / token-frequency scan of a training-data
     pipeline). Per-batch ``np.unique`` partial counts (map-side
-    combine) → a NARROW (token, count) groupby — the only shuffle,
-    O(vocab) not O(corpus) — → driver-side top-k over the merged
-    vocabulary (bounded: vocabulary, not corpus; for open-web-scale
-    vocabularies swap the final collect for ``ds.sort().limit(k)``).
-    Deterministic tie-break on the token string."""
+    combine) → a NARROW (token, count) groupby — the only all-to-all,
+    O(vocab) not O(corpus) — → distributed ``sort().limit(k)``, so
+    only the k winners ever reach the driver (open-web vocabularies
+    run to billions of distinct tokens). Deterministic tie-break on
+    the token string."""
     from ray.data.aggregate import Sum
 
     ds = table(sf_dir, "documents", columns=["text"])
@@ -358,15 +358,16 @@ def vocab_top_tokens(sf_dir: str, k: int = VOCAB_TOP_K) -> pd.DataFrame:
             "cnt": pa.array(c.astype(np.int64), pa.int64()),
         })
 
-    merged = (
+    out = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
         .groupby("token")
         .aggregate(Sum("cnt", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
         .to_pandas()
     )
-    merged["n"] = merged["n"].astype(np.int64)
-    out = merged.sort_values(["n", "token"], ascending=[False, True], kind="stable")
-    return out.head(k).reset_index(drop=True)[["token", "n"]]
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)[["token", "n"]]
 
 
 # --- corpus-level web-pipeline ops: decontamination + chunk dedup ----
