@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from longqc_ray.pipelines import dedup, relational, similarity, text_analysis
     from longqc_ray.pipelines.multimodal import (
         audio_feature_table,
+        image_features,
         read_derived_clips,
         window_rms_profile,
     )
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship + multimodal (audio payload real, oracle = pytest) ---
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,
+        "image_features": image_features,  # real PPM/BMP numpy decode + declared fallback
         "window_rms_profile": window_rms_profile,  # O6 random-window sampling
         "qc_binned_summary": qc_binned_summary,
         "qc_report": qc_report,

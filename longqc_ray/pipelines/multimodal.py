@@ -123,13 +123,17 @@ def read_derived_clips(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------- stubs
 
 class ImageFeaturizer:
-    """Actor-pool featurizer for opaque image payloads.
+    """Actor-pool featurizer for image payloads.
 
-    Plumbing is real: broadcast-initialized state, Arrow in/out, small
-    batches for wide binary rows, payload projected away. The decode
-    is a deterministic fake (content-hash pseudo-features) because no
-    image codec library ships in this container; swap ``_decode`` for
-    a real decoder (PIL/torchvision) in production.
+    Decode is REAL for the byte-layout formats pure numpy can parse —
+    PPM (P6) and uncompressed 24-bit BMP (kernels/image.py) — giving
+    [w, h, mean RGB, luma std, edge energy, 1.0]. Payloads in any
+    other format (JPEG/PNG need codec libraries this container lacks)
+    fall back to the declared deterministic fake (content-hash pseudo-
+    features, trailing 0.0) unless ``real_decoder=True``, which makes
+    undecodable payloads raise instead. Plumbing is real either way:
+    Arrow in/out, small batches for wide binary rows, payload
+    projected away, per-row ``decoded`` flag.
     """
 
     N_FEATURES = 8
@@ -137,22 +141,80 @@ class ImageFeaturizer:
     def __init__(self, real_decoder: bool = False):
         self.real_decoder = real_decoder
 
-    def _decode(self, payload: bytes) -> np.ndarray:
+    def _decode(self, payload: bytes) -> tuple[np.ndarray, bool]:
+        from ..kernels.image import decode_image, image_feature_vec
+
+        img = decode_image(payload)
+        if img is not None:
+            return image_feature_vec(img), True
         if self.real_decoder:
             raise NotImplementedError(
-                "image decode requires an image codec library (not in this container)"
+                "payload is not PPM/BMP; other image codecs (JPEG/PNG) "
+                "are not in this container"
             )
         # deterministic fake: bytes of md5 digest → unit-scaled floats
-        digest = hashlib.md5(payload).digest()[: self.N_FEATURES]
-        return np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
+        digest = hashlib.md5(payload).digest()[: self.N_FEATURES - 1]
+        fake = np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
+        return np.concatenate([fake, [0.0]]), False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("bytes").to_pylist()
-        feats = np.stack([self._decode(p or b"") for p in payloads])
+        pairs = [self._decode(p or b"") for p in payloads]
+        feats = np.stack([p[0] for p in pairs])
         out = batch.drop_columns(["bytes"])
-        return out.append_column(
+        out = out.append_column(
             "features", pa.array(list(feats), pa.list_(pa.float64()))
         )
+        return out.append_column(
+            "decoded", pa.array([p[1] for p in pairs], pa.bool_())
+        )
+
+
+def _synth_image(doc_id: int) -> bytes:
+    """Deterministic small RGB image for doc_id: gradient + seeded
+    rectangles + noise, encoded PPM or BMP by id parity; every 10th
+    doc gets a JPEG-like payload the numpy codecs canNOT decode, to
+    exercise the declared fallback path."""
+    from ..kernels.image import encode_bmp, encode_ppm
+
+    rng = np.random.default_rng(doc_id * 40_503 + 7)
+    if doc_id % 10 == 9:
+        return b"\xff\xd8\xff\xe0" + rng.bytes(64)  # JPEG magic, opaque body
+    h, w = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    for _ in range(3):
+        y0, x0 = int(rng.integers(0, h)), int(rng.integers(0, w))
+        img[y0 : y0 + int(rng.integers(1, h)), x0 : x0 + int(rng.integers(1, w)), 2] = int(
+            rng.integers(0, 256)
+        )
+    img = np.clip(
+        img.astype(np.int16) + rng.integers(-8, 9, img.shape, dtype=np.int16), 0, 255
+    ).astype(np.uint8)
+    return encode_ppm(img) if doc_id % 2 == 0 else encode_bmp(img)
+
+
+def image_features(sf_dir: str) -> rd.Dataset:
+    """Multimodal image path end-to-end: per-doc synthesized image
+    payloads (binary column, PPM/BMP real-decodable + a JPEG-like
+    fallback slice) → ImageFeaturizer actor pool → (doc_id, features,
+    decoded). Rows-only oracle (payload derivation is engine-side);
+    decode correctness is pinned in tests via encode/decode
+    round-trips."""
+    ds = table(sf_dir, "documents", columns=["doc_id"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "bytes": pa.array([_synth_image(int(i)) for i in ids], pa.binary()),
+        })
+
+    imgs = ds.map_batches(attach, batch_format="pyarrow", batch_size=256)
+    return imgs.map_batches(
+        ImageFeaturizer, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
 
 
 class FrameSampler:

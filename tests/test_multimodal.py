@@ -24,8 +24,10 @@ def test_image_featurizer_actor_pool_layout():
         ImageFeaturizer, batch_format="pyarrow", batch_size=16, concurrency=2
     ).to_pandas()
     assert len(out) == 64
-    assert set(out.columns) == {"item_id", "features"}  # payload projected away
+    # payload projected away; decode flag present
+    assert set(out.columns) == {"item_id", "features", "decoded"}
     assert all(len(f) == ImageFeaturizer.N_FEATURES for f in out["features"])
+    assert not out["decoded"].any()  # random bytes are not PPM/BMP
     # deterministic fake: same payload -> same features across runs
     out2 = _binary_ds().map_batches(
         ImageFeaturizer, batch_format="pyarrow", batch_size=16, concurrency=2
@@ -39,6 +41,50 @@ def test_image_featurizer_real_decoder_declared_stub():
     feat = ImageFeaturizer(real_decoder=True)
     with pytest.raises(NotImplementedError):
         feat._decode(b"\x89PNG")
+
+
+def test_image_codec_roundtrips():
+    from longqc_ray.kernels.image import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(4)
+    for h, w in [(1, 1), (5, 7), (16, 16), (9, 31)]:  # incl. non-4-multiple BMP rows
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    assert decode_image(b"\xff\xd8\xff garbage") is None
+    assert decode_ppm(b"P6\n3 3\n255\nshort") is None  # truncated body
+
+
+def test_image_featurizer_real_decode_features():
+    from longqc_ray.kernels.image import encode_bmp, encode_ppm
+
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    img[:, :, 0] = 200  # solid red
+    feat = ImageFeaturizer()
+    for enc in (encode_ppm, encode_bmp):
+        v, ok = feat._decode(enc(img))
+        assert ok
+        w, h, mr, mg, mb, luma_std, edge, flag = v
+        assert (w, h) == (6.0, 4.0)
+        assert (mr, mg, mb) == (200.0, 0.0, 0.0)
+        assert abs(luma_std) < 1e-9 and abs(edge) < 1e-9 and flag == 1.0
+
+
+def test_image_features_query_end_to_end():
+    from longqc_ray.pipelines.multimodal import image_features
+
+    df = image_features("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    # 9 mod 10 slice is the declared-undecodable JPEG-like payload
+    assert (~df["decoded"]).sum() == (df["doc_id"] % 10 == 9).sum()
+    dec = df[df["decoded"]]
+    assert ((np.stack(dec["features"].to_numpy())[:, 0] >= 8).all())  # width parsed
 
 
 def test_frame_sampler_offsets():
