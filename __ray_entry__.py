@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         audio_feature_table,
         image_features,
         read_derived_clips,
+        video_frame_features,
         window_rms_profile,
     )
     from longqc_ray.pipelines.quality_filter import label_clips
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,
         "image_features": image_features,  # real PPM/BMP numpy decode + declared fallback
+        "video_frame_features": video_frame_features,  # real y4m frame seek/sample
         "window_rms_profile": window_rms_profile,  # O6 random-window sampling
         "qc_binned_summary": qc_binned_summary,
         "qc_report": qc_report,

@@ -218,23 +218,91 @@ def image_features(sf_dir: str) -> rd.Dataset:
 
 
 class FrameSampler:
-    """Actor-pool frame sampler for opaque video payloads (stub decode;
-    real plumbing). Emits ``n_frames`` deterministic frame offsets per
-    row — the layout a real ffmpeg-backed sampler would produce."""
+    """Actor-pool frame sampler for video payloads.
+
+    REAL for Y4M/C444 (kernels/video.py — an ASCII header + raw
+    planar frames, so frame seeking is pure arithmetic): emits the
+    true byte offsets of ``n_frames`` evenly-spaced frames plus each
+    sampled frame's luma mean (the shot-sampling shape an
+    ffmpeg-backed stage would produce). Opaque payloads (MP4/AVI
+    codecs are not in this container) keep the declared deterministic
+    fallback offsets and a ``decoded=False`` flag."""
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sizes = np.array([len(p or b"") for p in batch.column("bytes").to_pylist()])
-        offsets = [
-            np.linspace(0, max(int(s) - 1, 0), self.n_frames).astype(np.int64)
-            for s in sizes
-        ]
+        from ..kernels.video import decode_y4m_frame, frame_luma_stats, probe_y4m
+
+        offsets, lumas, decoded = [], [], []
+        for p in batch.column("bytes").to_pylist():
+            p = p or b""
+            probe = probe_y4m(p)
+            if probe is not None:
+                w, h, n, hdr = probe
+                ks = np.unique(
+                    np.linspace(0, n - 1, min(self.n_frames, n)).astype(np.int64)
+                )
+                frame_bytes = 6 + 3 * w * h
+                offsets.append((hdr + ks * frame_bytes).tolist())
+                lumas.append(
+                    [frame_luma_stats(decode_y4m_frame(p, int(k)))[0] for k in ks]
+                )
+                decoded.append(True)
+            else:
+                offsets.append(
+                    np.linspace(0, max(len(p) - 1, 0), self.n_frames)
+                    .astype(np.int64).tolist()
+                )
+                lumas.append([])
+                decoded.append(False)
         out = batch.drop_columns(["bytes"])
-        return out.append_column(
-            "frame_offsets", pa.array([o.tolist() for o in offsets], pa.list_(pa.int64()))
+        out = out.append_column(
+            "frame_offsets", pa.array(offsets, pa.list_(pa.int64()))
         )
+        out = out.append_column(
+            "frame_luma_mean", pa.array(lumas, pa.list_(pa.float64()))
+        )
+        return out.append_column("decoded", pa.array(decoded, pa.bool_()))
+
+
+def _synth_video(doc_id: int) -> bytes:
+    """Deterministic tiny y4m clip per doc_id (moving gradient over
+    3-9 frames); every 10th doc gets an MP4-like opaque payload for
+    the declared fallback path."""
+    from ..kernels.video import encode_y4m
+
+    rng = np.random.default_rng(doc_id * 69_069 + 13)
+    if doc_id % 10 == 9:
+        return b"\x00\x00\x00\x18ftypmp42" + rng.bytes(96)  # MP4 box magic
+    n, h, w = int(rng.integers(3, 10)), int(rng.integers(4, 17)), int(rng.integers(4, 17))
+    t = np.arange(n, dtype=np.uint8)[:, None, None]
+    base = np.linspace(0, 255, w, dtype=np.uint8)[None, None, :]
+    frames = np.zeros((n, h, w, 3), dtype=np.uint8)
+    frames[:, :, :, 0] = (base + 13 * t) % 256  # moving luma gradient
+    frames[:, :, :, 1] = 128
+    frames[:, :, :, 2] = (32 * t) % 256
+    return encode_y4m(frames)
+
+
+def video_frame_features(sf_dir: str) -> rd.Dataset:
+    """Multimodal video path end-to-end: per-doc synthesized y4m
+    payloads (plus a planted opaque MP4-like slice) → FrameSampler
+    actor pool → (doc_id, frame_offsets, frame_luma_mean, decoded).
+    Rows-only oracle; container round-trips pinned in tests."""
+    ds = table(sf_dir, "documents", columns=["doc_id"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "bytes": pa.array([_synth_video(int(i)) for i in ids], pa.binary()),
+        })
+
+    vids = ds.map_batches(attach, batch_format="pyarrow", batch_size=256)
+    return vids.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
 
 
 def window_rms_profile(sf_dir: str) -> rd.Dataset:

@@ -91,8 +91,54 @@ def test_frame_sampler_offsets():
     out = _binary_ds().map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=2
     ).to_pandas()
-    assert set(out.columns) == {"item_id", "frame_offsets"}
+    assert set(out.columns) == {"item_id", "frame_offsets", "frame_luma_mean", "decoded"}
+    assert not out["decoded"].any()  # random bytes are not y4m
     for _, row in out.iterrows():
         offs = row["frame_offsets"]
         assert len(offs) == 4
         assert list(offs) == sorted(offs) and offs[0] == 0
+
+
+def test_y4m_roundtrip_and_seek():
+    from longqc_ray.kernels.video import decode_y4m_frame, encode_y4m, probe_y4m
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (5, 7, 9, 3), dtype=np.uint8)
+    payload = encode_y4m(frames)
+    w, h, n, hdr = probe_y4m(payload)
+    assert (w, h, n) == (9, 7, 5)
+    for k in range(5):
+        assert np.array_equal(decode_y4m_frame(payload, k), frames[k])
+    assert probe_y4m(b"\x00\x00\x00\x18ftypmp42") is None
+    # non-444 colourspace is declared out of numpy-decodable scope
+    assert probe_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\x00" * 24) is None
+
+
+def test_frame_sampler_real_y4m():
+    from longqc_ray.kernels.video import encode_y4m
+
+    frames = np.full((6, 4, 4, 3), 50, dtype=np.uint8)
+    frames[3:, :, :, 0] = 200  # luma jumps at frame 3
+    ds = rd.from_arrow(pa.table({
+        "item_id": pa.array(["v0"], pa.string()),
+        "bytes": pa.array([encode_y4m(frames)], pa.binary()),
+    }))
+    out = ds.map_batches(
+        FrameSampler, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    row = out.iloc[0]
+    assert row["decoded"]
+    assert len(row["frame_offsets"]) == 4  # n_frames=4 sampled from 6
+    lumas = list(row["frame_luma_mean"])
+    assert lumas[0] == 50.0 and lumas[-1] == 200.0
+
+
+def test_video_features_query_end_to_end():
+    from longqc_ray.pipelines.multimodal import video_frame_features
+
+    df = video_frame_features("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert (~df["decoded"]).sum() == (df["doc_id"] % 10 == 9).sum()
+    dec = df[df["decoded"]]
+    assert all(len(o) >= 1 for o in dec["frame_offsets"])
+    assert all(len(o) == len(l) for o, l in zip(dec["frame_offsets"], dec["frame_luma_mean"]))
