@@ -170,6 +170,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "purchase_click_asof", "event_window_range_join",
         "user_rolling_value", "value_quantiles", "simhash_docs",
         "fuzzy_span_docs", "user_activity_intervals", "window_rms_profile",
+        "contamination_docs", "chunk_dedup_docs", "vocab_top_tokens",
+        "approx_distinct_users", "image_features", "video_frame_features",
     ]
     out: dict[str, float] = {}
     for name in names:

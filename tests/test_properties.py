@@ -67,3 +67,36 @@ def test_nxx_local_twin_definition(vals, frac):
     assert got in set(v.tolist())
     total = v.sum()
     assert v[v >= got].sum() >= frac * total - 1e-9
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_image_codec_roundtrip_property(h, w, seed):
+    """decode(encode(img)) == img for every shape, both codecs
+    (BMP row padding exercises every w % 4 class)."""
+    from longqc_ray.kernels.image import decode_bmp, decode_ppm, encode_bmp, encode_ppm
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_roundtrip_property(n, h, w, seed):
+    from longqc_ray.kernels.video import decode_y4m_frame, encode_y4m, probe_y4m
+
+    frames = np.random.default_rng(seed).integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    payload = encode_y4m(frames)
+    assert probe_y4m(payload) is not None and probe_y4m(payload)[2] == n
+    for k in range(n):
+        assert np.array_equal(decode_y4m_frame(payload, k), frames[k])
