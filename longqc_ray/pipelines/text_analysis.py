@@ -359,7 +359,7 @@ def vocab_top_tokens(sf_dir: str, k: int = VOCAB_TOP_K) -> pd.DataFrame:
         })
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("token")
         .aggregate(Sum("cnt", alias_name="n"))
         .sort(["n", "token"], descending=[True, False])
@@ -376,6 +376,9 @@ CONTAM_N = 8           # word-shingle width (8-13-gram decontamination shape)
 CONTAM_BENCH_MOD = 97  # benchmark membership: doc_id % MOD == 0
 CHUNK_WORDS = 10       # "line" unit for this newline-free corpus
 CHUNK_MIN_DOCS = 2     # chunk is boilerplate when seen in >= this many docs
+# below this many (h, nd) partial rows the chunk-count merge happens on
+# the driver; above it, the grouped-sum shuffle (find_dup_keys split)
+CHUNK_PARTIALS_DRIVER_CAP = 50_000_000
 
 
 def _doc_shingles(text: str, n: int) -> list[str]:
@@ -442,7 +445,7 @@ def contamination_docs(
             "contaminated": pa.array(n_cont > 0, pa.bool_()),
         })
 
-    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
 def _doc_chunks(text: str, chunk: int) -> list[str]:
@@ -488,18 +491,31 @@ def chunk_dedup_docs(
             "nd": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
-    counts = (
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=4096)
-        .groupby("h")
-        .aggregate(Sum("nd", alias_name="n_docs"))
-    )
+    # Merge the map-side partials the same way find_dup_keys does:
+    # materialize the NARROW (h, nd) partials once, and below the cap
+    # sum them on the driver (a Ray groupby costs ~2 s of fixed
+    # sort-shuffle overhead even over 30k partial rows); above the cap
+    # — the dense regime where the chunk vocabulary itself is big —
+    # fall back to the grouped-sum shuffle. Both branches produce the
+    # identical frequent-chunk set.
+    parts = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    if parts.count() <= CHUNK_PARTIALS_DRIVER_CAP:
+        merged = parts.to_pandas()
+        totals = merged.groupby("h", sort=False)["nd"].sum()
+        freq_h = totals.index.to_numpy()[totals.to_numpy() >= min_docs]
+    else:
+        counts = parts.groupby("h").aggregate(Sum("nd", alias_name="n_docs"))
 
-    def frequent(t: pa.Table) -> pa.Table:
-        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(nd >= min_docs)).select(["h"])
+        def frequent(t: pa.Table) -> pa.Table:
+            nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(nd >= min_docs)).select(["h"])
 
-    freq = counts.map_batches(frequent, batch_format="pyarrow").to_pandas()
-    freq_sorted = np.unique(freq["h"].to_numpy().view(np.uint64))
+        freq_h = counts.map_batches(
+            frequent, batch_format="pyarrow"
+        ).to_pandas()["h"].to_numpy()
+    freq_sorted = np.unique(freq_h.view(np.uint64))
     fref = ray.put(freq_sorted)
 
     def rewrite(t: pa.Table) -> pa.Table:
@@ -527,4 +543,4 @@ def chunk_dedup_docs(
             "n_removed": pa.array(n_removed, pa.int64()),
         })
 
-    return ds.map_batches(rewrite, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(rewrite, batch_format="pyarrow", batch_size=None)
