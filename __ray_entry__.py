@@ -106,6 +106,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_profile": relational.user_gap_profile,        # M11 gaps
         "user_activity_intervals": relational.user_activity_intervals,  # M12/T4 merge
         "approx_distinct_users": relational.approx_distinct_users,  # A17 HLL scale path
+        "top_events_per_user": relational.top_events_per_user,  # distributed top-k per key
+        "user_value_lag": relational.user_value_lag,            # LAG window fn
+        "funnel_conversion": relational.funnel_conversion,      # staged min-ts funnel
+        "corr_quantity_price": relational.corr_quantity_price,  # exact distributed Pearson
+        "event_props_extract": relational.event_props_extract,  # JSON field extract + agg
         # --- dedup ladder ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -504,6 +509,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT))
                         OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_value_cents
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, value_cents, rn FROM (
+              SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_cents,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                          ORDER BY round(value * 100) DESC, event_id) AS BIGINT) AS rn
+              FROM events)
+            WHERE rn <= 3
+        """,
+        "user_value_lag": """
+            SELECT event_id, user_id,
+                   CAST(coalesce(lag(CAST(round(value * 100) AS BIGINT)) OVER w, 0) AS BIGINT)
+                     AS prev_value_cents,
+                   CAST(CAST(round(value * 100) AS BIGINT)
+                        - coalesce(lag(CAST(round(value * 100) AS BIGINT)) OVER w, 0) AS BIGINT)
+                     AS delta_cents
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "funnel_conversion": """
+            WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+            SELECT 'view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+            UNION ALL SELECT 'click', (SELECT count(*) FROM c)
+            UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)
+        """,
+        "corr_quantity_price": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     count(*) AS n,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)
+                         * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qp
+            FROM m ORDER BY l_returnflag
+        """,
+        "event_props_extract": r"""
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "value_quantiles": """
             SELECT CAST(0.25 AS DOUBLE) AS q, CAST(quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.25) AS BIGINT) AS price_cents FROM lineitem

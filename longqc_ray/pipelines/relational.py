@@ -859,3 +859,205 @@ def approx_distinct_users(sf_dir: str) -> pa.Table:
     return pa.table({
         "approx_users": pa.array([int(round(est))], pa.int64()),
     })
+
+
+# ------------------------------------------------- window-function family
+#
+# The reference's within-read window passes (lq_mask.py sliding score
+# windows, lq_sequel.py ordered per-key walks) generalize to the SQL
+# window-function family a training-data pipeline leans on: ranked
+# top-k per key, lag/delta per key, and staged funnels. All three use
+# the bounded ``__part`` hash-partition discipline (per-group Python
+# cost O(n_parts), never O(n_keys)).
+
+TOPK_PER_USER = 3
+
+
+def _rank_in_user(uid: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """0-based rank of each row inside its user run after applying
+    ``order`` (uid[order] must be group-contiguous)."""
+    u_s = uid[order]
+    idx = np.arange(u_s.size)
+    new = np.concatenate([[True], u_s[1:] != u_s[:-1]])
+    starts = np.nonzero(new)[0]
+    own = starts[np.searchsorted(starts, idx, side="right") - 1]
+    return idx - own
+
+
+def top_events_per_user(sf_dir: str, k: int = TOPK_PER_USER) -> pd.DataFrame:
+    """Distributed top-k per group (O7 per-key variant): each user's k
+    highest-value events with dense rank, tie-broken by event_id.
+
+    Scale shape: a map-side PRUNE keeps at most k rows per user per
+    batch (the global per-user top-k is a subset of the union of
+    per-batch per-user top-k), so the shuffle moves ≤ k·users rows,
+    then the bounded-partition final pass ranks whole partitions
+    vectorized. No global sort."""
+    ds = table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def topk(t: pa.Table, emit_rank: bool) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = (t.column("value_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+              if "value_cents" in t.column_names
+              else cents(t.column("value").to_numpy(zero_copy_only=False)))
+        order = np.lexsort((eid, -vc, uid))
+        rank = _rank_in_user(uid, order)
+        keep = order[rank < k]
+        cols = {
+            "user_id": pa.array(uid[keep], pa.int64()),
+            "event_id": pa.array(eid[keep], pa.int64()),
+            "value_cents": pa.array(vc[keep], pa.int64()),
+        }
+        if emit_rank:
+            cols["rn"] = pa.array(rank[rank < k] + 1, pa.int64())
+        return pa.table(cols)
+
+    pruned = ds.map_batches(
+        lambda t: topk(t, emit_rank=False), batch_format="pyarrow", batch_size=8192
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        return topk(t, emit_rank=True).to_pandas()
+
+    out = _grouped_parts(pruned, "user_id", per_part)
+    return out.sort_values(["user_id", "rn"], kind="stable").reset_index(drop=True)
+
+
+def user_value_lag(sf_dir: str) -> pd.DataFrame:
+    """Per-key lag window (LAG(value) OVER (PARTITION BY user ORDER BY
+    ts)): previous event value and delta per event, 0 at the key start.
+    Same vectorized-partition discipline as user_rolling_value; cents
+    domain keeps deltas bit-exact vs the SQL window oracle."""
+    ds = table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g, uid, ts, new_user, starts = _user_sorted(g, extra=["event_id"])
+        c = cents(g["value"].to_numpy())
+        prev = np.empty_like(c)
+        prev[0] = 0
+        prev[1:] = c[:-1]
+        prev[new_user] = 0
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(dtype=np.int64),
+            "user_id": uid,
+            "prev_value_cents": prev,
+            "delta_cents": c - prev,
+        })
+
+    return _grouped_parts(ds, "user_id", per_part)
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(sf_dir: str) -> pa.Table:
+    """Staged funnel: users whose FIRST view precedes a later click
+    precedes a later purchase (strict ts ordering stage to stage).
+
+    Because each user's rows co-locate in one ``__part`` partition,
+    every stage resolves inside the partition with vectorized pandas
+    group-mins — the only cross-node traffic is the bounded partition
+    shuffle plus one tiny (stage, count) partial per partition."""
+    ds = table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        reached = None  # Series: user_id -> first ts that reached the stage
+        counts = []
+        for stage in FUNNEL_STAGES:
+            e = g[g["event_type"] == stage]
+            if reached is not None:
+                prev = reached.reindex(e["user_id"]).to_numpy()
+                e = e[e["ts"].to_numpy() > prev]  # NaT compares False
+            reached = e.groupby("user_id")["ts"].min()
+            counts.append(len(reached))
+        return pd.DataFrame({"stage": list(FUNNEL_STAGES), "n_users": counts})
+
+    parts = _grouped_parts(ds, "user_id", per_part)
+    totals = parts.groupby("stage", sort=False)["n_users"].sum()
+    return pa.table({
+        "stage": pa.array(list(FUNNEL_STAGES), pa.string()),
+        "n_users": pa.array([int(totals.get(s, 0)) for s in FUNNEL_STAGES], pa.int64()),
+    })
+
+
+# ------------------------------------------------- exact moment aggregates
+
+def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pearson correlation per group via EXACT integer
+    moments (the A5 mean/sd pattern pushed one moment further): each
+    batch emits per-flag int64 sums (n, Σx, Σy, Σx², Σy², Σxy) in the
+    cents domain — batch_size 16384 keeps Σy² < 2^63 for prices up to
+    ~$500k — and the driver merges the tiny partials in arbitrary-
+    precision Python ints, so the final float is computed ONCE from
+    exact integers and matches the DuckDB HUGEINT oracle bit-for-bit.
+    No shuffle at all: the partials are a few rows per batch."""
+    import math
+
+    ds = table(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        flags = t.column("l_returnflag").to_pandas()
+        x = cents(t.column("l_quantity").to_numpy(zero_copy_only=False))
+        y = cents(t.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        codes, uniq = pd.factorize(flags, sort=True)
+        cols: dict[str, list] = {c: [] for c in
+                                 ["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"]}
+        for i, f in enumerate(uniq):
+            m = codes == i
+            xi, yi = x[m], y[m]
+            cols["l_returnflag"].append(str(f))
+            cols["n"].append(int(xi.size))
+            cols["sx"].append(int(xi.sum()))
+            cols["sy"].append(int(yi.sum()))
+            cols["sxx"].append(int((xi * xi).sum()))
+            cols["syy"].append(int((yi * yi).sum()))
+            cols["sxy"].append(int((xi * yi).sum()))
+        return pa.table({
+            "l_returnflag": pa.array(cols["l_returnflag"], pa.string()),
+            **{c: pa.array(cols[c], pa.int64()) for c in
+               ["n", "sx", "sy", "sxx", "syy", "sxy"]},
+        })
+
+    parts = ds.map_batches(moments, batch_format="pyarrow", batch_size=16384).to_pandas()
+    # Python-int merge: totals (Σy² ≈ 6e19 at sf0.1) exceed int64.
+    merged = parts.astype({c: object for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]})
+    tot = merged.groupby("l_returnflag", sort=True).sum()
+    rows = []
+    for f, r in tot.iterrows():
+        n, sx, sy, sxx, syy, sxy = (int(r[c]) for c in ["n", "sx", "sy", "sxx", "syy", "sxy"])
+        num = float(n * sxy - sx * sy)
+        den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+        rows.append({"l_returnflag": f, "n": n, "corr_qp": num / den})
+    return pd.DataFrame(rows)
+
+
+# ------------------------------------------------- semi-structured extract
+
+def event_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured payload extraction (the sts.xml/JSON scalar
+    parse S7 generalized to per-row JSON): pull the numeric ``k`` field
+    out of the JSON ``props`` string with ONE vectorized Arrow regex
+    kernel per batch — no Python-level json.loads per row — then the
+    partial+final grouped-sum pattern over (event_type)."""
+    ds = table(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "k": k,
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    parts = ds.map_batches(extract, batch_format="pyarrow", batch_size=8192)
+    out = grouped_sums(parts, ["event_type"], ["k", "one"])
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "sum_k": out["k_total"].astype(np.int64),
+        "n_events": out["one_total"].astype(np.int64),
+    })
+    return res.sort_values("event_type", kind="stable").reset_index(drop=True)

@@ -40,6 +40,11 @@ SQL_BACKED = [
     "user_gap_profile",
     "user_activity_intervals",
     "approx_distinct_users",
+    "top_events_per_user",
+    "user_value_lag",
+    "funnel_conversion",
+    "corr_quantity_price",
+    "event_props_extract",
     "dedup_exact",
     "dedup_minhash",
     "ngram_jaccard_pairs",
