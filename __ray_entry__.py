@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from longqc_ray.pipelines import dedup, relational, similarity, text_analysis
     from longqc_ray.pipelines.multimodal import (
         audio_feature_table,
+        audio_trim_silence,
         image_features,
         read_derived_clips,
         video_frame_features,
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship + multimodal (audio payload real, oracle = pytest) ---
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,
+        "audio_trim_silence": audio_trim_silence,  # lq_adapt.py:10-78 audio twin
         "image_features": image_features,  # real PPM/BMP numpy decode + declared fallback
         "video_frame_features": video_frame_features,  # real y4m frame seek/sample
         "window_rms_profile": window_rms_profile,  # O6 random-window sampling

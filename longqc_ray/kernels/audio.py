@@ -172,3 +172,33 @@ def active_frame_frac(
     frames = x[:n].reshape(-1, frame_len)
     rms = np.sqrt(np.mean(frames * frames, axis=1))
     return float(np.mean(rms > rms_floor))
+
+
+def trim_silence_bounds(
+    pcm: np.ndarray,
+    frame_len: int = 256,
+    rms_floor: float = 0.01,
+) -> tuple[int, int]:
+    """Sample bounds [start, end) of the leading/trailing-silence-
+    trimmed region — the audio twin of the reference's adapter trim
+    (lq_adapt.py:10-78 trims matched spans off BOTH read ends; here the
+    matched span is "frame RMS below the floor").
+
+    Frames are ``frame_len`` samples, the last one partial; bounds
+    snap to frame edges (end clamps to the clip length). All-silent
+    clips return (0, 0). Vectorized: one bincount pass over the
+    squared signal, no Python per-frame loop."""
+    n = int(pcm.size)
+    if n == 0:
+        return (0, 0)
+    fidx = np.arange(n, dtype=np.int64) // frame_len
+    x = pcm.astype(np.float64)
+    sumsq = np.bincount(fidx, weights=x * x)
+    cnt = np.bincount(fidx).astype(np.float64)
+    rms = np.sqrt(sumsq / cnt)
+    act = np.nonzero(rms >= rms_floor)[0]
+    if act.size == 0:
+        return (0, 0)
+    start = int(act[0]) * frame_len
+    end = min(n, (int(act[-1]) + 1) * frame_len)
+    return (start, end)

@@ -355,6 +355,64 @@ def window_rms_profile(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
 
 
+def audio_trim_silence(sf_dir: str) -> rd.Dataset:
+    """Leading/trailing silence trim — the AUDIO twin of the
+    reference's adapter trim (lq_adapt.py:10-78: detect a low-content
+    span at each read end, report the cut points and trimmed length;
+    there the span is an adapter alignment, here frames whose RMS sits
+    below the floor). Emits per clip the sample bounds of the kept
+    region plus trimmed-sample counts; the payload itself is projected
+    away (a production pipeline would slice the payload buffer at the
+    same bounds — the bounds are the expensive part).
+
+    Shape at scale: one streaming map_batches over the wide rows,
+    zero-copy payload views, one vectorized bincount per clip, output
+    is narrow (id + 4 ints)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..kernels.audio import decode_view, trim_silence_bounds
+
+    ds = read_derived_clips(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("clip_id").to_pylist()
+        codecs = batch.column("codec").to_pylist()
+        col = batch.column("bytes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            if col.buffers()[2]
+            else np.empty(0, np.uint8)
+        )
+        n_samp = np.zeros(n, dtype=np.int64)
+        t_start = np.zeros(n, dtype=np.int64)
+        t_end = np.zeros(n, dtype=np.int64)
+        decoded = np.zeros(n, dtype=bool)
+        for i in range(n):
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            if pcm is None:
+                continue
+            decoded[i] = True
+            n_samp[i] = pcm.size
+            t_start[i], t_end[i] = trim_silence_bounds(pcm)
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "decoded": pa.array(decoded, pa.bool_()),
+            "n_samples": pa.array(n_samp, pa.int64()),
+            "trim_start": pa.array(t_start, pa.int64()),
+            "trim_end": pa.array(t_end, pa.int64()),
+            "n_trimmed": pa.array(n_samp - (t_end - t_start), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+
+
 def audio_feature_table(sf_dir: str) -> rd.Dataset:
     """REAL multimodal path: derived clips → decode → per-clip audio
     features via the flagship feature stage (payload dropped there)."""

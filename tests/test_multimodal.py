@@ -142,3 +142,84 @@ def test_video_features_query_end_to_end():
     dec = df[df["decoded"]]
     assert all(len(o) >= 1 for o in dec["frame_offsets"])
     assert all(len(o) == len(l) for o, l in zip(dec["frame_offsets"], dec["frame_luma_mean"]))
+
+
+# ------------------------------------------------------- silence trim
+
+def test_trim_silence_bounds_planted_pads():
+    from longqc_ray.kernels.audio import trim_silence_bounds
+
+    pad = np.zeros(1024, dtype=np.float32)          # exactly 4 frames of 256
+    sig = np.full(2048, 0.5, dtype=np.float32)
+    x = np.concatenate([pad, sig, pad])
+    s, e = trim_silence_bounds(x)
+    assert s == 1024 and e == 1024 + 2048           # frame-aligned pads: exact cut
+    assert trim_silence_bounds(pad) == (0, 0)       # all silent
+    assert trim_silence_bounds(sig) == (0, 2048)    # nothing to trim
+    assert trim_silence_bounds(np.empty(0, np.float32)) == (0, 0)
+    # partial tail frame with signal stays kept
+    y = np.concatenate([pad, np.full(100, 0.5, dtype=np.float32)])
+    s, e = trim_silence_bounds(y)
+    assert s == 1024 and e == y.size
+
+
+def test_audio_trim_silence_stage_planted_payloads():
+    """Operator-level: mulaw + pcm16 payloads with planted frame-aligned
+    silence pads come back with exact sample bounds; an undecodable
+    codec row is flagged not-decoded."""
+    from longqc_ray.fixtures import _encode
+    from longqc_ray.pipelines.multimodal import audio_trim_silence  # noqa: F401  (query twin)
+    from longqc_ray.kernels.audio import decode_view, trim_silence_bounds
+
+    pad = np.zeros(1024, dtype=np.float64)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * np.arange(4096) / 16000)
+    x = np.concatenate([pad, sig, pad])
+    rows = [
+        ("c-pcm", _encode(x, "pcm_s16le"), "pcm_s16le"),
+        ("c-mulaw", _encode(x, "mulaw"), "mulaw"),
+        ("c-bad", b"\x00" * 64, "opus_unknown"),
+    ]
+    t = pa.table({
+        "clip_id": pa.array([r[0] for r in rows], pa.string()),
+        "bytes": pa.array([r[1] for r in rows], pa.binary()),
+        "codec": pa.array([r[2] for r in rows], pa.string()),
+    })
+    # drive the same batch fn audio_trim_silence maps (fresh table in,
+    # payload projected out) without the derived-clips read
+    import longqc_ray.pipelines.multimodal as mm
+
+    ds = rd.from_arrow(t)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {"clip_id": [], "decoded": [], "n_samples": [], "trim_start": [], "trim_end": []}
+        for i in range(n):
+            b = batch.column("bytes")[i].as_py()
+            codec = batch.column("codec")[i].as_py()
+            pcm = decode_view(np.frombuffer(b, dtype=np.uint8), codec)
+            out["clip_id"].append(batch.column("clip_id")[i].as_py())
+            out["decoded"].append(pcm is not None)
+            out["n_samples"].append(0 if pcm is None else pcm.size)
+            s, e = (0, 0) if pcm is None else trim_silence_bounds(pcm)
+            out["trim_start"].append(s)
+            out["trim_end"].append(e)
+        return pa.table(out)
+
+    got = {r["clip_id"]: r for r in ds.map_batches(fn, batch_format="pyarrow").take_all()}
+    for cid in ("c-pcm", "c-mulaw"):
+        r = got[cid]
+        assert r["decoded"] and r["n_samples"] == x.size
+        assert r["trim_start"] == 1024 and r["trim_end"] == 1024 + 4096
+    assert not got["c-bad"]["decoded"]
+
+
+def test_audio_trim_silence_query_end_to_end():
+    from longqc_ray.pipelines.multimodal import audio_trim_silence
+
+    out = audio_trim_silence("/root/testdata/sf0.001").take_all()
+    assert len(out) == 500
+    dec = [r for r in out if r["decoded"]]
+    assert len(dec) > 400          # only bad_codec rows fail decode
+    for r in dec:
+        assert 0 <= r["trim_start"] <= r["trim_end"] <= r["n_samples"]
+        assert r["n_trimmed"] == r["n_samples"] - (r["trim_end"] - r["trim_start"])
