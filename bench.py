@@ -172,6 +172,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "fuzzy_span_docs", "user_activity_intervals", "window_rms_profile",
         "contamination_docs", "chunk_dedup_docs", "vocab_top_tokens",
         "approx_distinct_users", "image_features", "video_frame_features",
+        "top_events_per_user", "user_value_lag", "funnel_conversion",
+        "corr_quantity_price", "event_props_extract", "audio_trim_silence",
     ]
     out: dict[str, float] = {}
     for name in names:
