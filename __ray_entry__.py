@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": relational.funnel_conversion,      # staged min-ts funnel
         "corr_quantity_price": relational.corr_quantity_price,  # exact distributed Pearson
         "event_props_extract": relational.event_props_extract,  # JSON field extract + agg
+        "event_value_quantiles_by_type": relational.event_value_quantiles_by_type,  # grouped quantile_disc
         # --- dedup ladder ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -562,6 +563,15 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
                         * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qp
             FROM m ORDER BY l_returnflag
+        """,
+        "event_value_quantiles_by_type": """
+            SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.5) AS BIGINT) AS value_cents
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.95,
+                   CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.95) AS BIGINT)
+            FROM events GROUP BY event_type
         """,
         "event_props_extract": r"""
             SELECT event_type,

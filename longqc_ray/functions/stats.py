@@ -199,3 +199,120 @@ def nxx_exact_local(values: np.ndarray, frac: float = 0.5) -> float:
     cum = np.cumsum(a)
     idx = int(np.searchsorted(cum, frac * cum[-1]))
     return float(a[min(idx, len(a) - 1)])
+
+
+def grouped_quantile_disc(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    n_bins: int = 1024,
+) -> dict[tuple, list[float]]:
+    """Per-GROUP exact discrete quantiles, same scale shape as
+    ``quantile_disc`` (A2/A13 grouped): materialize the narrow
+    (key, col) projection once, ONE fused per-group min/max/count,
+    ONE histogram aggregate whose accumulator is a fixed
+    (n_groups × n_bins) count matrix with PER-GROUP edges, then ONE
+    combined filtered collect for every (group, crossing-bin) pair.
+
+    Designed for bounded-cardinality keys (the matrix is n_groups ×
+    n_bins × 8 bytes; 1e4 groups × 1024 bins = 80 MB — beyond that,
+    hash-partition by key and run per partition). Returns
+    {group_value: [quantile per q]}."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn, Count, Max, Min
+
+    stats = ds.select_columns([key, col]).materialize()
+    g = stats.groupby(key).aggregate(Min(col), Max(col), Count()).to_pandas()
+    keys = g[key].tolist()
+    n_keys = len(keys)
+    kidx = {k: i for i, k in enumerate(keys)}
+    los = g[f"min({col})"].to_numpy().astype(np.float64)
+    his = g[f"max({col})"].to_numpy().astype(np.float64)
+    ns = g["count()"].to_numpy().astype(np.int64)
+    flat = los == his  # degenerate groups: answer is lo for every q
+    # per-group bin edges; degenerate groups get dummy [0,1) edges and
+    # are excluded from the histogram and the refinement entirely
+    lo_e = np.where(flat, 0.0, los)
+    hi_e = np.where(flat, 1.0, np.nextafter(his, np.inf))
+    edges = np.linspace(lo_e, hi_e, n_bins + 1, axis=1)  # (n_keys, n_bins+1)
+
+    def _mat(a) -> np.ndarray:
+        return np.asarray(a, dtype=np.int64).reshape(n_keys, n_bins)
+
+    def acc_block(a, block) -> np.ndarray:
+        m = _mat(a).copy()
+        if isinstance(block, pa.Table):
+            kv = block.column(key).to_pylist()
+            v = block.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            kv = block[key].tolist()
+            v = block[col].to_numpy().astype(np.float64)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(np.asarray(kv, dtype=object))
+        for j, k in enumerate(uniq):
+            i = kidx.get(k)
+            if i is None or flat[i]:
+                continue
+            cnt, _ = np.histogram(v[codes == j], bins=edges[i])
+            m[i] += cnt
+        return m
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(n_keys * n_bins, dtype=np.int64),
+        accumulate_block=acc_block,
+        merge=lambda a, b: _mat(a) + _mat(b),
+        name="gq_hist",
+    )
+    mat = _mat(stats.aggregate(agg)["gq_hist"])
+
+    # (group, q) -> target rank -> crossing bin; batch ALL refinement
+    # intervals into one filtered collect
+    cum = np.cumsum(mat, axis=1)
+    need: dict[int, set[int]] = {}
+    ranks: dict[tuple[int, int], int] = {}
+    for i in range(n_keys):
+        if flat[i]:
+            continue
+        for j, q in enumerate(qs):
+            r = min(max(int(np.ceil(q * ns[i])) - 1, 0), int(ns[i]) - 1)
+            b = int(np.searchsorted(cum[i], r + 1))
+            ranks[(i, j)] = r
+            need.setdefault(i, set()).add(b)
+
+    intervals = [
+        (keys[i], float(edges[i][b]), float(edges[i][b + 1]), i, b)
+        for i in sorted(need)
+        for b in sorted(need[i])
+    ]
+
+    def flt(t: pa.Table) -> pa.Table:
+        tk, tv = t.column(key), t.column(col)
+        m = None
+        for k, blo, bhi, _, _ in intervals:
+            c = pc.and_(pc.equal(tk, k),
+                        pc.and_(pc.greater_equal(tv, blo), pc.less(tv, bhi)))
+            m = c if m is None else pc.or_(m, c)
+        return t.filter(m)
+
+    coll = stats.map_batches(flt, batch_format="pyarrow").to_pandas()
+    kcol = coll[key].to_numpy(dtype=object)
+    vcol = coll[col].to_numpy().astype(np.float64)
+    bin_vals: dict[tuple[int, int], np.ndarray] = {}
+    for k, blo, bhi, i, b in intervals:
+        bin_vals[(i, b)] = np.sort(vcol[(kcol == k) & (vcol >= blo) & (vcol < bhi)])
+
+    out: dict = {}
+    for i, k in enumerate(keys):
+        if flat[i]:
+            out[k] = [float(los[i])] * len(qs)
+            continue
+        vals = []
+        for j in range(len(qs)):
+            r = ranks[(i, j)]
+            b = int(np.searchsorted(cum[i], r + 1))
+            below = int(cum[i][b - 1]) if b > 0 else 0
+            vals.append(float(bin_vals[(i, b)][r - below]))
+        out[k] = vals
+    return out

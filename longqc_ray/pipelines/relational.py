@@ -1061,3 +1061,33 @@ def event_props_extract(sf_dir: str) -> pd.DataFrame:
         "n_events": out["one_total"].astype(np.int64),
     })
     return res.sort_values("event_type", kind="stable").reset_index(drop=True)
+
+
+_GROUPED_QS = [0.5, 0.95]
+
+
+def event_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped exact discrete quantiles (A2×A13: the distributed
+    order-statistics path per group): p50/p95 of event value cents per
+    event_type, via ONE grouped-histogram aggregate (fixed
+    n_groups×n_bins count-matrix accumulator, per-group edges) and ONE
+    combined refinement collect — no global or per-group sort."""
+    from ..functions.stats import grouped_quantile_disc
+
+    ds = table(sf_dir, "events", columns=["event_type", "value"])
+    rows = ds.map_batches(
+        lambda t: pa.table({
+            "event_type": t.column("event_type"),
+            "value_cents": pa.array(
+                cents(t.column("value").to_numpy(zero_copy_only=False)), pa.int64()
+            ),
+        }),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    res = grouped_quantile_disc(rows, "event_type", "value_cents", _GROUPED_QS)
+    recs = [
+        {"event_type": k, "q": q, "value_cents": int(v)}
+        for k in sorted(res) for q, v in zip(_GROUPED_QS, res[k])
+    ]
+    return pd.DataFrame(recs)

@@ -189,6 +189,33 @@ def test_quantile_disc_matches_inverted_cdf():
     assert got == want
 
 
+def test_grouped_quantile_disc_matches_per_group_cdf():
+    """Grouped distributed quantiles == per-group numpy inverted_cdf,
+    including a degenerate all-equal group and a tiny group."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from longqc_ray.functions.stats import grouped_quantile_disc
+
+    rng = np.random.default_rng(11)
+    ks = ["a"] * 5000 + ["b"] * 3000 + ["flat"] * 100 + ["tiny"] * 3
+    vs = np.concatenate([
+        rng.integers(0, 100_000, 5000),
+        rng.integers(-500, 500, 3000),
+        np.full(100, 42),
+        np.array([7, 1, 9]),
+    ]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": ks, "v": vs}))
+    qs = [0.1, 0.5, 0.95]
+    got = grouped_quantile_disc(ds, "k", "v", qs)
+    arr = np.asarray(ks, dtype=object)
+    for k in ["a", "b", "flat", "tiny"]:
+        want = [float(np.percentile(vs[arr == k], q * 100, method="inverted_cdf"))
+                for q in qs]
+        assert got[k] == want, k
+
+
 def test_hll_accuracy_and_merge():
     """HLL estimate within 2.5% at 4096 registers; merge == union."""
     import numpy as np

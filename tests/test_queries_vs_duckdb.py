@@ -45,6 +45,7 @@ SQL_BACKED = [
     "funnel_conversion",
     "corr_quantity_price",
     "event_props_extract",
+    "event_value_quantiles_by_type",
     "dedup_exact",
     "dedup_minhash",
     "ngram_jaccard_pairs",
