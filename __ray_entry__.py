@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_docs": text_analysis.contamination_docs,  # train/eval 8-gram overlap
         "chunk_dedup_docs": text_analysis.chunk_dedup_docs,  # corpus-level line-dedup analogue
         "vocab_top_tokens": text_analysis.vocab_top_tokens,  # vocabulary frequency scan
+        "bigram_collocations": text_analysis.bigram_collocations,  # lift/PMI collocation mining
         # --- flagship + multimodal (audio payload real, oracle = pytest) ---
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,
@@ -625,6 +626,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest(regexp_extract_all(text, '{_TOK}')) AS token FROM documents)
             GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        "bigram_collocations": f"""
+            WITH toks AS (SELECT regexp_extract_all(text, '{_TOK}') AS ts FROM documents),
+            uni AS (SELECT w, count(*) AS c
+                    FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+            big AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+                    FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)),
+            bc AS (SELECT w1, w2, count(*) AS n_ab FROM big GROUP BY 1, 2),
+            tot AS (SELECT count(*) AS nb FROM big)
+            SELECT bc.w1, bc.w2, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(nb * n_ab AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift
+            FROM bc CROSS JOIN tot
+            JOIN uni a ON a.w = bc.w1
+            JOIN uni b ON b.w = bc.w2
+            WHERE n_ab >= 5
+            ORDER BY lift DESC, bc.w1, bc.w2 LIMIT 20
         """,
         # corpus-level line dedup (10-word chunk units): chunks seen in
         # >= 2 distinct docs are boilerplate; survivors rejoin in order

@@ -174,7 +174,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "approx_distinct_users", "image_features", "video_frame_features",
         "top_events_per_user", "user_value_lag", "funnel_conversion",
         "corr_quantity_price", "event_props_extract", "audio_trim_silence",
-        "event_value_quantiles_by_type",
+        "event_value_quantiles_by_type", "bigram_collocations",
     ]
     out: dict[str, float] = {}
     for name in names:

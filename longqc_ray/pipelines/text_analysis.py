@@ -25,6 +25,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -544,3 +545,99 @@ def chunk_dedup_docs(
         })
 
     return ds.map_batches(rewrite, batch_format="pyarrow", batch_size=None)
+
+
+# --- collocations -----------------------------------------------------
+
+BIGRAM_MIN_COUNT = 5
+BIGRAM_TOP_K = 20
+
+
+def bigram_collocations(
+    sf_dir: str, k: int = BIGRAM_TOP_K, min_count: int = BIGRAM_MIN_COUNT
+) -> pd.DataFrame:
+    """Collocation mining: top-``k`` adjacent token pairs by LIFT
+    (= N·c(ab) / (c(a)·c(b)), the exp of PMI — same ranking, but the
+    ratio of EXACT integer counts casts to one double identically in
+    numpy and DuckDB, so the oracle matches bit-for-bit; a log would
+    reintroduce libm variance for zero analytical gain).
+
+    Scale shape: one tokenize pass emits per-batch partial counts for
+    unigrams (w2='') and bigrams in the SAME narrow table; ONE
+    (w1,w2) groupby — O(vocab²-observed), not O(corpus) — is the only
+    all-to-all; the unigram side is a vocab-bounded collect broadcast
+    into the lift stage (beyond ~1e8 vocab, swap for util.hash_join on
+    w1 then w2); winners reach the driver via distributed
+    sort().limit(k)."""
+    from ray.data.aggregate import Sum
+
+    ds = table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w1: list[str] = []
+        w2: list[str] = []
+        for t in batch.column("text").to_pylist():
+            ts = _TOKEN_RE.findall(t)
+            w1.extend(ts)
+            w2.extend([""] * len(ts))          # unigram rows
+            w1.extend(ts[:-1])
+            w2.extend(ts[1:])                  # bigram rows
+        if w1:
+            # "\t" never occurs in tokens (word-char pattern); NUL
+            # would read as an empty separator in numpy's C strings
+            keys = np.char.add(np.char.add(np.asarray(w1), "\t"), np.asarray(w2))
+            u, c = np.unique(keys, return_counts=True)
+            parts = np.char.partition(u, "\t")
+            a, b = parts[:, 0], parts[:, 2]
+        else:
+            a = b = np.empty(0, dtype=object)
+            c = np.empty(0, np.int64)
+        return pa.table({
+            "w1": pa.array(a.tolist(), pa.string()),
+            "w2": pa.array(b.tolist(), pa.string()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("cnt", alias_name="n"))
+        .materialize()
+    )
+
+    def unis(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("w2"), "")).select(["w1", "n"])
+
+    uni = counts.map_batches(unis, batch_format="pyarrow").to_pandas()
+    uc = dict(zip(uni["w1"], uni["n"].astype(np.int64)))
+    ucref = ray.put(uc)
+    nb = int(
+        counts.map_batches(
+            lambda t: pa.table({"n": t.filter(pc.not_equal(t.column("w2"), "")).column("n")}),
+            batch_format="pyarrow",
+        ).sum("n")
+        or 0
+    )
+
+    def lift(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.not_equal(t.column("w2"), ""),
+                             pc.greater_equal(t.column("n"), min_count)))
+        m = ray.get(ucref)
+        a = t.column("w1").to_pandas().map(m).to_numpy(dtype=np.int64)
+        b = t.column("w2").to_pandas().map(m).to_numpy(dtype=np.int64)
+        n_ab = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        lv = (nb * n_ab).astype(np.float64) / (a * b).astype(np.float64)
+        return pa.table({
+            "w1": t.column("w1"), "w2": t.column("w2"),
+            "n_ab": pa.array(n_ab, pa.int64()),
+            "lift": pa.array(lv, pa.float64()),
+        })
+
+    out = (
+        counts.map_batches(lift, batch_format="pyarrow")
+        .sort(["lift", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["n_ab"] = out["n_ab"].astype(np.int64)
+    return out.reset_index(drop=True)[["w1", "w2", "n_ab", "lift"]]

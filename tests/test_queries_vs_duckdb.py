@@ -54,6 +54,7 @@ SQL_BACKED = [
     "contamination_docs",
     "chunk_dedup_docs",
     "vocab_top_tokens",
+    "bigram_collocations",
     "repetition_docs",
     "fuzzy_span_docs",
     "embedding_near_dups",
