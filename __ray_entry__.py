@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_profile": relational.user_gap_profile,        # M11 gaps
         "user_activity_intervals": relational.user_activity_intervals,  # M12/T4 merge
         "approx_distinct_users": relational.approx_distinct_users,  # A17 HLL scale path
+        "approx_users_by_type": relational.approx_users_by_type,  # grouped HLL sketch
         "top_events_per_user": relational.top_events_per_user,  # distributed top-k per key
         "user_value_lag": relational.user_value_lag,            # LAG window fn
         "funnel_conversion": relational.funnel_conversion,      # staged min-ts funnel
@@ -334,6 +335,44 @@ SELECT CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
                        THEN 4096.0 * ln(4096.0 / zeros)
                        ELSE raw END) AS BIGINT) AS approx_users
 FROM est
+"""
+
+
+_HLL_BY_TYPE_SQL = rf"""
+WITH u AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s FROM events),
+fnv AS (
+  SELECT event_type, list_reduce(
+    list_prepend(14695981039346656037::HUGEINT,
+      list_transform(range(1, octet_length(encode(s)) + 1),
+        i -> ((strpos('0123456789ABCDEF', substring(hex(encode(s)), 2*i-1, 1)) - 1) * 16
+            + (strpos('0123456789ABCDEF', substring(hex(encode(s)), 2*i, 1)) - 1))::HUGEINT)),
+    (h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+  )::UBIGINT AS h0
+  FROM u
+),
+m1 AS (SELECT event_type, {_mulmod64_sql("xor(h0, h0 >> 33)", 0xFF51AFD7ED558CCD)} AS h FROM fnv),
+m2 AS (SELECT event_type, {_mulmod64_sql("xor(h, h >> 33)", 0xC4CEB9FE1A85EC53)} AS h FROM m1),
+mixed AS (SELECT event_type, xor(h, h >> 33) AS h FROM m2),
+r AS (
+  SELECT event_type, (h >> 52)::BIGINT AS idx,
+         65 - length(bin((((h::HUGEINT * 4096) % 18446744073709551616::HUGEINT)::UBIGINT) | 4095::UBIGINT)) AS rank
+  FROM mixed
+),
+regs AS (SELECT event_type, idx, max(rank) AS reg FROM r GROUP BY event_type, idx),
+agg AS (SELECT event_type, count(*) AS n_nonzero, sum(pow(2.0, -reg)) AS ssum
+        FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type,
+         0.7213 / (1.0 + 1.079 / 4096) * 4096.0 * 4096.0
+         / (ssum + (4096 - n_nonzero) * 1.0) AS raw,
+         4096 - n_nonzero AS zeros
+  FROM agg
+)
+SELECT event_type,
+       CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                       THEN 4096.0 * ln(4096.0 / zeros)
+                       ELSE raw END) AS BIGINT) AS approx_users
+FROM est ORDER BY event_type
 """
 
 
@@ -622,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 97 <> 0
         """,
         "approx_distinct_users": _HLL_SQL,
+        "approx_users_by_type": _HLL_BY_TYPE_SQL,
         "vocab_top_tokens": f"""
             SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest(regexp_extract_all(text, '{_TOK}')) AS token FROM documents)

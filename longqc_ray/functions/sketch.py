@@ -119,3 +119,39 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = DEFAULT_P) -> float:
     for b in parts["regs"]:
         merged = hll_merge(merged, np.frombuffer(b, dtype=np.uint8))
     return hll_estimate(merged)
+
+
+def approx_distinct_grouped(
+    ds: rd.Dataset, key: str, col: str, p: int = DEFAULT_P
+) -> dict:
+    """Per-GROUP approximate count-distinct: each batch emits one
+    (key, registers) row per group present in the batch — block output
+    is O(groups_in_batch), the driver merge is elementwise max per
+    group. For bounded-cardinality keys; at large key cardinality the
+    same partials feed a (key) groupby with a register-max aggregate
+    instead of the driver merge."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = np.asarray(t.column(key).to_pylist(), dtype=object)
+        codes, uniq = pd.factorize(kv)
+        h = _hash_column(t, col)
+        ks, rs = [], []
+        for j, kval in enumerate(uniq):
+            ks.append(kval)
+            rs.append(hll_registers(h[codes == j], p).tobytes())
+        return pa.table({
+            key: pa.array(ks, pa.string()),
+            "regs": pa.array(rs, pa.binary()),
+        })
+
+    parts = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    out: dict = {}
+    for kval, grp in parts.groupby(key, sort=True):
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for b in grp["regs"]:
+            merged = hll_merge(merged, np.frombuffer(b, dtype=np.uint8))
+        out[kval] = hll_estimate(merged)
+    return out

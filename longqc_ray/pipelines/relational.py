@@ -1091,3 +1091,19 @@ def event_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
         for k in sorted(res) for q, v in zip(_GROUPED_QS, res[k])
     ]
     return pd.DataFrame(recs)
+
+
+def approx_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """A17 grouped scale path: per-event_type HyperLogLog approximate
+    distinct-user counts (functions/sketch.py approx_distinct_grouped)
+    — constant-size register partials per (batch, group), merged by
+    elementwise max; the full sketch is replicated per group in the
+    DuckDB oracle so even the approximation is hash-checked."""
+    from ..functions.sketch import approx_distinct_grouped
+
+    ds = table(sf_dir, "events", columns=["event_type", "user_id"])
+    est = approx_distinct_grouped(ds, "event_type", "user_id")
+    return pd.DataFrame({
+        "event_type": list(est),
+        "approx_users": [int(round(v)) for v in est.values()],
+    })

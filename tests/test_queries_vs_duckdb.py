@@ -40,6 +40,7 @@ SQL_BACKED = [
     "user_gap_profile",
     "user_activity_intervals",
     "approx_distinct_users",
+    "approx_users_by_type",
     "top_events_per_user",
     "user_value_lag",
     "funnel_conversion",
