@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_quantity_price": relational.corr_quantity_price,  # exact distributed Pearson
         "event_props_extract": relational.event_props_extract,  # JSON field extract + agg
         "event_value_quantiles_by_type": relational.event_value_quantiles_by_type,  # grouped quantile_disc
+        "parts_never_bulk_ordered": relational.parts_never_bulk_ordered,  # shuffled anti join (J1 scale path)
         # --- dedup ladder ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -612,6 +613,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, 0.95,
                    CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.95) AS BIGINT)
             FROM events GROUP BY event_type
+        """,
+        "parts_never_bulk_ordered": """
+            SELECT p_partkey, p_name FROM part p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48)
+            ORDER BY p_partkey
         """,
         "event_props_extract": r"""
             SELECT event_type,

@@ -175,7 +175,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "top_events_per_user", "user_value_lag", "funnel_conversion",
         "corr_quantity_price", "event_props_extract", "audio_trim_silence",
         "event_value_quantiles_by_type", "bigram_collocations",
-        "approx_users_by_type",
+        "approx_users_by_type", "parts_never_bulk_ordered",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -1107,3 +1107,26 @@ def approx_users_by_type(sf_dir: str) -> pd.DataFrame:
         "event_type": list(est),
         "approx_users": [int(round(v)) for v in est.values()],
     })
+
+
+BULK_QTY = 48
+
+
+def parts_never_bulk_ordered(sf_dir: str) -> pd.DataFrame:
+    """J1 at large×large scale: parts with NO bulk lineitem
+    (quantity >= BULK_QTY), via the shuffled anti join
+    (util.hash_anti_semi_join) — the right side is filtered and
+    key-deduplicated map-side, so the all-to-all moves part rows plus
+    distinct bulk part keys only; no side is broadcast."""
+    from .util import hash_anti_semi_join
+
+    part = table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    li = table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def bulk_keys(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(q >= BULK_QTY)).select(["l_partkey"])
+
+    bulk = li.map_batches(bulk_keys, batch_format="pyarrow")
+    out = hash_anti_semi_join(part, bulk, "p_partkey", "l_partkey").to_pandas()
+    return out.sort_values("p_partkey", kind="stable").reset_index(drop=True)

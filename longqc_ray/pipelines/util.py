@@ -308,3 +308,63 @@ def grouped_sums(
         preagg_sum(keys, sum_cols), batch_format="pyarrow", batch_size=batch_size
     )
     return final_sum(parts, keys, sum_cols)
+
+
+def hash_anti_semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    semi: bool = False,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Large×large ANTI (or SEMI) join via co-grouping — the scale
+    path for J1/J2 when the right side is too big to broadcast
+    (relational.control_anti_join / sample_semi_join stay the right
+    tool for small key sets).
+
+    The right side contributes nothing but key EXISTENCE, so it is
+    projected to its key column and deduplicated per batch BEFORE the
+    shuffle — the all-to-all moves left rows + distinct right keys
+    only. Per partition: one vectorized ``isin`` membership test."""
+    import pandas as pd
+
+    l_schema = left.schema().base_schema
+    l_cols = list(l_schema.names)
+    int_cols = [n for n in l_cols if pa.types.is_integer(l_schema.field(n).type)]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        h = _part_hash(t, left_key, n_parts)
+        cols = {c: t.column(c) for c in t.column_names}
+        cols["__part"] = pa.array(h, pa.int64())
+        cols["__side"] = pa.array(["l"] * t.num_rows, pa.string())
+        return pa.table({c: cols[c] for c in sorted(cols)})
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = pc.unique(t.column(right_key))
+        kt = pa.table({left_key: u.cast(l_schema.field(left_key).type)})
+        h = _part_hash(kt, left_key, n_parts)
+        cols = {left_key: kt.column(left_key)}
+        for c in l_cols:
+            if c != left_key:
+                cols[c] = pa.nulls(len(u), l_schema.field(c).type)
+        cols["__part"] = pa.array(h, pa.int64())
+        cols["__side"] = pa.array(["r"] * len(u), pa.string())
+        return pa.table({c: cols[c] for c in sorted(cols)})
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        rk = g.loc[g["__side"] == "r", left_key].unique()
+        l = g[g["__side"] == "l"]
+        m = l[left_key].isin(rk)
+        out = l[~m if not semi else m][l_cols]
+        for c in int_cols:  # null-padding widened ints to float64
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return both.groupby("__part").map_groups(per_part, batch_format="pandas")

@@ -300,3 +300,46 @@ def test_hash_join_and_asof_join_string_keys():
 
     with _pytest.raises(Exception, match="partition key column"):
         hash_join(rd.from_arrow(left), rd.from_arrow(right), "nope", "k").to_pandas()
+
+
+def test_hash_anti_semi_join_matches_pandas():
+    """Shuffled anti/semi join (J1/J2 scale path): both polarities
+    match pandas isin over integer and string keys; int dtypes
+    survive the null-padded union."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from longqc_ray.pipelines.util import hash_anti_semi_join
+
+    left = pa.table({
+        "k": pa.array([i % 11 for i in range(60)], pa.int64()),
+        "v": pa.array(list(range(60)), pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array([0, 2, 4, 6, 8, 2, 4], pa.int64()),  # dupes on purpose
+    })
+    ld, rd_ = rd.from_arrow(left), rd.from_arrow(right)
+    lpd = left.to_pandas()
+    rset = {0, 2, 4, 6, 8}
+    for semi in (False, True):
+        got = (
+            hash_anti_semi_join(ld, rd_, "k", "rk", semi=semi, n_parts=8)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        m = lpd["k"].isin(rset)
+        want = lpd[m if semi else ~m].sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    # string keys exercise the crc32 partition path
+    ls = pa.table({
+        "k": pa.array([f"u{i%5}" for i in range(20)], pa.string()),
+        "v": pa.array(list(range(20)), pa.int64()),
+    })
+    rs = pa.table({"rk": pa.array(["u1", "u3"], pa.string())})
+    got = (
+        hash_anti_semi_join(rd.from_arrow(ls), rd.from_arrow(rs), "k", "rk", n_parts=4)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    lspd = ls.to_pandas()
+    want = lspd[~lspd["k"].isin({"u1", "u3"})].sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

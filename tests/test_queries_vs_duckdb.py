@@ -47,6 +47,7 @@ SQL_BACKED = [
     "corr_quantity_price",
     "event_props_extract",
     "event_value_quantiles_by_type",
+    "parts_never_bulk_ordered",
     "dedup_exact",
     "dedup_minhash",
     "ngram_jaccard_pairs",
