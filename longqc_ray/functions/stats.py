@@ -207,7 +207,8 @@ def grouped_quantile_disc(
     col: str,
     qs: list[float],
     n_bins: int = 1024,
-) -> dict[tuple, list[float]]:
+    with_stats: bool = False,
+) -> dict | tuple[dict, dict]:
     """Per-GROUP exact discrete quantiles, same scale shape as
     ``quantile_disc`` (A2/A13 grouped): materialize the narrow
     (key, col) projection once, ONE fused per-group min/max/count,
@@ -218,19 +219,34 @@ def grouped_quantile_disc(
     Designed for bounded-cardinality keys (the matrix is n_groups ×
     n_bins × 8 bytes; 1e4 groups × 1024 bins = 80 MB — beyond that,
     hash-partition by key and run per partition). Returns
-    {group_value: [quantile per q]}."""
+    {group_value: [quantile per q]}; with ``with_stats`` also a second
+    dict {group_value: (count, sum)} from the same fused per-group
+    aggregate, so callers needing count/mean alongside the quantiles
+    (e.g. the A13 binned profile) pay no extra pass."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import AggregateFn, Count, Max, Min
+    from ray.data.aggregate import AggregateFn, Count, Max, Min, Sum
 
     stats = ds.select_columns([key, col]).materialize()
-    g = stats.groupby(key).aggregate(Min(col), Max(col), Count()).to_pandas()
+    g = stats.groupby(key).aggregate(Min(col), Max(col), Count(), Sum(col)).to_pandas()
     keys = g[key].tolist()
     n_keys = len(keys)
     kidx = {k: i for i, k in enumerate(keys)}
     los = g[f"min({col})"].to_numpy().astype(np.float64)
     his = g[f"max({col})"].to_numpy().astype(np.float64)
     ns = g["count()"].to_numpy().astype(np.int64)
+    sums = g[f"sum({col})"].to_numpy()
+    gstats = {k: (int(ns[i]), sums[i]) for i, k in enumerate(keys)}
     flat = los == his  # degenerate groups: answer is lo for every q
+
+    def _done(res: dict):
+        return (res, gstats) if with_stats else res
+
+    if bool(flat.all()):
+        # every group degenerate (min==max): all answers come from the
+        # per-group min — skip the histogram AND the refinement collect
+        # (an empty refinement interval list would otherwise build a
+        # None filter mask).
+        return _done({k: [float(los[i])] * len(qs) for i, k in enumerate(keys)})
     # per-group bin edges; degenerate groups get dummy [0,1) edges and
     # are excluded from the histogram and the refinement entirely
     lo_e = np.where(flat, 0.0, los)
@@ -315,4 +331,4 @@ def grouped_quantile_disc(
             below = int(cum[i][b - 1]) if b > 0 else 0
             vals.append(float(bin_vals[(i, b)][r - below]))
         out[k] = vals
-    return out
+    return _done(out)

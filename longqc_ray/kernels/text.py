@@ -152,6 +152,24 @@ def fnv1a_64_strs(strs: list[str]) -> np.ndarray:
     return fnv1a_64_varlen_np(mat, lens)
 
 
+def fnv1a_64_ints(ids: np.ndarray) -> np.ndarray:
+    """uint64 FNV-1a of each integer's decimal-string bytes, with NO
+    per-row Python: the decimal rendering is one vectorized
+    ``np.char.mod`` and the hash is the length-aware padded-matrix
+    kernel. Equals ``fnv1a_64(str(i).encode())`` bit-for-bit (asserted
+    in tests) — and equals the DuckDB hex-fold FNV expression over
+    ``CAST(i AS VARCHAR)``, which is what makes hash-priority sampling
+    oracle-replicable."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if ids.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    s = np.char.mod("%d", ids).astype("S")
+    width = s.dtype.itemsize
+    mat = np.frombuffer(s.tobytes(), dtype=np.uint8).reshape(ids.size, width)
+    lens = np.char.str_len(s).astype(np.int64)
+    return fnv1a_64_varlen_np(mat, lens)
+
+
 def char_ngram_buckets_np(
     text: str, ns: tuple[int, ...] = (2, 3), n_buckets: int = 1 << 16
 ) -> np.ndarray:

@@ -23,8 +23,6 @@ documented in the docstring of ``_connected_components``.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -116,18 +114,24 @@ def exact_jaccard(a: str, b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------- exact
 
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup by content hash: md5(text) fingerprint computed per
-    batch, groupby fingerprint keeps (min doc_id, copy count) — the
-    shuffle moves 16-byte keys, never the text."""
+    """Exact dedup by content hash: FNV-1a-64(text) fingerprint via the
+    vectorized padded-matrix kernel (kernels/text.fnv1a_64_strs — no
+    per-row Python hashing), groupby fingerprint keeps (min doc_id,
+    copy count) — the shuffle moves 8-byte keys, never the text. The
+    SQL twin replicates the full FNV fold byte-for-byte, so hash
+    collisions (the only semantic difference vs a crypto digest) would
+    collide identically on both sides."""
+    from ..kernels.text import fnv1a_64_strs
+
     ds = table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
+        # int64 VIEW of the uint64 hash: grouping is bijective under the
+        # reinterpretation, and Ray's aggregate would otherwise fall back
+        # to pickled-object blocks for uint64 keys above 2^63
         return pa.table({
-            "fp": pa.array(
-                [hashlib.md5(t.encode("utf-8", "replace")).hexdigest() for t in texts],
-                pa.string(),
-            ),
+            "fp": pa.array(fnv1a_64_strs(texts).view(np.int64), pa.int64()),
             "doc_id": batch.column("doc_id"),
         })
 

@@ -20,8 +20,6 @@ integers — so the driver's value-hash matches bit-for-bit.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -38,11 +36,13 @@ from .util import cents, grouped_sums, table
 def doc_corpus_stats(sf_dir: str) -> pa.Table:
     """Global throughput stats (A1: sum/max/mean/count, longQC.py:468-471)."""
     ds = table(sf_dir, "documents", columns=["n_chars"])
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Count, Max, Sum
 
+    # one fused aggregate — count folded in so the read executes ONCE
     agg = ds.aggregate(Sum("n_chars", alias_name="total_chars"),
-                       Max("n_chars", alias_name="max_chars"))
-    n = ds.count()
+                       Max("n_chars", alias_name="max_chars"),
+                       Count(alias_name="n_docs"))
+    n = int(agg["n_docs"])
     total = int(agg["total_chars"])
     return pa.table({
         "n_docs": pa.array([n], pa.int64()),
@@ -96,30 +96,30 @@ def doc_quality_flags(sf_dir: str) -> pa.Table:
 
 def length_bin_profile(sf_dir: str) -> pd.DataFrame:
     """Binned boxplot-style stats (A13: bin by floor(len/interval),
-    per-bin count/mean/median, lq_mask.py:43-66). Bin count is bounded,
-    so per-bin quantiles run in map_groups; at 10^12 rows the median
-    would switch to the histogram sketch in functions/stats.py."""
+    per-bin count/mean/median, lq_mask.py:43-66). The median is the
+    DISCRETE grouped quantile via functions/stats.grouped_quantile_disc
+    — a fixed (n_bins × hist_bins) count-matrix aggregate + one bounded
+    refinement collect, so no bin is ever loaded whole into one pandas
+    group (the previous map_groups median was O(bin size) driver-side
+    memory per group — a scale killer for hot bins at 10^12 rows).
+    Count/mean ride the same fused per-group aggregate."""
+    from ..functions.stats import grouped_quantile_disc
+
     ds = table(sf_dir, "documents", columns=["n_chars"])
 
     def add_bin(t: pa.Table) -> pa.Table:
         b = pc.cast(pc.floor(pc.divide(pc.cast(t.column("n_chars"), pa.float64()), 100.0)), pa.int64())
         return t.append_column("bin", b)
 
-    def per_bin(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["n_chars"].to_numpy()
-        return pd.DataFrame({
-            "bin": [int(g["bin"].iloc[0])],
-            "n": np.array([len(v)], dtype=np.int64),
-            "mean_chars": [float(v.sum()) / len(v)],
-            "med_chars": [float(np.median(v))],
-        })
-
-    return (
-        ds.map_batches(add_bin, batch_format="pyarrow")
-        .groupby("bin")
-        .map_groups(per_bin, batch_format="pandas")
-        .to_pandas()
-    )
+    rows = ds.map_batches(add_bin, batch_format="pyarrow", batch_size=65536)
+    med, gstats = grouped_quantile_disc(rows, "bin", "n_chars", [0.5], with_stats=True)
+    bins = sorted(med)
+    return pd.DataFrame({
+        "bin": np.asarray(bins, dtype=np.int64),
+        "n": np.asarray([gstats[b][0] for b in bins], dtype=np.int64),
+        "mean_chars": [float(gstats[b][1]) / gstats[b][0] for b in bins],
+        "med_chars": [float(med[b][0]) for b in bins],
+    })
 
 
 def source_lang_profile(sf_dir: str) -> pd.DataFrame:
@@ -136,25 +136,49 @@ def source_lang_profile(sf_dir: str) -> pd.DataFrame:
 
 # ---------------------------------------------------------------- J1/J2
 
+# Above this many expected filter keys the collected side stops being
+# broadcastable (the key sets here are fixed FRACTIONS of the corpus —
+# doc_id % 101, user_id % 7 — so they GROW with the input; 5e6 int64
+# keys ≈ 40 MB per worker is the same budget as NATION_BROADCAST_CAP)
+# and the shuffled anti/semi join (util.hash_anti_semi_join, proven by
+# parts_never_bulk_ordered) takes over. The estimate comes from the
+# parquet footer row count — metadata only, no extra execution. Both
+# branches produce identical rows (asserted in tests).
+FILTER_KEYS_BROADCAST_CAP = 5_000_000
+
+
+def _footer_rows(sf_dir: str, name: str, col: str) -> int | None:
+    from .util import parquet_column_stats
+
+    st = parquet_column_stats(sf_dir, name, col)
+    return None if st is None else st[2]
+
+
 def control_anti_join(sf_dir: str) -> rd.Dataset:
-    """Broadcast anti-join (J1: control-read removal,
-    lq_coverage.py:104-107): the small control-key predicate is pushed
-    INTO a map_batches filter so only the ~1/101 matching keys ever
-    reach the driver (never a full-column collect), then ``ray.put``
-    once and read inside every filter task — never a big-side shuffle."""
+    """Anti-join on control keys (J1: control-read removal,
+    lq_coverage.py:104-107). Small regime: the control-key predicate is
+    pushed INTO a map_batches filter so only the ~1/101 matching keys
+    ever reach the driver, then ``ray.put`` once and read inside every
+    filter task. Above FILTER_KEYS_BROADCAST_CAP expected keys the
+    broadcast would grow with the corpus, so the shuffled anti join
+    takes over — no driver collect at all."""
     def controls(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table({"doc_id": pa.array(ids[ids % 101 == 0], pa.int64())})
 
-    ids = (
-        table(sf_dir, "documents", columns=["doc_id"])
-        .map_batches(controls, batch_format="pyarrow")
-        .to_pandas()["doc_id"]
-        .to_numpy()
+    key_ds = table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        controls, batch_format="pyarrow"
     )
-    keys_ref = ray.put(pa.array(np.sort(ids), pa.int64()))
-
     ds = table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    n_rows = _footer_rows(sf_dir, "documents", "doc_id")
+    if n_rows is None or n_rows // 101 > FILTER_KEYS_BROADCAST_CAP:
+        from .util import hash_anti_semi_join
+
+        return hash_anti_semi_join(ds, key_ds, "doc_id", "doc_id")
+
+    ids = key_ds.to_pandas()["doc_id"].to_numpy()
+    keys_ref = ray.put(pa.array(np.sort(ids), pa.int64()))
 
     def drop_control(batch: pa.Table) -> pa.Table:
         mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=ray.get(keys_ref)))
@@ -164,33 +188,43 @@ def control_anti_join(sf_dir: str) -> rd.Dataset:
 
 
 def sample_semi_join(sf_dir: str) -> rd.Dataset:
-    """Broadcast semi-join (J2: sampled-name membership,
-    lq_utils.py:393-395): keep only events of sampled users. The
-    sampled-key predicate is pushed into a map_batches scan (per-batch
-    unique), so the driver only ever sees the small side — never the
-    full user_id column."""
+    """Semi-join on sampled users (J2: sampled-name membership,
+    lq_utils.py:393-395): keep only events of sampled users. Small
+    regime: per-batch-unique sampled keys collect to the driver and
+    broadcast once. Above FILTER_KEYS_BROADCAST_CAP expected keys
+    (the sampled set is ~1/7 of all users — it grows with the corpus)
+    the shuffled semi join takes over."""
+    def project(batch: pa.Table) -> pa.Table:
+        vcents = cents(batch.column("value").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "value_cents": pa.array(vcents, pa.int64()),
+        })
+
     def sampled(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy(zero_copy_only=False)
         return pa.table({"user_id": pa.array(np.unique(u[u % 7 == 0]), pa.int64())})
 
-    ids = (
-        table(sf_dir, "events", columns=["user_id"])
-        .map_batches(sampled, batch_format="pyarrow")
-        .to_pandas()["user_id"]
-        .to_numpy()
+    key_ds = table(sf_dir, "events", columns=["user_id"]).map_batches(
+        sampled, batch_format="pyarrow"
     )
-    ref = ray.put(pa.array(np.unique(ids), pa.int64()))
     ds = table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    n_rows = _footer_rows(sf_dir, "events", "user_id")
+    if n_rows is None or n_rows // 7 > FILTER_KEYS_BROADCAST_CAP:
+        from .util import hash_anti_semi_join
+
+        left = ds.map_batches(project, batch_format="pyarrow")
+        return hash_anti_semi_join(left, key_ds, "user_id", "user_id", semi=True)
+
+    ids = key_ds.to_pandas()["user_id"].to_numpy()
+    ref = ray.put(pa.array(np.unique(ids), pa.int64()))
 
     def keep_sampled(batch: pa.Table) -> pa.Table:
         vs = ray.get(ref)
         out = batch.filter(pc.is_in(batch.column("user_id"), value_set=vs))
-        vcents = cents(out.column("value").to_numpy(zero_copy_only=False))
-        return pa.table({
-            "event_id": out.column("event_id"),
-            "user_id": out.column("user_id"),
-            "value_cents": pa.array(vcents, pa.int64()),
-        })
+        return project(out)
 
     return ds.map_batches(keep_sampled, batch_format="pyarrow")
 
@@ -200,12 +234,17 @@ def sample_semi_join(sf_dir: str) -> rd.Dataset:
 _SESSION_GAP_US = 3_600_000_000  # 1 h in exact microseconds
 
 
-def _grouped_parts(ds: rd.Dataset, key: str, part_fn, n_parts: int = 64) -> pd.DataFrame:
+def _grouped_parts(ds: rd.Dataset, key: str, part_fn, n_parts: int = 64) -> rd.Dataset:
     """Bounded hash-partition per-key pattern (same ``__part``
     discipline as util.hash_join / dedup_shuffle): all rows of one key
     land in one of ``n_parts`` partitions, and ``part_fn`` processes a
     WHOLE partition vectorized — per-group Python cost is O(n_parts),
-    not O(n_keys), so 10^8 keys cost the same per-row work as 10^2."""
+    not O(n_keys), so 10^8 keys cost the same per-row work as 10^2.
+
+    Returns the per-partition results as a DATASET — callers must not
+    collect it unless the result is provably small (the window-family
+    queries emit O(input) rows; a driver ``to_pandas`` there is an OOM
+    at 10^12 rows, so they pass the Dataset straight through)."""
 
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -220,7 +259,6 @@ def _grouped_parts(ds: rd.Dataset, key: str, part_fn, n_parts: int = 64) -> pd.D
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(run, batch_format="pandas")
-        .to_pandas()
     )
 
 
@@ -236,7 +274,7 @@ def _user_sorted(g: pd.DataFrame, extra: list[str] | None = None):
     return g, uid, ts, new_user, starts
 
 
-def user_sessions(sf_dir: str) -> pd.DataFrame:
+def user_sessions(sf_dir: str) -> rd.Dataset:
     """Ordered within-group merge (M12 construct_polread,
     lq_sequel.py:76-137): per user, sort events by time, split into
     sessions at >1h gaps.
@@ -345,24 +383,22 @@ def cohort_union(sf_dir: str) -> rd.Dataset:
 def deterministic_sample(sf_dir: str) -> pd.DataFrame:
     """Chunk-independent deterministic sampler (the engine's O1
     replacement — SURVEY.md §7.3 item 1): bottom-500 doc_ids by
-    md5(doc_id) priority; per-batch partial bottom-k, tiny driver
-    merge, no shuffle."""
+    FNV-1a(decimal doc_id) priority — one vectorized hash kernel per
+    batch (kernels/text.fnv1a_64_ints), zero per-row Python; per-batch
+    partial bottom-k, tiny driver merge, no shuffle. The SQL twin
+    replicates the hash with the hex-fold FNV fold."""
+    from ..kernels.text import fnv1a_64_ints
+
     n = 500
     ds = table(sf_dir, "documents", columns=["doc_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        # md5 itself has no numpy kernel (the SQL twin pins md5), but
-        # the sort runs on fixed-width S32 bytes, not object dtype; the
-        # per-batch hash loop is bounded Python cost, parallel across
-        # tasks.
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        prio = np.array(
-            [hashlib.md5(str(i).encode()).hexdigest() for i in ids], dtype="S32"
-        )
-        order = np.argsort(prio, kind="stable")[:n]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        prio = fnv1a_64_ints(ids)
+        order = np.lexsort((ids, prio))[:n]
         return pa.table({
             "doc_id": pa.array(ids[order], pa.int64()),
-            "prio": pa.array([p.decode() for p in prio[order]], pa.string()),
+            "prio": pa.array(prio[order], pa.uint64()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
@@ -512,7 +548,7 @@ def order_revenue_join(sf_dir: str) -> pd.DataFrame:
     return out[["o_orderpriority", "n_orders", "revenue_cents"]]
 
 
-def user_gap_profile(sf_dir: str) -> pd.DataFrame:
+def user_gap_profile(sf_dir: str) -> rd.Dataset:
     """Terminal/internal gap analysis (M11 __region_analysis analogue,
     lq_coverage.py:623-655: 5'-gap, 3'-gap, internal gap lengths per
     read → here per user against the global event window). The global
@@ -539,7 +575,7 @@ def user_gap_profile(sf_dir: str) -> pd.DataFrame:
     return _grouped_parts(ds, "user_id", per_part)
 
 
-def user_activity_intervals(sf_dir: str) -> pd.DataFrame:
+def user_activity_intervals(sf_dir: str) -> rd.Dataset:
     """Ordered within-group interval MERGE (M12/T4 construct_polread +
     compute_reliable_region analogue, lq_sequel.py:76-137 /
     lqutils.c:83-155): per user, events within 1 h merge into activity
@@ -636,7 +672,7 @@ def user_occupancy(sf_dir: str) -> pd.DataFrame:
 
 # ---------------------------------------------------------------- as-of / range joins
 
-def purchase_click_asof(sf_dir: str) -> pd.DataFrame:
+def purchase_click_asof(sf_dir: str) -> rd.Dataset:
     """As-of join (custom operator, SURVEY.md §2.4 note — the
     reference has none, a training-data pipeline needs one): each
     purchase event matched to the latest click of the SAME user at or
@@ -678,13 +714,23 @@ def purchase_click_asof(sf_dir: str) -> pd.DataFrame:
         r_cols=["click_event_id", "user_id", "click_ts"],
         by="user_id", left_on="ts", right_on="click_ts",
         int_cols=["event_id", "click_event_id"],
-    ).to_pandas()
-    lag = (
-        j["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        - j["click_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
     )
-    j["lag_us"] = lag.astype(np.int64)
-    return j[["event_id", "user_id", "click_event_id", "lag_us"]]
+
+    # lag computed per batch; the result stays a Dataset (one row per
+    # matched purchase — O(input), never collected on the driver)
+    def add_lag(t: pa.Table) -> pa.Table:
+        lag = (
+            t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            - t.column("click_ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "click_event_id": t.column("click_event_id"),
+            "lag_us": pa.array(lag, pa.int64()),
+        })
+
+    return j.map_batches(add_lag, batch_format="pyarrow")
 
 
 _RJ_STRIDE_US = 10 * 3_600_000_000  # window stride 10 h
@@ -731,7 +777,7 @@ def event_window_range_join(sf_dir: str) -> pd.DataFrame:
     return out[["win_id", "n_events", "value_cents"]]
 
 
-def user_rolling_value(sf_dir: str) -> pd.DataFrame:
+def user_rolling_value(sf_dir: str) -> rd.Dataset:
     """Per-key ordered rolling-window aggregate (custom operator): for
     every event, the sum of the user's last 5 event values (ROWS
     BETWEEN 4 PRECEDING AND CURRENT ROW). Sort happens INSIDE
@@ -813,29 +859,30 @@ STRATA_K = 20
 
 def stratified_sample_docs(sf_dir: str, k: int = STRATA_K) -> pd.DataFrame:
     """Stratified deterministic sampling (training-data op): the k
-    lowest-md5-priority docs PER LANGUAGE. Per-batch per-stratum
-    bottom-k partials (each batch contributes ≤ k rows per stratum),
-    tiny driver merge — no shuffle; the same min-wise-hash discipline
-    as ``deterministic_sample``/``functions.sampling`` extended to
-    group strata."""
+    lowest-FNV-priority docs PER LANGUAGE (vectorized
+    kernels/text.fnv1a_64_ints — no per-row Python hashing). Per-batch
+    per-stratum bottom-k partials (each batch contributes ≤ k rows per
+    stratum), tiny driver merge — no shuffle; the same min-wise-hash
+    discipline as ``deterministic_sample``/``functions.sampling``
+    extended to group strata."""
+    from ..kernels.text import fnv1a_64_ints
+
     ds = table(sf_dir, "documents", columns=["doc_id", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
-        prio = np.array(
-            [hashlib.md5(str(i).encode()).hexdigest() for i in ids], dtype="S32"
-        )
+        prio = fnv1a_64_ints(ids)
         keep_idx = []
-        for lg in np.unique(langs):
+        for lg in np.unique(langs):  # bounded: one iteration per stratum
             li = np.nonzero(langs == lg)[0]
-            order = li[np.argsort(prio[li], kind="stable")[:k]]
+            order = li[np.lexsort((ids[li], prio[li]))[:k]]
             keep_idx.append(order)
         sel = np.concatenate(keep_idx) if keep_idx else np.empty(0, np.int64)
         return pa.table({
             "lang": pa.array(langs[sel].tolist(), pa.string()),
             "doc_id": pa.array(ids[sel], pa.int64()),
-            "prio": pa.array([p.decode() for p in prio[sel]], pa.string()),
+            "prio": pa.array(prio[sel], pa.uint64()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
@@ -884,7 +931,7 @@ def _rank_in_user(uid: np.ndarray, order: np.ndarray) -> np.ndarray:
     return idx - own
 
 
-def top_events_per_user(sf_dir: str, k: int = TOPK_PER_USER) -> pd.DataFrame:
+def top_events_per_user(sf_dir: str, k: int = TOPK_PER_USER) -> rd.Dataset:
     """Distributed top-k per group (O7 per-key variant): each user's k
     highest-value events with dense rank, tie-broken by event_id.
 
@@ -921,11 +968,12 @@ def top_events_per_user(sf_dir: str, k: int = TOPK_PER_USER) -> pd.DataFrame:
         t = pa.Table.from_pandas(g, preserve_index=False)
         return topk(t, emit_rank=True).to_pandas()
 
-    out = _grouped_parts(pruned, "user_id", per_part)
-    return out.sort_values(["user_id", "rn"], kind="stable").reset_index(drop=True)
+    # returned as a Dataset — no driver-side collect/sort; row order is
+    # free (the checker canonicalizes), rank is carried in `rn`
+    return _grouped_parts(pruned, "user_id", per_part)
 
 
-def user_value_lag(sf_dir: str) -> pd.DataFrame:
+def user_value_lag(sf_dir: str) -> rd.Dataset:
     """Per-key lag window (LAG(value) OVER (PARTITION BY user ORDER BY
     ts)): previous event value and delta per event, 0 at the key start.
     Same vectorized-partition discipline as user_rolling_value; cents
@@ -974,7 +1022,8 @@ def funnel_conversion(sf_dir: str) -> pa.Table:
             counts.append(len(reached))
         return pd.DataFrame({"stage": list(FUNNEL_STAGES), "n_users": counts})
 
-    parts = _grouped_parts(ds, "user_id", per_part)
+    # collect is safe here: the partials are n_parts × n_stages rows
+    parts = _grouped_parts(ds, "user_id", per_part).to_pandas()
     totals = parts.groupby("stage", sort=False)["n_users"].sum()
     return pa.table({
         "stage": pa.array(list(FUNNEL_STAGES), pa.string()),
@@ -988,11 +1037,14 @@ def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
     """Distributed Pearson correlation per group via EXACT integer
     moments (the A5 mean/sd pattern pushed one moment further): each
     batch emits per-flag int64 sums (n, Σx, Σy, Σx², Σy², Σxy) in the
-    cents domain — batch_size 16384 keeps Σy² < 2^63 for prices up to
-    ~$500k — and the driver merges the tiny partials in arbitrary-
-    precision Python ints, so the final float is computed ONCE from
-    exact integers and matches the DuckDB HUGEINT oracle bit-for-bit.
-    No shuffle at all: the partials are a few rows per batch."""
+    cents domain — at batch_size 16384 the int64 partials are safe up
+    to |value| ≤ sqrt(2^63/16384) ≈ 2.37e7 cents (~$237k; TPC-H max
+    price ≈ $105k, ~2.2× headroom) and a per-batch guard switches to
+    arbitrary-precision Python ints beyond that rather than let int64
+    wrap silently — and the driver merges the tiny partials in
+    arbitrary-precision Python ints, so the final float is computed
+    ONCE from exact integers and matches the DuckDB HUGEINT oracle
+    bit-for-bit. No shuffle at all: a few partial rows per batch."""
     import math
 
     ds = table(sf_dir, "lineitem",
@@ -1002,6 +1054,21 @@ def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
         flags = t.column("l_returnflag").to_pandas()
         x = cents(t.column("l_quantity").to_numpy(zero_copy_only=False))
         y = cents(t.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        # int64 product-sum safety bound for this batch's row count
+        lim = int(np.sqrt(2**63 // max(len(y), 1)))
+        safe = (np.abs(x).max(initial=0) <= lim) and (np.abs(y).max(initial=0) <= lim)
+
+        def dot(a: np.ndarray, b: np.ndarray) -> int:
+            if safe:
+                return int((a * b).sum())
+            v = int(np.sum(a.astype(object) * b.astype(object)))  # exact, no wrap
+            if abs(v) >= 2**63:
+                raise ValueError(
+                    "corr_quantity_price: exact per-batch moment exceeds the "
+                    "int64 partial range — lower batch_size for this value scale"
+                )
+            return v
+
         codes, uniq = pd.factorize(flags, sort=True)
         cols: dict[str, list] = {c: [] for c in
                                  ["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"]}
@@ -1012,9 +1079,9 @@ def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
             cols["n"].append(int(xi.size))
             cols["sx"].append(int(xi.sum()))
             cols["sy"].append(int(yi.sum()))
-            cols["sxx"].append(int((xi * xi).sum()))
-            cols["syy"].append(int((yi * yi).sum()))
-            cols["sxy"].append(int((xi * yi).sum()))
+            cols["sxx"].append(dot(xi, xi))
+            cols["syy"].append(dot(yi, yi))
+            cols["sxy"].append(dot(xi, yi))
         return pa.table({
             "l_returnflag": pa.array(cols["l_returnflag"], pa.string()),
             **{c: pa.array(cols[c], pa.int64()) for c in

@@ -121,17 +121,98 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits * (1 << np.arange(LSH_BITS))).sum(axis=1).astype(np.int64)
 
 
-def ann_lsh(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES, n_probe_bits: int = 2) -> pd.DataFrame:
-    """Approximate top-k via random-hyperplane LSH: each corpus batch
-    keeps only rows whose bucket is within ``n_probe_bits`` bit-flips
-    of a query bucket, then scores those exactly. At 10^12 rows the
-    bucket id becomes the partition key (search touches only matching
-    partitions); here the filter happens per batch."""
-    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
-    d = q_mat.shape[1]
+# --------------------------------------------- bucketed layouts (pruning)
+#
+# The scale story the stream-filter variants only documented: the
+# bucket/cell id becomes a PARTITION KEY. One full pass writes the
+# embeddings into a hive-partitioned parquet layout
+# (bucket=NN/part-*.parquet via write_parquet(partition_cols=...)),
+# and every query afterwards reads ONLY the probed partitions —
+# blocks-read proportional to probe count, not corpus size (asserted
+# on input_files in tests/test_similarity.py). The build cost is
+# amortized across all queries against the same table; layouts are
+# cached per (table file identity, params) fingerprint with a
+# build-then-atomic-rename so concurrent builders can't interleave.
+
+_LAYOUT_ROOT = "/tmp/longqc_ann"
+
+
+def _emb_fingerprint(sf_dir: str, tag: str) -> str:
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(path)
+    key = f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}:{tag}"
+    return hashlib.md5(key.encode()).hexdigest()[:16]
+
+
+def _ensure_layout(sf_dir: str, tag: str, build) -> str:
+    """Idempotent cached layout build: ``build(tmp_dir)`` writes the
+    partitioned parquet (+ any sidecar files) into a temp dir which is
+    atomically renamed into place; a loser of the rename race just
+    uses the winner's layout."""
+    import os
+    import shutil
+
+    final = os.path.join(_LAYOUT_ROOT, _emb_fingerprint(sf_dir, tag))
+    if os.path.isdir(final):
+        return final
+    os.makedirs(_LAYOUT_ROOT, exist_ok=True)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    build(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:  # another builder won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def _lsh_layout(sf_dir: str, d: int) -> str:
+    """Hive-partitioned embeddings layout keyed by LSH bucket."""
     planes = _hyperplanes(d)
-    q_buckets = _bucket_of(q_mat, planes)
-    # probe set: all buckets within hamming<=n_probe_bits of any query bucket
+    planes_ref = ray.put(planes)
+
+    def build(tmp_dir: str) -> None:
+        ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            _, m = _emb_matrix(batch)
+            bk = _bucket_of(m, ray.get(planes_ref))
+            return batch.append_column("bucket", pa.array(bk, pa.int64()))
+
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=4096).write_parquet(
+            tmp_dir, partition_cols=["bucket"]
+        )
+
+    return _ensure_layout(sf_dir, f"lsh:{LSH_BITS}:{_LSH_SEED}", build)
+
+
+def _read_partitions(root: str, key: str, values: list[int]) -> rd.Dataset | None:
+    """Pruned read: only the hive partitions for ``values`` that exist
+    (expanded to their parquet files — Ray's read_parquet takes a file
+    list). Returns None when no probed partition exists."""
+    import glob
+    import os
+
+    files = [
+        f
+        for v in sorted(values)
+        for f in sorted(glob.glob(os.path.join(root, f"{key}={v}", "*.parquet")))
+    ]
+    if not files:
+        return None
+    return rd.read_parquet(files, columns=["vec_id", "embedding"])
+
+
+_EMPTY_TOPK = pd.DataFrame({
+    "query_id": np.empty(0, np.int64),
+    "neighbor_id": np.empty(0, np.int64),
+    "rank": np.empty(0, np.int64),
+})
+
+
+def _probe_buckets(q_buckets: np.ndarray, n_probe_bits: int) -> list[int]:
     probe: set[int] = set()
     for qb in q_buckets:
         probe.add(int(qb))
@@ -140,34 +221,29 @@ def ann_lsh(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES, n_probe_bit
             if n_probe_bits >= 2:
                 for j in range(i + 1, LSH_BITS):
                     probe.add(int(qb) ^ (1 << i) ^ (1 << j))
-    ctx_ref = ray.put((q_ids, q_mat, planes, np.array(sorted(probe), dtype=np.int64)))
+    return sorted(probe)
 
-    ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+def _exact_rerank(
+    cand: rd.Dataset, q_ids: np.ndarray, q_mat: np.ndarray, k: int
+) -> pd.DataFrame:
+    """Exact cosine top-k of each query against a candidate Dataset:
+    per-batch GEMM + local top-k, tiny driver merge (≤ k rows per
+    query per block)."""
+    q_ref = ray.put((q_ids, q_mat))
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        qi, qm, pl, pr = ray.get(ctx_ref)
+        qi, qm = ray.get(q_ref)
         ids, m = _emb_matrix(batch)
-        bk = _bucket_of(m, pl)
-        # membership against the broadcast sorted probe array — one
-        # vectorized searchsorted, no per-row Python
-        pos = np.clip(np.searchsorted(pr, bk), 0, pr.size - 1)
-        sel = pr[pos] == bk
-        ids, m = ids[sel], m[sel]
-        if ids.size == 0:
-            return pa.table({
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64()),
-            })
         sims = qm @ m.T
         rows = []
         for row in range(qi.size):
             s = sims[row]
-            cand = np.nonzero(ids != qi[row])[0]
-            kk = min(TOP_K, cand.size)
+            cidx = np.nonzero(ids != qi[row])[0]
+            kk = min(k, cidx.size)
             if kk == 0:
                 continue
-            top = cand[np.argpartition(-s[cand], kk - 1)[:kk]]
+            top = cidx[np.argpartition(-s[cidx], kk - 1)[:kk]]
             rows.append((np.full(kk, qi[row], np.int64), ids[top], s[top]))
         if not rows:
             return pa.table({
@@ -181,13 +257,58 @@ def ann_lsh(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES, n_probe_bit
             "cos": pa.array(np.concatenate([r[2] for r in rows]), pa.float64()),
         })
 
-    parts = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    parts = cand.map_batches(local_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    if parts.empty:
+        return _EMPTY_TOPK.copy()
     parts = parts.sort_values(
         ["query_id", "cos", "neighbor_id"], ascending=[True, False, True], kind="stable"
     )
     out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
     return out[["query_id", "neighbor_id", "rank"]]
+
+
+def ann_lsh(
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_probe_bits: int = 2,
+    layout: str = "pruned",
+) -> pd.DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    ``layout="pruned"`` (default, the 10^12 shape): the corpus lives in
+    a bucket-partitioned parquet layout (built once per table, cached)
+    and the query reads ONLY partitions within ``n_probe_bits``
+    bit-flips of a query bucket — I/O proportional to probe count.
+    ``layout="stream"`` keeps the one-pass filter variant (full scan,
+    per-batch bucket filter) for layouts that can't be materialized;
+    both return identical rows (asserted in tests)."""
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
+    d = q_mat.shape[1]
+    planes = _hyperplanes(d)
+    probe = _probe_buckets(_bucket_of(q_mat, planes), n_probe_bits)
+
+    if layout == "pruned":
+        root = _lsh_layout(sf_dir, d)
+        cand = _read_partitions(root, "bucket", probe)
+        if cand is None:
+            return _EMPTY_TOPK.copy()
+        return _exact_rerank(cand, q_ids, q_mat, k)
+
+    # streaming fallback: full scan with a per-batch bucket filter
+    ctx_ref = ray.put((planes, np.array(probe, dtype=np.int64)))
+    ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        pl, pr = ray.get(ctx_ref)
+        _, m = _emb_matrix(batch)
+        bk = _bucket_of(m, pl)
+        pos = np.clip(np.searchsorted(pr, bk), 0, pr.size - 1)
+        return batch.filter(pa.array(pr[pos] == bk))
+
+    cand = ds.map_batches(keep_probed, batch_format="pyarrow", batch_size=4096)
+    return _exact_rerank(cand, q_ids, q_mat, k)
 
 
 # ---------------------------------------------------------------- IVF path
@@ -215,80 +336,98 @@ def _kmeans_cosine(m: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
     return cent
 
 
+def _train_codebook(sf_dir: str, n_centroids: int) -> np.ndarray:
+    train_tbl = _collect_where(
+        sf_dir,
+        lambda col: pa.array(col.to_numpy(zero_copy_only=False) % _IVF_TRAIN_STRIDE == 0),
+    )
+    _, train_m = _emb_matrix(train_tbl)
+    return _kmeans_cosine(train_m, n_centroids)
+
+
+def _ivf_layout(sf_dir: str, n_centroids: int) -> str:
+    """Hive-partitioned embeddings layout keyed by IVF cell, with the
+    trained codebook stored beside it (codebook.npy) so queries never
+    retrain."""
+    import os
+
+    def build(tmp_dir: str) -> None:
+        cent = _train_codebook(sf_dir, n_centroids)
+        cent_ref = ray.put(cent)
+        ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+        def add_cell(batch: pa.Table) -> pa.Table:
+            _, m = _emb_matrix(batch)
+            cell = np.argmax(m @ ray.get(cent_ref).T, axis=1).astype(np.int64)
+            return batch.append_column("cell", pa.array(cell, pa.int64()))
+
+        ds.map_batches(add_cell, batch_format="pyarrow", batch_size=4096).write_parquet(
+            tmp_dir, partition_cols=["cell"]
+        )
+        np.save(os.path.join(tmp_dir, "codebook.npy"), cent)
+
+    return _ensure_layout(
+        sf_dir, f"ivf:{n_centroids}:{_IVF_TRAIN_STRIDE}", build
+    )
+
+
 def ann_ivf(
     sf_dir: str,
     k: int = TOP_K,
     n_queries: int = N_QUERIES,
     n_centroids: int = IVF_CENTROIDS,
     n_probe: int = IVF_PROBE,
+    layout: str = "pruned",
 ) -> pd.DataFrame:
-    """IVF approximate top-k — the scale path next to ``ann_lsh``:
-    a coarse k-means codebook trained once on a strided sample, each
-    query probes its ``n_probe`` nearest cells, and every corpus batch
-    scores ONLY rows assigned to a probed cell (one small GEMM for
-    assignment + one masked GEMM for scoring). At 10^12 rows the cell
-    id becomes the partition key and probing touches only matching
-    partitions; recall vs brute force is pinned in
+    """IVF approximate top-k — the scale path next to ``ann_lsh``: a
+    coarse k-means codebook trained once on a strided sample, each
+    query probes its ``n_probe`` nearest cells.
+
+    ``layout="pruned"`` (default): the corpus lives in a
+    cell-partitioned parquet layout (built once per table, cached;
+    codebook stored beside it) and the query reads ONLY the probed
+    cells' partitions — I/O proportional to probe count, the real IVF
+    contract. ``layout="stream"``: one-pass variant (full scan, cells
+    assigned and filtered per batch). Identical rows either way
+    (asserted in tests); recall vs brute force is pinned in
     tests/test_similarity.py."""
-    train_tbl = _collect_where(
-        sf_dir,
-        lambda col: pa.array(col.to_numpy(zero_copy_only=False) % _IVF_TRAIN_STRIDE == 0),
-    )
-    _, train_m = _emb_matrix(train_tbl)
-    cent = _kmeans_cosine(train_m, n_centroids)
+    import os
 
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
-    # per-query probe list: n_probe nearest centroids
+
+    if layout == "pruned":
+        root = _ivf_layout(sf_dir, n_centroids)
+        cent = np.load(os.path.join(root, "codebook.npy"))
+    else:
+        cent = _train_codebook(sf_dir, n_centroids)
+
+    # per-query probe list: n_probe nearest centroids; the union of all
+    # queries' probed cells defines the partitions (or rows) searched.
+    # Per-query cell masking is NOT re-applied at scoring time — any
+    # probed row may serve any query (a candidate superset only helps
+    # recall and keeps both layout branches identical).
     q_cent_sims = q_mat @ cent.T  # (n_q, k_cent)
     order = np.argsort(-q_cent_sims, axis=1, kind="stable")[:, :n_probe]
-    probe_mask = np.zeros((len(q_ids), cent.shape[0]), dtype=bool)
-    np.put_along_axis(probe_mask, order, True, axis=1)
-    ctx_ref = ray.put((q_ids, q_mat, cent, probe_mask))
+    probed_cells = sorted({int(c) for c in order.ravel()})
 
+    if layout == "pruned":
+        cand = _read_partitions(root, "cell", probed_cells)
+        if cand is None:
+            return _EMPTY_TOPK.copy()
+        return _exact_rerank(cand, q_ids, q_mat, k)
+
+    ctx_ref = ray.put((cent, np.array(probed_cells, dtype=np.int64)))
     ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        qi, qm, cc, pm = ray.get(ctx_ref)
-        ids, m = _emb_matrix(batch)
-        assign = np.argmax(m @ cc.T, axis=1)  # cell per corpus row
-        cand_any = pm[:, assign].any(axis=0)
-        ids, m, assign = ids[cand_any], m[cand_any], assign[cand_any]
-        if ids.size == 0:
-            return pa.table({
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64()),
-            })
-        sims = qm @ m.T  # (n_q, n_cand)
-        rows = []
-        for row in range(qi.size):
-            ok = pm[row, assign] & (ids != qi[row])
-            cand = np.nonzero(ok)[0]
-            kk = min(k, cand.size)
-            if kk == 0:
-                continue
-            s = sims[row]
-            top = cand[np.argpartition(-s[cand], kk - 1)[:kk]]
-            rows.append((np.full(kk, qi[row], np.int64), ids[top], s[top]))
-        if not rows:
-            return pa.table({
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64()),
-            })
-        return pa.table({
-            "query_id": pa.array(np.concatenate([r[0] for r in rows]), pa.int64()),
-            "neighbor_id": pa.array(np.concatenate([r[1] for r in rows]), pa.int64()),
-            "cos": pa.array(np.concatenate([r[2] for r in rows]), pa.float64()),
-        })
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        cc, cells = ray.get(ctx_ref)
+        _, m = _emb_matrix(batch)
+        assign = np.argmax(m @ cc.T, axis=1)
+        pos = np.clip(np.searchsorted(cells, assign), 0, cells.size - 1)
+        return batch.filter(pa.array(cells[pos] == assign))
 
-    parts = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
-    parts = parts.sort_values(
-        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True], kind="stable"
-    )
-    out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
-    return out[["query_id", "neighbor_id", "rank"]]
+    cand = ds.map_batches(keep_probed, batch_format="pyarrow", batch_size=4096)
+    return _exact_rerank(cand, q_ids, q_mat, k)
 
 
 # ---------------------------------------------------------------- near-dup

@@ -378,8 +378,11 @@ CONTAM_BENCH_MOD = 97  # benchmark membership: doc_id % MOD == 0
 CHUNK_WORDS = 10       # "line" unit for this newline-free corpus
 CHUNK_MIN_DOCS = 2     # chunk is boilerplate when seen in >= this many docs
 # below this many (h, nd) partial rows the chunk-count merge happens on
-# the driver; above it, the grouped-sum shuffle (find_dup_keys split)
-CHUNK_PARTIALS_DRIVER_CAP = 50_000_000
+# the driver; above it, the grouped-sum shuffle (find_dup_keys split).
+# 2M rows × 16 B ≈ 32 MB on the driver — past that the driver merge no
+# longer beats the ~2 s fixed shuffle cost anyway, and far-larger caps
+# would pull GBs through to_pandas on a memory-tight node.
+CHUNK_PARTIALS_DRIVER_CAP = 2_000_000
 
 
 def _doc_shingles(text: str, n: int) -> list[str]:

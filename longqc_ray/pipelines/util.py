@@ -326,12 +326,12 @@ def hash_anti_semi_join(
     The right side contributes nothing but key EXISTENCE, so it is
     projected to its key column and deduplicated per batch BEFORE the
     shuffle — the all-to-all moves left rows + distinct right keys
-    only. Per partition: one vectorized ``isin`` membership test."""
-    import pandas as pd
-
+    only. Per partition: one vectorized ``is_in`` membership test,
+    entirely in Arrow — the pandas route would widen the null-padded
+    int columns to float64 (corrupting left ints ≥ 2^53 and breaking
+    legitimately-nullable int columns on the way back)."""
     l_schema = left.schema().base_schema
     l_cols = list(l_schema.names)
-    int_cols = [n for n in l_cols if pa.types.is_integer(l_schema.field(n).type)]
 
     def tag_left(t: pa.Table) -> pa.Table:
         h = _part_hash(t, left_key, n_parts)
@@ -358,13 +358,14 @@ def hash_anti_semi_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def per_part(g: "pd.DataFrame") -> "pd.DataFrame":
-        rk = g.loc[g["__side"] == "r", left_key].unique()
-        l = g[g["__side"] == "l"]
-        m = l[left_key].isin(rk)
-        out = l[~m if not semi else m][l_cols]
-        for c in int_cols:  # null-padding widened ints to float64
-            out[c] = out[c].astype(np.int64)
-        return out
+    def per_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return both.groupby("__part").map_groups(per_part, batch_format="pandas")
+        side = g.column("__side")
+        r_keys = pc.unique(g.filter(pc.equal(side, "r")).column(left_key))
+        l_rows = g.filter(pc.equal(side, "l"))
+        member = pc.is_in(l_rows.column(left_key), value_set=r_keys)
+        out = l_rows.filter(member if semi else pc.invert(member))
+        return out.select(l_cols)
+
+    return both.groupby("__part").map_groups(per_part, batch_format="pyarrow")

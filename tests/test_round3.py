@@ -1,0 +1,70 @@
+"""Round-3 regression pins: vectorized FNV sampling hash, the
+broadcast↔shuffle crossover equivalence for the J1/J2 joins, and the
+degenerate-group guard in grouped_quantile_disc."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_fnv1a_64_ints_matches_scalar():
+    """Vectorized decimal-int FNV == byte-wise scalar FNV, including
+    0, negatives, and 19-digit values (padded-matrix edge widths)."""
+    from longqc_ray.kernels.text import fnv1a_64, fnv1a_64_ints
+
+    ids = np.array(
+        [0, 1, 9, 10, 101, -1, -987654321, 2**62, -(2**62), 1234567890123456789],
+        dtype=np.int64,
+    )
+    got = fnv1a_64_ints(ids)
+    want = np.array([fnv1a_64(str(int(i)).encode()) for i in ids], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_anti_semi_crossover_branches_identical(monkeypatch):
+    """control_anti_join / sample_semi_join: the shuffled large-scale
+    branch (cap forced to -1) returns exactly the broadcast branch's
+    rows, with identical dtypes (no float64 widening of int columns)."""
+    import pandas as pd
+
+    from longqc_ray.pipelines import relational
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values(sorted(df.columns), kind="stable").reset_index(drop=True)[
+            sorted(df.columns)
+        ]
+
+    for fn in (relational.control_anti_join, relational.sample_semi_join):
+        monkeypatch.setattr(relational, "FILTER_KEYS_BROADCAST_CAP", 5_000_000)
+        small = canon(fn(SF_DIR))
+        monkeypatch.setattr(relational, "FILTER_KEYS_BROADCAST_CAP", -1)
+        big = canon(fn(SF_DIR))
+        pd.testing.assert_frame_equal(small, big)
+        assert all(not str(t).startswith("float") or c.endswith("frac")
+                   for c, t in big.dtypes.items() if c.endswith("_id") or c.endswith("id"))
+
+
+def test_grouped_quantile_disc_all_degenerate():
+    """ADVICE repro: every group min==max — must return per-group
+    constants, not crash on an empty refinement interval list."""
+    from longqc_ray.functions.stats import grouped_quantile_disc
+
+    ds = rd.from_arrow(pa.table({
+        "k": ["a"] * 7 + ["b"] * 3,
+        "v": [10] * 7 + [5] * 3,
+    }))
+    got = grouped_quantile_disc(ds, "k", "v", [0.1, 0.5, 0.99])
+    assert got == {"a": [10.0, 10.0, 10.0], "b": [5.0, 5.0, 5.0]}
+
+    got2, stats = grouped_quantile_disc(ds, "k", "v", [0.5], with_stats=True)
+    assert got2 == {"a": [10.0], "b": [5.0]}
+    assert stats["a"][0] == 7 and int(stats["a"][1]) == 70
+    assert stats["b"][0] == 3 and int(stats["b"][1]) == 15

@@ -132,3 +132,40 @@ def test_embedding_clusters_align_with_planted(emb_dir):
     # determinism
     again = embedding_clusters(path)
     assert got["cluster"].tolist() == again["cluster"].tolist()
+
+
+def test_ann_pruned_layout_matches_stream_and_prunes_io(emb_dir):
+    """Round-3 pin: the bucket/cell-partitioned layouts return exactly
+    the streaming variants' rows, and the pruned read touches only the
+    probed partitions (I/O proportional to probe count, not corpus)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from longqc_ray.pipelines import similarity as sim
+
+    path, _ = emb_dir
+
+    def canon(df):
+        return df.sort_values(["query_id", "rank"], kind="stable").reset_index(drop=True)
+
+    for fn in (sim.ann_lsh, sim.ann_ivf):
+        pruned = canon(fn(path, layout="pruned"))
+        stream = canon(fn(path, layout="stream"))
+        pd.testing.assert_frame_equal(pruned, stream)
+
+    # I/O pruning evidence on the LSH layout: probed partitions ⊊ all
+    q_ids, q_mat = sim._query_matrix(path, sim.N_QUERIES)
+    planes = sim._hyperplanes(q_mat.shape[1])
+    probe = set(sim._probe_buckets(sim._bucket_of(q_mat, planes), 2))
+    root = sim._lsh_layout(path, q_mat.shape[1])
+    all_parts = {p for p in os.listdir(root) if p.startswith("bucket=")}
+    probed_existing = {f"bucket={b}" for b in probe} & all_parts
+    assert probed_existing, "probe set must hit some partitions"
+    cand = sim._read_partitions(root, "bucket", sorted(probe))
+    touched = {os.path.basename(os.path.dirname(f)) for f in cand.input_files()}
+    assert touched == probed_existing
+    # the probe covers ≤ (1 + 8 + 28)/256 of bucket space per query; on
+    # this corpus some buckets must exist outside the probe set
+    assert len(all_parts - touched) > 0
