@@ -56,6 +56,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["clip_id", "keep", "drop_reason", "scrubbed_transcript"]
         )
 
+    def _file_attributes_q(sf_dir: str):
+        """S8 analogue (lq_nanopore.py:119-162): distributed footer-only
+        attribute extraction, one row per parquet file in the sf dir."""
+        from longqc_ray.sources.ingest import file_attributes
+
+        return file_attributes(sf_dir)
+
     def doc_fingerprints_md5(sf_dir: str):
         return text_analysis.doc_fingerprints(sf_dir).select_columns(["doc_id", "fp_md5"])
 
@@ -151,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": similarity.ann_ivf,
         "embedding_clusters": similarity.embedding_clusters,
         "lang_id_docs": text_analysis.lang_id_docs,
+        # --- platform metadata (S8 analogue: footer-only per-file map) ---
+        "file_attributes": _file_attributes_q,
         # --- flagship + multimodal (audio payload real, oracle = pytest) ---
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,

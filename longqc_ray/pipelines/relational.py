@@ -464,7 +464,11 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     nation = table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     cust_ds = table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     orders = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    n_cust = cust_ds.count()
+    # crossover decision from footer metadata (no row data read); only
+    # when footers lack counts does the decision cost an execution
+    n_cust = _footer_rows(sf_dir, "customer", "c_custkey")
+    if n_cust is None:
+        n_cust = cust_ds.count()
 
     if n_cust > NATION_BROADCAST_CAP:
         from .util import hash_join

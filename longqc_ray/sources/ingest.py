@@ -98,3 +98,68 @@ def read_lance_dataset(path: str, columns: list[str] | None = None) -> rd.Datase
             "(pylance); install it or convert the table to parquet"
         ) from e
     return rd.read_lance(path, columns=columns)
+
+
+def file_attributes(path_or_glob: str) -> rd.Dataset:
+    """Per-file platform-metadata extraction — the S8 analogue of the
+    reference's fast5 attribute readers (lq_nanopore.py:119-162: open
+    each signal file, pull run/channel attributes, one record per
+    file). The graft's containers carry their metadata in parquet
+    FOOTERS, so this is a distributed ``map_batches`` over a dataset
+    of FILE PATHS: each task opens only the footers of its paths
+    (no row data is read) and emits one attribute row per file —
+    exactly how footer harvesting fans out on a cluster where the
+    driver must not touch 10^6 files itself.
+
+    Output row: path, file_bytes, n_rows, n_row_groups, n_columns,
+    schema_fp (FNV-1a of 'name:type' lines — equal iff schemas match),
+    created_by.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..kernels.text import fnv1a_64_strs
+
+    paths = (
+        sorted(glob.glob(path_or_glob))
+        if any(c in path_or_glob for c in "*?[")
+        else sorted(glob.glob(os.path.join(path_or_glob, "*.parquet")))
+        if os.path.isdir(path_or_glob)
+        else [path_or_glob]
+    )
+    if not paths:
+        raise FileNotFoundError(path_or_glob)
+
+    def attrs(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "path": [], "file_bytes": [], "n_rows": [],
+            "n_row_groups": [], "n_columns": [], "schema_fp": [],
+            "created_by": [],
+        }
+        for p in batch.column("path").to_pylist():
+            md = pq.read_metadata(p)  # footer only
+            sch = md.schema
+            fp_src = "\n".join(
+                f"{sch.column(i).name}:{sch.column(i).physical_type}"
+                for i in range(len(sch))
+            )
+            out["path"].append(p)
+            out["file_bytes"].append(os.path.getsize(p))
+            out["n_rows"].append(md.num_rows)
+            out["n_row_groups"].append(md.num_row_groups)
+            out["n_columns"].append(len(sch))
+            out["schema_fp"].append(int(fnv1a_64_strs([fp_src])[0].view("int64")))
+            out["created_by"].append(md.created_by or "")
+        return pa.table({
+            "path": pa.array(out["path"], pa.string()),
+            "file_bytes": pa.array(out["file_bytes"], pa.int64()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_row_groups": pa.array(out["n_row_groups"], pa.int64()),
+            "n_columns": pa.array(out["n_columns"], pa.int64()),
+            "schema_fp": pa.array(out["schema_fp"], pa.int64()),
+            "created_by": pa.array(out["created_by"], pa.string()),
+        })
+
+    # one row per path; small batches so footer I/O fans out across tasks
+    ds = rd.from_items([{"path": p} for p in paths])
+    return ds.map_batches(attrs, batch_format="pyarrow", batch_size=64)

@@ -68,3 +68,30 @@ def test_grouped_quantile_disc_all_degenerate():
     assert got2 == {"a": [10.0], "b": [5.0]}
     assert stats["a"][0] == 7 and int(stats["a"][1]) == 70
     assert stats["b"][0] == 3 and int(stats["b"][1]) == 15
+
+
+def test_file_attributes_footer_map(tmp_path):
+    """S8 analogue: per-file footer attribute rows — counts match the
+    written tables, schema fingerprints equal iff schemas equal."""
+    import pyarrow.parquet as pq
+
+    from longqc_ray.sources.ingest import file_attributes
+
+    a = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    b = pa.table({"x": pa.array([4, 5], pa.int64())})
+    c = pa.table({"y": pa.array(["z"], pa.string())})
+    pq.write_table(a, tmp_path / "a.parquet")
+    pq.write_table(b, tmp_path / "b.parquet")
+    pq.write_table(c, tmp_path / "c.parquet")
+
+    out = file_attributes(str(tmp_path)).to_pandas().sort_values("path").reset_index(drop=True)
+    assert len(out) == 3
+    assert out["n_rows"].tolist() == [3, 2, 1]
+    assert out["n_columns"].tolist() == [1, 1, 1]
+    fps = out["schema_fp"].tolist()
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+    assert (out["file_bytes"] > 0).all()
+
+    # glob + single-file forms agree with the dir form
+    one = file_attributes(str(tmp_path / "a.parquet")).to_pandas()
+    assert one["n_rows"].tolist() == [3]
