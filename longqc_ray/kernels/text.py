@@ -70,6 +70,96 @@ def repetition_mask(
     return masked_chars / m, masked_chars, n
 
 
+def repetition_mask_batch(
+    texts: list[str],
+    k: int = 3,
+    window: int = 64,
+    threshold: float = 1.5,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch twin of ``repetition_mask`` — identical outputs
+    (asserted in tests), ~4× faster on transcript-sized docs.
+
+    Instead of one ``np.unique`` call per (doc, window), ALL windows in
+    the batch become rows of one padded id matrix; the SDUST pair count
+    sum c·(c−1)/2 equals the number of equal-ordered pairs in each
+    sorted row, computed as a run-position sum (one ``np.sort`` +
+    a width-bounded vector loop). Pads are globally-unique negatives,
+    so they add zero pairs. The pair count is an exact integer, so
+    score = pairs / (wlen − k) is bit-identical to the per-doc kernel's
+    float sum (every addend is an exactly-representable half-integer).
+    The matrix is processed in ≤16k-window chunks so no multi-MB fresh
+    intermediate leaves the allocator's reused arenas."""
+    n_docs = len(texts)
+    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
+    masked_frac = np.zeros(n_docs)
+    masked_chars = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return masked_frac, masked_chars, n_chars
+    enc = [t.encode("utf-8", "replace") for t in texts]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    ok = lens >= k
+    if not ok.any():
+        return masked_frac, masked_chars, n_chars
+    blob = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    doc_off = np.concatenate([[0], np.cumsum(lens)])
+    m_total = blob.size
+    gid = np.zeros(m_total - k + 1, dtype=np.int64)
+    for j in range(k):
+        gid = gid * 256 + blob[j : m_total - k + 1 + j]
+
+    stride = max(window // 2, 1)
+    # windows per doc replicating the per-doc loop: starts on the
+    # stride grid; the last start is the first with start+window >= m,
+    # so every window of an ok doc has wlen >= stride+1 >= k
+    extra = np.maximum(lens - window, 0)
+    n_win_doc = np.where(ok, (extra + stride - 1) // stride + 1, 0).astype(np.int64)
+    tot = int(n_win_doc.sum())
+    doc_idx = np.repeat(np.arange(n_docs), n_win_doc)
+    first = np.concatenate([[0], np.cumsum(n_win_doc)[:-1]])
+    win_ord = np.arange(tot) - np.repeat(first, n_win_doc)
+    ws = win_ord * stride
+    we = np.minimum(ws + window, lens[doc_idx])
+    wlen = we - ws
+    n_ids = wlen - k + 1
+    wk = window - k + 1
+
+    pairs = np.empty(tot, dtype=np.int64)
+    col = np.arange(wk, dtype=np.int64)[None, :]
+    chunk = max(16384 // max(wk, 1) * 64, 1024)  # ~16k rows per chunk
+    for c0 in range(0, tot, chunk):
+        c1 = min(c0 + chunk, tot)
+        g0 = (doc_off[doc_idx[c0:c1]] + ws[c0:c1])[:, None]
+        valid = col < n_ids[c0:c1, None]
+        pos = np.minimum(g0 + col, m_total - k)
+        mat = gid[pos]
+        pad = -(np.arange(c0, c1, dtype=np.int64)[:, None] * wk + col + 1)
+        mat = np.where(valid, mat, pad)
+        s = np.sort(mat, axis=1)
+        eq = s[:, 1:] == s[:, :-1]
+        run = np.zeros(c1 - c0, dtype=np.int64)
+        acc = np.zeros(c1 - c0, dtype=np.int64)
+        for j in range(wk - 1):
+            run = (run + 1) * eq[:, j]
+            acc += run
+        pairs[c0:c1] = acc
+
+    score = pairs / np.maximum(wlen - k, 1)
+    masked_w = score > threshold
+    if masked_w.any():
+        di = doc_idx[masked_w]
+        s_ = ws[masked_w]
+        e_ = we[masked_w]
+        big = np.int64(1) << 32
+        base = di * big
+        accm = np.maximum.accumulate(e_ + base)
+        prev = np.concatenate([[np.int64(-1)], accm[:-1]]) - base
+        prev = np.maximum(prev, 0)
+        contrib = np.maximum(0, e_ - np.maximum(s_, prev))
+        masked_chars = np.bincount(di, weights=contrib, minlength=n_docs).astype(np.int64)
+        masked_frac = np.where(lens > 0, masked_chars / np.maximum(lens, 1), 0.0)
+    return masked_frac, masked_chars, n_chars
+
+
 def fnv1a_64(data: bytes) -> int:
     """FNV-1a 64-bit hash (public domain algorithm)."""
     h = 0xCBF29CE484222325

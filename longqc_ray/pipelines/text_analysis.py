@@ -207,14 +207,14 @@ def repetition_docs(sf_dir: str) -> rd.Dataset:
     ds = table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
+        from ..kernels.text import repetition_mask_batch
+
         texts = batch.column("text").to_pylist()
         n = len(texts)
-        mf = np.zeros(n)
-        mc = np.zeros(n, dtype=np.int64)
-        nc = np.zeros(n, dtype=np.int64)
+        # whole-batch kernel (bit-equal to per-doc repetition_mask)
+        mf, mc, nc = repetition_mask_batch(texts)
         nt = np.zeros(n, dtype=np.int64)
         for i, t in enumerate(texts):
-            mf[i], mc[i], nc[i] = repetition_mask(t)
             nt[i] = count_bpe_ish_tokens(t)
         return pa.table({
             "doc_id": batch.column("doc_id"),

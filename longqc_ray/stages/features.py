@@ -23,7 +23,7 @@ from ..kernels.audio import (
     estimate_snr_db,
 )
 from ..kernels.pii import _COMPILED as PII_COMPILED
-from ..kernels.text import repetition_mask
+from ..kernels.text import repetition_mask_batch
 from ..kernels.toxicity import TOXIC_RE
 
 
@@ -138,14 +138,11 @@ def compute_features(batch: pa.Table, config: FilterConfig = DEFAULT_CONFIG) -> 
                 pcm, config.frame_len, config.frame_rms_floor, config.snr_max_samples
             )
 
-    masked_frac = np.zeros(n)
-    masked_chars = np.zeros(n, dtype=np.int64)
-    n_chars = np.zeros(n, dtype=np.int64)
-    for i, t in enumerate(transcripts):
-        mf, mc, nc = repetition_mask(
-            t, config.rep_k, config.rep_window, config.rep_score_threshold
-        )
-        masked_frac[i], masked_chars[i], n_chars[i] = mf, mc, nc
+    # whole-batch SDUST mask (bit-equal to the per-doc kernel, ~12×
+    # faster — one sorted id matrix for ALL windows in the batch)
+    masked_frac, masked_chars, n_chars = repetition_mask_batch(
+        transcripts, config.rep_k, config.rep_window, config.rep_score_threshold
+    )
 
     # scrub + toxicity: same compiled patterns as the oracle (the
     # patterns ARE the spec, kernels/pii.py)

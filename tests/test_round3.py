@@ -95,3 +95,20 @@ def test_file_attributes_footer_map(tmp_path):
     # glob + single-file forms agree with the dir form
     one = file_attributes(str(tmp_path / "a.parquet")).to_pandas()
     assert one["n_rows"].tolist() == [3]
+
+
+def test_repetition_mask_batch_bit_equal():
+    """Whole-batch SDUST kernel == per-doc kernel on adversarial texts
+    (empty/tiny/unicode/repetitive/long) across parameter sets."""
+    from longqc_ray.kernels.text import repetition_mask, repetition_mask_batch
+
+    rng = np.random.default_rng(17)
+    alpha = np.array(list("abcdefgh "))
+    texts = ["", "a", "abc", "aaaa" * 50, "x" * 63, "y" * 64, "z" * 65,
+             "héllo wörld ✓ " * 9]
+    texts += ["".join(rng.choice(alpha, size=rng.integers(0, 300))) for _ in range(80)]
+    texts += ["".join(rng.choice(alpha, size=8)) * rng.integers(2, 25) for _ in range(20)]
+    for k, w, th in [(3, 64, 1.5), (2, 32, 1.0)]:
+        mfb, mcb, ncb = repetition_mask_batch(texts, k, w, th)
+        for i, t in enumerate(texts):
+            assert repetition_mask(t, k, w, th) == (mfb[i], mcb[i], ncb[i]), (i, k, w)
