@@ -154,6 +154,18 @@ def _footer_rows(sf_dir: str, name: str, col: str) -> int | None:
     return None if st is None else st[2]
 
 
+def _table_parts(sf_dir: str, name: str, col: str, rows_per_part: int = 250_000) -> int:
+    """Data-scaled ``__part`` count for one driver table (util.scaled_parts
+    over the footer row count — metadata only). Light vectorized
+    per-partition kernels (window family) take the 250k default; heavy
+    per-partition work (pandas merges in hash joins) passes ~25k so a
+    node's cores stay busy (measured 5.7 s → 3.2 s on the sf0.1
+    lineitem⋈orders join at 32 CPUs)."""
+    from .util import scaled_parts
+
+    return scaled_parts(_footer_rows(sf_dir, name, col), rows_per_part=rows_per_part)
+
+
 def control_anti_join(sf_dir: str) -> rd.Dataset:
     """Anti-join on control keys (J1: control-read removal,
     lq_coverage.py:104-107). Small regime: the control-key predicate is
@@ -175,7 +187,8 @@ def control_anti_join(sf_dir: str) -> rd.Dataset:
     if n_rows is None or n_rows // 101 > FILTER_KEYS_BROADCAST_CAP:
         from .util import hash_anti_semi_join
 
-        return hash_anti_semi_join(ds, key_ds, "doc_id", "doc_id")
+        return hash_anti_semi_join(ds, key_ds, "doc_id", "doc_id",
+                                   n_parts=_table_parts(sf_dir, "documents", "doc_id"))
 
     ids = key_ds.to_pandas()["doc_id"].to_numpy()
     keys_ref = ray.put(pa.array(np.sort(ids), pa.int64()))
@@ -216,7 +229,8 @@ def sample_semi_join(sf_dir: str) -> rd.Dataset:
         from .util import hash_anti_semi_join
 
         left = ds.map_batches(project, batch_format="pyarrow")
-        return hash_anti_semi_join(left, key_ds, "user_id", "user_id", semi=True)
+        return hash_anti_semi_join(left, key_ds, "user_id", "user_id", semi=True,
+                                   n_parts=_table_parts(sf_dir, "events", "user_id"))
 
     ids = key_ds.to_pandas()["user_id"].to_numpy()
     ref = ray.put(pa.array(np.unique(ids), pa.int64()))
@@ -347,7 +361,7 @@ def user_sessions(sf_dir: str) -> rd.Dataset:
             "total_value_cents": np.add.reduceat(arr[:, 4], first),
         })
 
-    return _grouped_parts(parts, "user_id", per_part)
+    return _grouped_parts(parts, "user_id", per_part, n_parts=_table_parts(sf_dir, "events", "user_id"))
 
 
 # ---------------------------------------------------------------- O3/O4/O7
@@ -538,7 +552,8 @@ def order_revenue_join(sf_dir: str) -> pd.DataFrame:
 
     from .util import hash_join
 
-    joined = hash_join(li2, orders, "l_orderkey", "o_orderkey")
+    joined = hash_join(li2, orders, "l_orderkey", "o_orderkey",
+                       n_parts=_table_parts(sf_dir, "lineitem", "l_orderkey", rows_per_part=25_000))
     # distinct order count per priority: two-stage (priority, orderkey)
     # grouped sums, then per-priority rollup (same shape as occupancy)
     per_order = grouped_sums(joined, ["o_orderpriority", "l_orderkey"], ["disc_price_c"])
@@ -576,7 +591,7 @@ def user_gap_profile(sf_dir: str) -> rd.Dataset:
             "internal_gap_us": np.add.reduceat(internal, starts),
         })
 
-    return _grouped_parts(ds, "user_id", per_part)
+    return _grouped_parts(ds, "user_id", per_part, n_parts=_table_parts(sf_dir, "events", "user_id"))
 
 
 def user_activity_intervals(sf_dir: str) -> rd.Dataset:
@@ -643,7 +658,7 @@ def user_activity_intervals(sf_dir: str) -> rd.Dataset:
             "n_intervals": np.repeat(n_per_user, n_per_user).astype(np.int64),
         })
 
-    return _grouped_parts(parts, "user_id", per_part)
+    return _grouped_parts(parts, "user_id", per_part, n_parts=_table_parts(sf_dir, "events", "user_id"))
 
 
 def user_occupancy(sf_dir: str) -> pd.DataFrame:
@@ -688,7 +703,7 @@ def purchase_click_asof(sf_dir: str) -> rd.Dataset:
     from .util import _part_hash, asof_merge_tagged
 
     ds = table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
-    n_parts = 64
+    n_parts = _table_parts(sf_dir, "events", "user_id")
 
     def tag_both(batch: pa.Table) -> pa.Table:
         et = batch.column("event_type")
@@ -806,7 +821,7 @@ def user_rolling_value(sf_dir: str) -> rd.Dataset:
             "roll_value_cents": roll.astype(np.int64),
         })
 
-    return _grouped_parts(ds, "user_id", per_part)
+    return _grouped_parts(ds, "user_id", per_part, n_parts=_table_parts(sf_dir, "events", "user_id"))
 
 
 _QUANTILE_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
@@ -974,7 +989,7 @@ def top_events_per_user(sf_dir: str, k: int = TOPK_PER_USER) -> rd.Dataset:
 
     # returned as a Dataset — no driver-side collect/sort; row order is
     # free (the checker canonicalizes), rank is carried in `rn`
-    return _grouped_parts(pruned, "user_id", per_part)
+    return _grouped_parts(pruned, "user_id", per_part, n_parts=_table_parts(sf_dir, "events", "user_id"))
 
 
 def user_value_lag(sf_dir: str) -> rd.Dataset:
@@ -998,7 +1013,7 @@ def user_value_lag(sf_dir: str) -> rd.Dataset:
             "delta_cents": c - prev,
         })
 
-    return _grouped_parts(ds, "user_id", per_part)
+    return _grouped_parts(ds, "user_id", per_part, n_parts=_table_parts(sf_dir, "events", "user_id"))
 
 
 FUNNEL_STAGES = ("view", "click", "purchase")
@@ -1027,7 +1042,7 @@ def funnel_conversion(sf_dir: str) -> pa.Table:
         return pd.DataFrame({"stage": list(FUNNEL_STAGES), "n_users": counts})
 
     # collect is safe here: the partials are n_parts × n_stages rows
-    parts = _grouped_parts(ds, "user_id", per_part).to_pandas()
+    parts = _grouped_parts(ds, "user_id", per_part, n_parts=_table_parts(sf_dir, "events", "user_id")).to_pandas()
     totals = parts.groupby("stage", sort=False)["n_users"].sum()
     return pa.table({
         "stage": pa.array(list(FUNNEL_STAGES), pa.string()),
@@ -1199,5 +1214,6 @@ def parts_never_bulk_ordered(sf_dir: str) -> pd.DataFrame:
         return t.filter(pa.array(q >= BULK_QTY)).select(["l_partkey"])
 
     bulk = li.map_batches(bulk_keys, batch_format="pyarrow")
-    out = hash_anti_semi_join(part, bulk, "p_partkey", "l_partkey").to_pandas()
+    out = hash_anti_semi_join(part, bulk, "p_partkey", "l_partkey",
+                              n_parts=_table_parts(sf_dir, "part", "p_partkey", rows_per_part=25_000)).to_pandas()
     return out.sort_values("p_partkey", kind="stable").reset_index(drop=True)
