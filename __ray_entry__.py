@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": text_analysis.repetition_docs,
         "fuzzy_span_docs": text_analysis.fuzzy_span_docs,  # lq_adapt.py:10-78 analogue
         # ---------------- position 51+ below this line ----------------
+        "user_retention": relational.user_retention,  # cohort retention matrix (SQL-twinned)
+        "salient_terms_per_source": text_analysis.salient_terms_per_source,  # exact-ratio tf-idf (SQL-twinned)
         "cohort_union": relational.cohort_union,  # O3 (SQL-twinned; green in r1+r2)
         # --- engine-defined models (gate = pytest determinism/recall pins) ---
         "ann_lsh": similarity.ann_lsh,
@@ -708,6 +710,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
             WHERE d.doc_id % 97 <> 0
         """,
+        # tf-idf salient terms: rank = tf * n_docs / df as one double
+        # division of exact integers (same trick as bigram lift)
+        "salient_terms_per_source": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(text, '{_TOK}')) AS token
+              FROM documents
+            ),
+            tf AS (SELECT source, token, count(*) AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+            n AS (SELECT count(*) AS nd FROM documents)
+            SELECT source, token, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(tf * nd AS DOUBLE) / df AS tfidf,
+                   CAST(rn AS BIGINT) AS rn
+            FROM (
+              SELECT source, token, tf, df, nd,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY CAST(tf * nd AS DOUBLE) / df DESC, token) AS rn
+              FROM tf JOIN df USING (token) CROSS JOIN n)
+            WHERE rn <= 5
+        """,
         "approx_distinct_users": _HLL_SQL,
         "approx_users_by_type": _HLL_BY_TYPE_SQL,
         "vocab_top_tokens": f"""
@@ -879,6 +904,20 @@ def oracle_sql() -> dict[str, str]:
         # ed(p, w) >= |len(w) - m| (DuckDB levenshtein == the engine's
         # Myers semi-global kernel on ASCII text)
         "fuzzy_span_docs": _FUZZY_SQL,
+        # cohort retention: weeks are exact integer divisions of the
+        # microsecond epoch (epoch_us // week_us), matching the engine's
+        # int64 arithmetic with no float-boundary drift
+        "user_retention": """
+            WITH w AS (
+              SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+            ),
+            f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id)
+            SELECT f.cohort_week,
+                   CAST(w.wk - f.cohort_week AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+            FROM w JOIN f ON w.user_id = f.user_id
+            GROUP BY 1, 2
+        """,
         "ann_topk": """
             SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

