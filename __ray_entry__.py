@@ -98,7 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- a few cheap, twice-proven queries lead ---
         "doc_corpus_stats": relational.doc_corpus_stats,        # A1
         "doc_quality_flags": relational.doc_quality_flags,      # A6/A7
-        "top_docs": relational.top_docs,                        # O4/O7
+        "user_retention": relational.user_retention,  # cohort retention matrix
         "pricing_summary": relational.pricing_summary,          # grouped agg + combiner
         "nation_revenue": relational.nation_revenue,            # broadcast join
         # --- SQL-twinned but never reached by the r2 driver (were slots 51+) ---
@@ -146,14 +146,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_stats": text_analysis.token_stats,
         "quality_scores": text_analysis.quality_scores,
-        "doc_fingerprints": doc_fingerprints_md5,
+        "salient_terms_per_source": text_analysis.salient_terms_per_source,  # exact-ratio tf-idf
         "pii_scrub_docs": text_analysis.pii_scrub_docs,
         "toxicity_docs": text_analysis.toxicity_docs,
         "repetition_docs": text_analysis.repetition_docs,
         "fuzzy_span_docs": text_analysis.fuzzy_span_docs,  # lq_adapt.py:10-78 analogue
         # ---------------- position 51+ below this line ----------------
-        "user_retention": relational.user_retention,  # cohort retention matrix (SQL-twinned)
-        "salient_terms_per_source": text_analysis.salient_terms_per_source,  # exact-ratio tf-idf (SQL-twinned)
+        "top_docs": relational.top_docs,  # O4/O7 (SQL-twinned; green in r1+r2)
+        "doc_fingerprints": doc_fingerprints_md5,  # md5 fingerprint (SQL-twinned; green in r2)
         "cohort_union": relational.cohort_union,  # O3 (SQL-twinned; green in r1+r2)
         # --- engine-defined models (gate = pytest determinism/recall pins) ---
         "ann_lsh": similarity.ann_lsh,

@@ -176,6 +176,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "corr_quantity_price", "event_props_extract", "audio_trim_silence",
         "event_value_quantiles_by_type", "bigram_collocations",
         "approx_users_by_type", "parts_never_bulk_ordered",
+        "pack_docs", "user_retention", "salient_terms_per_source",
+        "ann_lsh", "file_attributes",
     ]
     out: dict[str, float] = {}
     for name in names:

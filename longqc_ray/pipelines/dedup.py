@@ -284,6 +284,99 @@ def _connected_components(pairs: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
+def connected_components_lp(pairs: rd.Dataset, max_iters: int = 64) -> rd.Dataset:
+    """Distributed min-label propagation over an edge Dataset (a, b) —
+    the scale fallback ``_connected_components`` documents, as a REAL
+    operator for when the dup graph itself no longer fits the driver.
+
+    Per round, a node's new label is the min of:
+    (1) its own label,
+    (2) its neighbors' labels (labels hash-joined onto the
+        SYMMETRIZED edge list — one co-located join, labels flow both
+        directions),
+    (3) its label's label (pointer jumping: labels joined onto
+        themselves), which halves chain depth each round, so long
+        paths converge in O(log n) rounds, not O(diameter).
+    Every shuffle carries (node, label) int64 pairs only; labels only
+    decrease, so one tiny Sum aggregate per round detects the
+    fixpoint. Returns a Dataset (node, label = component min id);
+    equality with driver union-find is pinned in tests. Valid because
+    every label is itself a node id present in the labels table (min
+    of endpoint ids, inductively preserved by min-merging)."""
+    from ray.data.aggregate import Min, Sum
+
+    from .util import hash_join
+
+    def seed(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(a, b)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "label": pa.array(np.concatenate([lo, lo]), pa.int64()),
+        })
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    def to_arrow(t: pa.Table) -> pa.Table:
+        return t  # identity pass pins Arrow block type for union()
+
+    labels = (
+        pairs.map_batches(seed, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+        .map_batches(to_arrow, batch_format="pyarrow")
+        .materialize()
+    )
+    sig = int(labels.aggregate(Sum("label", alias_name="s"))["s"])
+
+    for _ in range(max_iters):
+        # (2) neighbor labels: label(src) proposed to dst
+        neigh = hash_join(
+            edges,
+            labels.map_batches(
+                lambda t: pa.table({"src_l": t.column("node"), "l": t.column("label")}),
+                batch_format="pyarrow",
+            ),
+            "src", "src_l", n_parts=8,
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "label": t.column("l")}),
+            batch_format="pyarrow",
+        )
+        # (3) pointer jump: label(label(v)) proposed to v
+        jump = hash_join(
+            labels.map_batches(
+                lambda t: pa.table({"v": t.column("node"), "l1": t.column("label")}),
+                batch_format="pyarrow",
+            ),
+            labels.map_batches(
+                lambda t: pa.table({"n2": t.column("node"), "l2": t.column("label")}),
+                batch_format="pyarrow",
+            ),
+            "l1", "n2", n_parts=8,
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("v"), "label": t.column("l2")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(neigh).union(jump)
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+            .map_batches(to_arrow, batch_format="pyarrow")
+            .materialize()
+        )
+        new_sig = int(labels.aggregate(Sum("label", alias_name="s"))["s"])
+        if new_sig == sig:  # labels only decrease → equal sum = fixpoint
+            break
+        sig = new_sig
+    return labels
+
+
 def minhash_near_dups(
     ds: rd.Dataset,
     id_col: str = "doc_id",

@@ -112,3 +112,37 @@ def test_repetition_mask_batch_bit_equal():
         mfb, mcb, ncb = repetition_mask_batch(texts, k, w, th)
         for i, t in enumerate(texts):
             assert repetition_mask(t, k, w, th) == (mfb[i], mcb[i], ncb[i]), (i, k, w)
+
+
+def test_connected_components_lp_matches_union_find():
+    """Distributed min-label propagation == driver union-find on a
+    planted graph with chains (pointer-jump path), cliques, and
+    singleton-free node sets."""
+    import pandas as pd
+
+    from longqc_ray.pipelines.dedup import (
+        _connected_components,
+        connected_components_lp,
+    )
+
+    rng = np.random.default_rng(23)
+    edges = []
+    # long chain 100..120 (exercises pointer jumping)
+    edges += [(i, i + 1) for i in range(100, 112)]
+    # clique on {5, 9, 13, 17}
+    cl = [5, 9, 13, 17]
+    edges += [(a, b) for i, a in enumerate(cl) for b in cl[i + 1:]]
+    # random sparse pairs
+    for _ in range(15):
+        a, b = rng.integers(200, 260, size=2)
+        if a != b:
+            edges.append((int(min(a, b)), int(max(a, b))))
+    df = pd.DataFrame(edges, columns=["a", "b"])
+
+    want = _connected_components(df)
+    got = connected_components_lp(rd.from_arrow(pa.table({
+        "a": pa.array(df["a"], pa.int64()),
+        "b": pa.array(df["b"], pa.int64()),
+    }))).to_pandas()
+    got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
+    assert got_map == want
