@@ -63,6 +63,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return file_attributes(sf_dir)
 
+    from longqc_ray.sources.ingest import file_footer_profile
+
+    def _embedding_clusters_assign(sf_dir: str):
+        """(vec_id, cluster) projection of embedding_clusters — the
+        integer assignment is hash-stable across engines; the float
+        cos_to_centroid column is not (GEMM vs ordered-sum ulps)."""
+        return similarity.embedding_clusters(sf_dir)[["vec_id", "cluster"]]
+
     def doc_fingerprints_md5(sf_dir: str):
         return text_analysis.doc_fingerprints(sf_dir).select_columns(["doc_id", "fp_md5"])
 
@@ -95,12 +103,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries regardless of order; its result is committed per round
     # as CHECK_SWEEP_r{N}.json.
     return {
-        # --- a few cheap, twice-proven queries lead ---
-        "doc_corpus_stats": relational.doc_corpus_stats,        # A1
-        "doc_quality_flags": relational.doc_quality_flags,      # A6/A7
+        # --- newly SQL-twinned in round 3 (ANN + k-means + footer S8) ---
+        "ann_lsh": similarity.ann_lsh,  # planes embedded as SQL literals
+        "ann_ivf": similarity.ann_ivf,  # k-means unrolled into CTEs
+        "embedding_clusters": _embedding_clusters_assign,  # same codebook, int projection
+        "file_footer_profile": file_footer_profile,  # S8 footer vs COUNT(*) cross-check
         "user_retention": relational.user_retention,  # cohort retention matrix
-        "pricing_summary": relational.pricing_summary,          # grouped agg + combiner
-        "nation_revenue": relational.nation_revenue,            # broadcast join
         # --- SQL-twinned but never reached by the r2 driver (were slots 51+) ---
         "pack_docs": text_analysis.pack_docs,  # sequence packing (distributed prefix scan)
         "contamination_docs": text_analysis.contamination_docs,  # train/eval 8-gram overlap
@@ -152,13 +160,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": text_analysis.repetition_docs,
         "fuzzy_span_docs": text_analysis.fuzzy_span_docs,  # lq_adapt.py:10-78 analogue
         # ---------------- position 51+ below this line ----------------
+        # (every entry here is either green in BOTH r1 and r2 or gated
+        # by pytest pins, so losing a driver slot costs no information)
         "top_docs": relational.top_docs,  # O4/O7 (SQL-twinned; green in r1+r2)
         "doc_fingerprints": doc_fingerprints_md5,  # md5 fingerprint (SQL-twinned; green in r2)
         "cohort_union": relational.cohort_union,  # O3 (SQL-twinned; green in r1+r2)
+        "doc_corpus_stats": relational.doc_corpus_stats,  # A1 (green in r1+r2)
+        "doc_quality_flags": relational.doc_quality_flags,  # A6/A7 (green in r1+r2)
+        "pricing_summary": relational.pricing_summary,  # grouped agg (green in r1+r2)
+        "nation_revenue": relational.nation_revenue,  # broadcast join (green in r1+r2)
         # --- engine-defined models (gate = pytest determinism/recall pins) ---
-        "ann_lsh": similarity.ann_lsh,
-        "ann_ivf": similarity.ann_ivf,
-        "embedding_clusters": similarity.embedding_clusters,
         "lang_id_docs": text_analysis.lang_id_docs,
         # --- platform metadata (S8 analogue: footer-only per-file map) ---
         "file_attributes": _file_attributes_q,
@@ -415,6 +426,8 @@ FROM est ORDER BY event_type
 
 
 def oracle_sql() -> dict[str, str]:
+    from longqc_ray.pipelines import similarity as _sim
+
     return {
         "doc_corpus_stats": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -936,4 +949,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id % 20 = 0 AND b.vec_id > a.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,
+        # generated twins: hyperplanes / Lloyd rounds live in
+        # similarity.py so Ray path and SQL share one constant set
+        "ann_lsh": _sim.ann_lsh_oracle_sql(),
+        "ann_ivf": _sim.ann_ivf_oracle_sql(),
+        "embedding_clusters": _sim.embedding_clusters_oracle_sql(),
+        "file_footer_profile": " UNION ALL ".join(
+            f"SELECT '{t}' AS table_name, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {t}) AS n_rows, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM pragma_table_info('{t}')) AS n_columns"
+            for t in sorted(
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings".split()
+            )
+        ),
     }

@@ -493,3 +493,151 @@ def embedding_clusters(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataF
 
     out = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096).to_pandas()
     return out.sort_values("vec_id", kind="stable").reset_index(drop=True)
+
+
+# ----------------------------------------------- DuckDB oracle twins
+#
+# The ANN operators were rows-only until round 3 because their guts
+# (seeded hyperplanes, trained k-means codebook) looked
+# SQL-inexpressible. They are not: the plane matrix is a pure
+# function of (seed, dim) and small enough to EMBED as literals, and
+# the deterministic RNG-free Lloyd iterations UNROLL into chained
+# MATERIALIZED CTEs (materialized, or DuckDB inlines each round's
+# centroid CTE twice and the plan grows 2^iters). Generated here so
+# every constant (bits, seed, k, probe counts, train stride) stays in
+# exactly one module; bit-equality with the Ray path at sf0.001/0.01/
+# 0.1 is pinned in tests/test_round3.py.
+
+_NORM = (
+    "list_transform(CAST({c} AS DOUBLE[]), x -> x / "
+    "sqrt(list_dot_product(CAST({c} AS DOUBLE[]), CAST({c} AS DOUBLE[]))))"
+)
+
+
+def _rerank_sql(cand_rel: str, k: int, n_queries: int) -> str:
+    """Exact-rerank tail shared with the ann_topk oracle: row_number
+    over (cos DESC, vec_id) — identical tie-break to _exact_rerank."""
+    return f"""
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}) q, {cand_rel} c
+  WHERE c.vec_id <> q.vec_id)
+WHERE rank <= {k}"""
+
+
+def ann_lsh_oracle_sql(
+    k: int = TOP_K, n_queries: int = N_QUERIES, n_probe_bits: int = 2, d: int = 64
+) -> str:
+    """DuckDB twin of ``ann_lsh``: the seeded hyperplanes are embedded
+    as DOUBLE[] literals (repr round-trips float64 exactly); bucket =
+    sign-bit sum, probe set = queries' buckets closed under 1- and
+    2-bit XOR flips, then the shared exact rerank. The sign of
+    list_dot_product(raw, plane) equals numpy's sign(normalized @
+    plane) because positive scaling cannot flip a sign."""
+    planes = _hyperplanes(d)
+    rows = ",\n".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}]::DOUBLE[])"
+        for i in range(LSH_BITS)
+    )
+    probe2 = ""
+    if n_probe_bits >= 2:
+        probe2 = (
+            "\n  UNION SELECT xor(xor(qb.bucket, CAST(1<<i.i AS BIGINT)),"
+            " CAST(1<<j.i AS BIGINT)) FROM qb, bits i, bits j WHERE j.i > i.i"
+        )
+    return f"""
+WITH planes(i, p) AS (VALUES {rows}),
+b AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.embedding, p.p) > 0 THEN 1<<p.i ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+),
+qb AS (SELECT bucket FROM b WHERE vec_id < {n_queries}),
+bits(i) AS (VALUES {", ".join(f"({i})" for i in range(LSH_BITS))}),
+probe AS (
+  SELECT DISTINCT bucket AS pb FROM qb
+  UNION SELECT xor(qb.bucket, CAST(1<<i.i AS BIGINT)) FROM qb, bits i{probe2}
+),
+cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         JOIN b USING (vec_id) WHERE b.bucket IN (SELECT pb FROM probe))
+{_rerank_sql("cand", k, n_queries)}"""
+
+
+def _kmeans_cells_cte(
+    n_centroids: int = IVF_CENTROIDS, iters: int = 10, d: int = 64
+) -> str:
+    """CTE chain reproducing ``_kmeans_cosine`` over the strided
+    training sample bit-for-bit, ending in ``cells`` (every vec_id's
+    argmax cell, ties -> lowest cid, matching np.argmax) and ``alln``
+    (normalized vectors). Seed rows replicate np.linspace's float
+    recipe: fl(i * fl((n-1)/(k-1))) truncated, endpoint pinned."""
+    nemb = _NORM.format(c="embedding")
+    km1 = n_centroids - 1
+    parts = [f"""
+t AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn, {nemb} AS nemb
+  FROM embeddings WHERE vec_id % {_IVF_TRAIN_STRIDE} = 0),
+nn AS (SELECT COUNT(*) AS n FROM t),
+seeds AS (
+  SELECT CAST(i.range AS BIGINT) AS cid,
+         CASE WHEN i.range = {km1} THEN nn.n - 1
+              ELSE CAST(trunc(CAST(i.range AS DOUBLE) * (CAST(nn.n - 1 AS DOUBLE) / {km1}.0)) AS BIGINT) END AS rn
+  FROM range({n_centroids}) i, nn),
+c0 AS (SELECT s.cid, t.nemb AS cent FROM seeds s JOIN t ON t.rn = s.rn)"""]
+    for it in range(1, iters + 1):
+        p = it - 1
+        parts.append(f""",
+a{it} AS (SELECT vec_id, cid FROM (
+    SELECT t.vec_id, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id ORDER BY list_dot_product(t.nemb, c.cent) DESC, c.cid) AS rk
+    FROM t, c{p} c) WHERE rk = 1),
+x{it} AS (SELECT a.cid, unnest(range({d})) AS idx, unnest(t.nemb) AS v
+          FROM a{it} a JOIN t USING (vec_id)),
+s{it} AS (SELECT cid, idx, SUM(v) AS sv FROM x{it} GROUP BY cid, idx),
+l{it} AS (SELECT cid, list(sv ORDER BY idx) AS l FROM s{it} GROUP BY cid),
+c{it} AS MATERIALIZED (SELECT p.cid,
+                 CASE WHEN l.l IS NULL THEN p.cent
+                      ELSE list_transform(l.l, x -> x / sqrt(list_dot_product(l.l, l.l))) END AS cent
+          FROM c{p} p LEFT JOIN l{it} l USING (cid))""")
+    parts.append(f""",
+alln AS MATERIALIZED (SELECT vec_id, {nemb} AS nemb FROM embeddings),
+cells AS (SELECT vec_id, cid FROM (
+    SELECT dd.vec_id, c.cid,
+           row_number() OVER (PARTITION BY dd.vec_id ORDER BY list_dot_product(dd.nemb, c.cent) DESC, c.cid) AS rk
+    FROM alln dd, c{iters} c) WHERE rk = 1)""")
+    return "".join(parts)
+
+
+def ann_ivf_oracle_sql(
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+) -> str:
+    """DuckDB twin of ``ann_ivf``: the RNG-free spherical k-means is
+    unrolled (one assign + one recenter CTE per Lloyd round), probe =
+    each query's top-``n_probe`` cells (ties -> lowest cid, matching
+    the stable argsort), candidates = union of probed cells, then the
+    shared exact rerank."""
+    return f"""
+WITH {_kmeans_cells_cte(n_centroids)},
+probed AS (SELECT DISTINCT cid FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(q.nemb, c.cent) DESC, c.cid) AS rk
+    FROM (SELECT * FROM alln WHERE vec_id < {n_queries}) q, c10 c) WHERE rk <= {n_probe}),
+cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         JOIN cells USING (vec_id) WHERE cells.cid IN (SELECT cid FROM probed))
+{_rerank_sql("cand", k, n_queries)}"""
+
+
+def embedding_clusters_oracle_sql(n_clusters: int = IVF_CENTROIDS) -> str:
+    """DuckDB twin of ``embedding_clusters``'s (vec_id, cluster)
+    projection — same unrolled k-means, final assignment over all
+    vectors. cos_to_centroid is excluded from the checked projection:
+    numpy GEMM and list_dot_product round differently in the last ulp,
+    so only the integer assignment is hash-stable across engines."""
+    return f"""
+WITH {_kmeans_cells_cte(n_clusters)}
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM cells"""

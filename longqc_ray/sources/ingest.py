@@ -163,3 +163,36 @@ def file_attributes(path_or_glob: str) -> rd.Dataset:
     # one row per path; small batches so footer I/O fans out across tasks
     ds = rd.from_items([{"path": p} for p in paths])
     return ds.map_batches(attrs, batch_format="pyarrow", batch_size=64)
+
+
+def file_footer_profile(sf_dir: str) -> rd.Dataset:
+    """SQL-checkable companion to ``file_attributes`` (S8,
+    lq_nanopore.py:119-162): the same distributed footer-only fan-out,
+    projected to the attributes a data-level oracle can independently
+    recompute — (table_name, n_rows, n_columns). n_rows comes from the
+    parquet FOOTER here but from COUNT(*) in the DuckDB twin, so a
+    green row genuinely cross-checks footer metadata against the data;
+    n_columns uses the footer's *arrow* schema (top-level columns, so
+    nested list columns count once, matching the view's column list)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+    if not paths:
+        raise FileNotFoundError(sf_dir)
+
+    def attrs(batch: pa.Table) -> pa.Table:
+        names, rows, cols = [], [], []
+        for p in batch.column("path").to_pylist():
+            md = pq.read_metadata(p)  # footer only, no row data
+            names.append(os.path.basename(p)[: -len(".parquet")])
+            rows.append(md.num_rows)
+            cols.append(len(md.schema.to_arrow_schema()))
+        return pa.table({
+            "table_name": pa.array(names, pa.string()),
+            "n_rows": pa.array(rows, pa.int64()),
+            "n_columns": pa.array(cols, pa.int64()),
+        })
+
+    ds = rd.from_items([{"path": p} for p in paths])
+    return ds.map_batches(attrs, batch_format="pyarrow", batch_size=64)

@@ -68,6 +68,12 @@ SQL_BACKED = [
     "doc_fingerprints",
     "pii_scrub_docs",
     "toxicity_docs",
+    # round-3 twins: generated SQL (planes as literals, k-means
+    # unrolled into MATERIALIZED CTEs, footer-vs-data cross-check)
+    "ann_lsh",
+    "ann_ivf",
+    "embedding_clusters",
+    "file_footer_profile",
 ]
 
 
@@ -100,7 +106,7 @@ def test_rows_only_queries_run():
     qs = entrymod.queries()
     rows_only = set(qs) - set(entrymod.oracle_sql())
     # cheap subset (model-scorer pipelines are covered by e2e tests)
-    for name in ["lang_id_docs", "ann_lsh"]:
+    for name in ["lang_id_docs", "file_attributes"]:
         assert name in rows_only
         df = to_pandas(qs[name](SF_DIR))
         assert len(df.columns) >= 2
