@@ -472,17 +472,34 @@ def minhash_near_dups(
     }).reset_index(drop=True)
 
 
-def dedup_minhash(sf_dir: str) -> rd.Dataset:
+def dedup_minhash(sf_dir: str, components: str = "driver") -> rd.Dataset:
     """Per-doc near-dup verdict over documents: (doc_id, dup_of, keep).
 
     keep=False iff the doc belongs to a verified near-dup cluster and
     is not its min-id representative. The verdict is emitted by a
     ``map_batches`` join against the broadcast component map (sorted
     key/value arrays + ``np.searchsorted``): only the tiny dup-cluster
-    map ever reaches the driver — the id column never collects."""
+    map ever reaches the driver — the id column never collects.
+
+    ``components`` picks the clustering engine: ``"driver"`` runs
+    union-find on the verified-pair frame (right up to ~10^8 pairs);
+    ``"distributed"`` runs ``connected_components_lp`` (min-label
+    propagation + pointer jumping over a pairs Dataset) for when even
+    the dup GRAPH outgrows one machine. Identical output either way
+    (pinned in tests); the broadcast of the resulting cluster map is
+    bounded by the dup-cluster member count, not the corpus."""
     ds = table(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_near_dups(ds)
-    comp = _connected_components(pairs[["a", "b"]])
+    if components == "distributed" and len(pairs):
+        lbl = connected_components_lp(
+            rd.from_arrow(pa.table({
+                "a": pa.array(pairs["a"].to_numpy(), pa.int64()),
+                "b": pa.array(pairs["b"].to_numpy(), pa.int64()),
+            }))
+        ).to_pandas()
+        comp = dict(zip(lbl["node"].astype(np.int64), lbl["label"].astype(np.int64)))
+    else:
+        comp = _connected_components(pairs[["a", "b"]])
     keys = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
     vals = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
     order = np.argsort(keys, kind="stable")

@@ -146,3 +146,18 @@ def test_connected_components_lp_matches_union_find():
     }))).to_pandas()
     got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
     assert got_map == want
+
+
+def test_dedup_minhash_distributed_components_identical():
+    """components='distributed' (label propagation) must emit the
+    exact same verdict table as the driver union-find path."""
+    from longqc_ray.pipelines.dedup import dedup_minhash
+
+    sf = "/root/testdata/sf0.001"
+    a = dedup_minhash(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        dedup_minhash(sf, components="distributed")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (~a["keep"]).sum() > 0  # planted dups actually exercised
