@@ -41,7 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from longqc_ray.pipelines import dedup, relational, similarity, text_analysis
     from longqc_ray.pipelines.multimodal import (
         audio_feature_table,
+        audio_fingerprint_dedup,
+        audio_resample_norm,
         audio_trim_silence,
+        audio_vad_profile,
         image_features,
         read_derived_clips,
         video_frame_features,
@@ -177,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_clips": quality_filter_clips,
         "audio_features": audio_feature_table,
         "audio_trim_silence": audio_trim_silence,  # lq_adapt.py:10-78 audio twin
+        "audio_fingerprint_dedup": audio_fingerprint_dedup,  # audio rung of the dedup ladder
+        "audio_vad_profile": audio_vad_profile,  # energy VAD utterance segmentation
+        "audio_resample_norm": audio_resample_norm,  # sr + loudness normalization
         "image_features": image_features,  # real PPM/BMP numpy decode + declared fallback
         "video_frame_features": video_frame_features,  # real y4m frame seek/sample
         "window_rms_profile": window_rms_profile,  # O6 random-window sampling

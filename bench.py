@@ -178,6 +178,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "approx_users_by_type", "parts_never_bulk_ordered",
         "pack_docs", "user_retention", "salient_terms_per_source",
         "ann_lsh", "file_attributes",
+        "audio_fingerprint_dedup", "audio_vad_profile", "audio_resample_norm",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -202,3 +202,123 @@ def trim_silence_bounds(
     start = int(act[0]) * frame_len
     end = min(n, (int(act[-1]) + 1) * frame_len)
     return (start, end)
+
+
+def band_energy_frames(
+    pcm: np.ndarray, frame_len: int = 256, n_bands: int = 8
+) -> np.ndarray:
+    """(n_frames, n_bands) per-frame band energies: one batched rFFT
+    over all complete frames (a single (n_frames, frame_len) matrix op,
+    no per-frame Python), DC dropped, remaining bins grouped into
+    ``n_bands`` contiguous bands via one reduceat."""
+    n = (pcm.size // frame_len) * frame_len
+    if n == 0:
+        return np.empty((0, n_bands), dtype=np.float64)
+    frames = pcm[:n].astype(np.float64).reshape(-1, frame_len)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    spec = spec[:, 1:]  # drop DC: fingerprints must ignore bias/gain offsets
+    edges = np.linspace(0, spec.shape[1], n_bands + 1).astype(np.int64)
+    return np.add.reduceat(spec, edges[:-1], axis=1)
+
+
+def fingerprint_words(
+    pcm: np.ndarray, frame_len: int = 256, n_bands: int = 8
+) -> np.ndarray:
+    """uint8 word sequence for the spectral fingerprint (public
+    chromaprint-style construction): sign of the band-energy DELTA
+    between consecutive frames -> one bit per (frame, band), packed to
+    one byte per frame step. Gain-invariant by construction — scaling
+    the signal by g scales every band energy by g^2 and cannot flip a
+    delta's sign. Clips with fewer than 2 complete frames yield an
+    empty sequence."""
+    e = band_energy_frames(pcm, frame_len, n_bands)
+    if e.shape[0] < 2:
+        return np.empty(0, dtype=np.uint8)
+    bits = (np.diff(e, axis=0) > 0.0).astype(np.uint8)  # (n_frames-1, n_bands)
+    return np.packbits(bits, axis=1)[:, 0]  # one uint8 per frame (n_bands<=8)
+
+
+def spectral_fingerprint(
+    pcm: np.ndarray, frame_len: int = 256, n_bands: int = 8
+) -> int:
+    """64-bit audio-content fingerprint: FNV-1a fold of the
+    ``fingerprint_words`` byte sequence, via the shared length-aware
+    vectorized kernel so the scalar path and the batched operator path
+    (one padded matrix per batch of clips) hash bit-identically.
+    Re-leveled copies of the same recording collide; different audio
+    does not (pinned in tests). <2 complete frames -> 0."""
+    from .text import fnv1a_64_varlen_np
+
+    words = fingerprint_words(pcm, frame_len, n_bands)
+    if words.size == 0:
+        return 0
+    return int(fnv1a_64_varlen_np(
+        words.reshape(1, -1), np.array([words.size], dtype=np.int64)
+    )[0])
+
+
+def vad_segments(
+    pcm: np.ndarray,
+    frame_len: int = 256,
+    rms_floor: float = 0.01,
+    hang_frames: int = 2,
+) -> tuple[int, int, int, int]:
+    """Energy VAD with hangover merging: frames whose RMS clears the
+    floor are speech; silence gaps of <= ``hang_frames`` between
+    speech frames are bridged (utterance-internal pauses), and the
+    surviving speech runs are the segments. Returns (n_segments,
+    n_active_frames, n_total_frames, longest_internal_gap_frames);
+    active counts are pre-merge. Vectorized: one bincount RMS pass
+    (shared shape with trim_silence_bounds) + run-length via diff on
+    the active index list."""
+    n = int(pcm.size)
+    if n == 0:
+        return (0, 0, 0, 0)
+    fidx = np.arange(n, dtype=np.int64) // frame_len
+    x = pcm.astype(np.float64)
+    sumsq = np.bincount(fidx, weights=x * x)
+    cnt = np.bincount(fidx).astype(np.float64)
+    rms = np.sqrt(sumsq / cnt)
+    act = np.nonzero(rms >= rms_floor)[0]
+    n_frames = int(rms.size)
+    if act.size == 0:
+        return (0, 0, n_frames, 0)
+    gaps = np.diff(act) - 1  # silent frames between consecutive speech frames
+    internal = gaps[gaps > 0]
+    n_segments = 1 + int((gaps > hang_frames).sum())
+    longest_gap = int(internal.max()) if internal.size else 0
+    return (n_segments, int(act.size), n_frames, longest_gap)
+
+
+def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resampler (the public polyphase-free
+    construction; adequate for feature/QC pipelines, documented as the
+    place a production system plugs in a windowed-sinc kernel).
+    Output length = round(n * sr_out / sr_in); endpoints clamp."""
+    if sr_in == sr_out or pcm.size == 0:
+        return pcm.astype(np.float32, copy=False)
+    n_out = int(round(pcm.size * sr_out / sr_in))
+    if n_out <= 0:
+        return np.empty(0, dtype=np.float32)
+    pos = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    pos = np.clip(pos, 0.0, pcm.size - 1.0)
+    return np.interp(pos, np.arange(pcm.size, dtype=np.float64),
+                     pcm.astype(np.float64)).astype(np.float32)
+
+
+def gain_normalize(
+    pcm: np.ndarray, target_rms: float = 0.1
+) -> tuple[np.ndarray, float, float]:
+    """Scale to a target RMS; returns (normalized pcm clipped to
+    [-1, 1], applied gain, fraction of samples that clipped). Silent
+    clips pass through with gain 1.0."""
+    if pcm.size == 0:
+        return (pcm.astype(np.float32, copy=False), 1.0, 0.0)
+    x = pcm.astype(np.float64)
+    rms = float(np.sqrt(np.mean(x * x)))
+    if rms <= 0.0:
+        return (pcm.astype(np.float32, copy=False), 1.0, 0.0)
+    g = target_rms / rms
+    y = x * g
+    clipped = float(np.mean(np.abs(y) > 1.0))
+    return (np.clip(y, -1.0, 1.0).astype(np.float32), g, clipped)

@@ -426,3 +426,187 @@ def audio_feature_table(sf_dir: str) -> rd.Dataset:
         ["clip_id", "sr_hz", "dur_ms", "codec", "snr_db", "active_frame_frac",
          "masked_frac", "n_chars", "n_pii_spans", "n_toxic"]
     )
+
+
+def _payload_arrays(batch: pa.Table) -> tuple[list, list, "np.ndarray", "np.ndarray"]:
+    """(clip_ids, codecs, offsets, data) zero-copy views into a clips
+    batch's binary payload column — the shared prologue of every
+    payload-touching operator."""
+    n = batch.num_rows
+    ids = batch.column("clip_id").to_pylist()
+    codecs = batch.column("codec").to_pylist()
+    col = batch.column("bytes")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        if col.buffers()[2]
+        else np.empty(0, np.uint8)
+    )
+    return ids, codecs, offs, data
+
+
+def fingerprint_clips(ds: rd.Dataset) -> rd.Dataset:
+    """(clip_id, fp) — 64-bit spectral content fingerprint per clip.
+
+    Per batch: per-clip band-energy delta words (the FFT is batched
+    per clip), then ONE padded-matrix FNV-1a across the whole batch
+    via the shared length-aware kernel — no per-frame Python hashing.
+    Undecodable / <2-frame clips emit fp=0 (excluded from dedup)."""
+    from ..kernels.audio import decode_view, fingerprint_words
+    from ..kernels.text import fnv1a_64_varlen_np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, codecs, offs, data = _payload_arrays(batch)
+        n = len(ids)
+        words: list[np.ndarray] = []
+        lens = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            w = (
+                fingerprint_words(pcm)
+                if pcm is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            words.append(w)
+            lens[i] = w.size
+        width = max(int(lens.max()), 1) if n else 1
+        mat = np.zeros((n, width), dtype=np.uint8)
+        for i, w in enumerate(words):
+            mat[i, : w.size] = w
+        fp = fnv1a_64_varlen_np(mat, lens).view(np.int64)
+        fp[lens == 0] = 0
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "fp": pa.array(fp, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+
+
+def fingerprint_dedup_over(ds: rd.Dataset) -> rd.Dataset:
+    """Audio-CONTENT exact dedup (the audio rung of the dedup ladder):
+    fingerprint every clip, then group by fingerprint and keep the
+    min-id representative — same narrow-shuffle shape as the text
+    ``dedup_exact`` (§2.7): the all-to-all moves (fp, clip_id) only,
+    never payloads. Emits one row per duplicated fingerprint:
+    (fp, rep_clip_id, n_copies). Gain-invariant: a re-leveled copy of
+    a recording lands in the same group (pinned in tests)."""
+    from ray.data.aggregate import Count, Min
+
+    fps = fingerprint_clips(ds)
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.not_equal(t.column("fp"), 0))
+
+    return (
+        fps.map_batches(drop_null, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min("clip_id", alias_name="rep_clip_id"), Count(alias_name="n_copies"))
+        .filter(lambda r: r["n_copies"] > 1)
+    )
+
+
+def audio_fingerprint_dedup(sf_dir: str) -> rd.Dataset:
+    """Derived-clips entry point for ``fingerprint_dedup_over``."""
+    return fingerprint_dedup_over(read_derived_clips(sf_dir))
+
+
+def audio_vad_profile(sf_dir: str, frame_len: int = 256) -> rd.Dataset:
+    """Energy-VAD utterance profile per clip (training pipelines
+    segment long audio before transcription/packing): (clip_id,
+    n_segments, speech_frac, longest_gap_ms). One streaming
+    map_batches, one bincount RMS pass per clip, narrow output."""
+    from ..kernels.audio import decode_view, vad_segments
+
+    ds = read_derived_clips(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, codecs, offs, data = _payload_arrays(batch)
+        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        n_seg = np.zeros(n, dtype=np.int64)
+        frac = np.zeros(n, dtype=np.float64)
+        gap_ms = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            if pcm is None:
+                continue
+            segs, act, tot, gap = vad_segments(pcm, frame_len=frame_len)
+            n_seg[i] = segs
+            frac[i] = act / tot if tot else 0.0
+            if srs[i] > 0:
+                gap_ms[i] = gap * frame_len / srs[i] * 1000.0
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "n_segments": pa.array(n_seg, pa.int64()),
+            "speech_frac": pa.array(frac, pa.float64()),
+            "longest_gap_ms": pa.array(gap_ms, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+
+
+def audio_resample_norm(
+    sf_dir: str,
+    target_sr: int = 16_000,
+    target_rms: float = 0.1,
+    emit_payload: bool = False,
+) -> rd.Dataset:
+    """Sample-rate + loudness normalization — the standard 'every clip
+    becomes target_sr / target level' preprocessing stage. Per clip:
+    decode -> linear resample -> RMS gain (clipped to [-1,1]) ->
+    per-clip stats (clip_id, sr_in, n_in, n_out, gain, clipped_frac,
+    resampled). With ``emit_payload`` the normalized pcm_s16le payload
+    is emitted too (the production sink path; off by default so the
+    profile query stays narrow). Clips with unknown codec or
+    non-positive sr pass through with resampled=false."""
+    from ..kernels.audio import decode_view, gain_normalize, pcm16_encode, resample_linear
+
+    ds = read_derived_clips(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, codecs, offs, data = _payload_arrays(batch)
+        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        n_in = np.zeros(n, dtype=np.int64)
+        n_out = np.zeros(n, dtype=np.int64)
+        gain = np.ones(n, dtype=np.float64)
+        clipped = np.zeros(n, dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        payloads: list[bytes] = []
+        for i in range(n):
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            if pcm is None or srs[i] <= 0:
+                payloads.append(b"")
+                continue
+            y = resample_linear(pcm, int(srs[i]), target_sr)
+            y, g, cf = gain_normalize(y, target_rms)
+            ok[i] = True
+            n_in[i] = pcm.size
+            n_out[i] = y.size
+            gain[i] = g
+            clipped[i] = cf
+            payloads.append(pcm16_encode(y) if emit_payload else b"")
+        cols = {
+            "clip_id": pa.array(ids, pa.string()),
+            "sr_in": pa.array(srs, pa.int64()),
+            "n_in": pa.array(n_in, pa.int64()),
+            "n_out": pa.array(n_out, pa.int64()),
+            "gain": pa.array(gain, pa.float64()),
+            "clipped_frac": pa.array(clipped, pa.float64()),
+            "resampled": pa.array(ok, pa.bool_()),
+        }
+        if emit_payload:
+            cols["bytes"] = pa.array(payloads, pa.binary())
+        return pa.table(cols)
+
+    # payload-emitting variant doubles the bytes in flight: halve the
+    # batch so batch x concurrency stays inside a worker heap
+    bs = 128 if emit_payload else 256
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=bs, zero_copy_batch=True)

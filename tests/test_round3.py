@@ -161,3 +161,118 @@ def test_dedup_minhash_distributed_components_identical():
     )
     assert a.equals(b)
     assert (~a["keep"]).sum() > 0  # planted dups actually exercised
+
+
+def _tone(freq: float, sr: int, n: int, amp: float = 0.4) -> np.ndarray:
+    t = np.arange(n, dtype=np.float64) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_spectral_fingerprint_invariances():
+    from longqc_ray.kernels.audio import spectral_fingerprint
+
+    rng = np.random.default_rng(5)
+    # chirpy content: strong band-delta structure
+    x = np.concatenate([_tone(300 + 40 * k, 16000, 512) for k in range(8)])
+    y = np.concatenate([_tone(700 - 30 * k, 16000, 512) for k in range(8)])
+    assert spectral_fingerprint(x) == spectral_fingerprint(x.copy())
+    # gain invariance is exact on float input: g^2 cannot flip a delta sign
+    assert spectral_fingerprint(0.5 * x) == spectral_fingerprint(x)
+    assert spectral_fingerprint(0.01 * x) == spectral_fingerprint(x)
+    assert spectral_fingerprint(x) != spectral_fingerprint(y)
+    assert spectral_fingerprint(x[:300]) == 0  # <2 complete frames
+    z = rng.standard_normal(4096).astype(np.float32)
+    assert spectral_fingerprint(z) not in (0, spectral_fingerprint(x))
+
+
+def test_vad_segments_runs_and_gaps():
+    from longqc_ray.kernels.audio import vad_segments
+
+    fl = 256
+    sil = np.zeros(fl, dtype=np.float32)
+    spk = _tone(440, 16000, fl)
+    # [sil] [spk x2] [sil x2 (<=hang: merges)] [spk] [sil x4 (>hang: splits)] [spk x3]
+    x = np.concatenate([sil, spk, spk, sil, sil, spk, sil, sil, sil, sil, spk, spk, spk])
+    n_seg, act, tot, gap = vad_segments(x, frame_len=fl, hang_frames=2)
+    assert (n_seg, act, tot, gap) == (2, 6, 13, 4)
+    assert vad_segments(np.zeros(2048, np.float32), frame_len=fl) == (0, 0, 8, 0)
+    assert vad_segments(np.empty(0, np.float32)) == (0, 0, 0, 0)
+
+
+def test_resample_linear_tone():
+    from longqc_ray.kernels.audio import resample_linear
+
+    x = _tone(440, 16000, 16000)
+    y = resample_linear(x, 16000, 8000)
+    assert y.size == 8000
+    # dominant bin preserved: 440 Hz at 8 kHz over 8000 samples -> bin 440
+    spec = np.abs(np.fft.rfft(y.astype(np.float64)))
+    assert abs(int(np.argmax(spec[1:])) + 1 - 440) <= 1
+    assert resample_linear(x, 16000, 16000) is x or np.array_equal(
+        resample_linear(x, 16000, 16000), x
+    )
+    up = resample_linear(x, 8000, 22050)
+    assert up.size == int(round(16000 * 22050 / 8000))
+
+
+def test_gain_normalize():
+    from longqc_ray.kernels.audio import gain_normalize
+
+    x = _tone(200, 8000, 4000, amp=0.01)
+    y, g, cf = gain_normalize(x, target_rms=0.1)
+    assert abs(np.sqrt(np.mean(y.astype(np.float64) ** 2)) - 0.1) < 1e-3
+    assert g > 1.0 and cf == 0.0
+    loud = _tone(200, 8000, 4000, amp=0.9)
+    y2, g2, cf2 = gain_normalize(loud, target_rms=0.95)
+    assert cf2 > 0.0 and np.abs(y2).max() <= 1.0
+    sil = np.zeros(100, np.float32)
+    _, g3, cf3 = gain_normalize(sil)
+    assert (g3, cf3) == (1.0, 0.0)
+
+
+def test_fingerprint_dedup_over_planted():
+    """Exact payload dup (different clip ids) groups; distinct audio
+    does not; undecodable rows never group."""
+    from longqc_ray.kernels.audio import pcm16_encode
+    from longqc_ray.pipelines.multimodal import fingerprint_dedup_over
+
+    a = np.concatenate([_tone(300 + 40 * k, 16000, 512) for k in range(8)])
+    b = np.concatenate([_tone(900 - 55 * k, 16000, 512) for k in range(8)])
+    rows = [
+        ("clip-a1", pcm16_encode(a), 16000, "pcm_s16le"),
+        ("clip-a2", pcm16_encode(a), 16000, "pcm_s16le"),  # planted dup
+        ("clip-b", pcm16_encode(b), 16000, "pcm_s16le"),
+        ("clip-x1", b"\x00\x01", 16000, "opus_unknown"),   # undecodable
+        ("clip-x2", b"\x00\x01", 16000, "opus_unknown"),   # must NOT pair with x1
+    ]
+    ds = rd.from_arrow(pa.table({
+        "clip_id": pa.array([r[0] for r in rows], pa.string()),
+        "bytes": pa.array([r[1] for r in rows], pa.binary()),
+        "sr_hz": pa.array([r[2] for r in rows], pa.int64()),
+        "codec": pa.array([r[3] for r in rows], pa.string()),
+    }))
+    got = fingerprint_dedup_over(ds).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["rep_clip_id"] == "clip-a1"
+    assert int(got.iloc[0]["n_copies"]) == 2
+
+
+def test_audio_ops_over_derived_clips():
+    from longqc_ray.pipelines.multimodal import (
+        audio_resample_norm,
+        audio_vad_profile,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    vad = audio_vad_profile(sf).to_pandas()
+    assert len(vad) == 500
+    assert ((vad.speech_frac >= 0) & (vad.speech_frac <= 1)).all()
+    assert (vad.n_segments > 0).sum() > 400  # decodable clips have speech
+
+    rs = audio_resample_norm(sf).to_pandas()
+    assert len(rs) == 500
+    ok = rs[rs.resampled]
+    assert len(ok) > 400
+    # exact linear-resample length contract
+    assert (ok.n_out == (ok.n_in * 16000 / ok.sr_in).round().astype(np.int64)).all()
+    assert (rs.loc[~rs.resampled, "n_out"] == 0).all()
