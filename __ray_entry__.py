@@ -121,7 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / aggregate operator inventory (SURVEY.md §2.5-2.7) ---
         "doc_n50": relational.doc_n50,                          # A2
         "length_bin_profile": relational.length_bin_profile,    # A13
-        "source_lang_profile": relational.source_lang_profile,  # A13 combiner
+        "dup_components": dedup.dup_components,  # distributed label propagation
         "control_anti_join": relational.control_anti_join,      # J1
         "sample_semi_join": relational.sample_semi_join,        # J2
         "user_sessions": relational.user_sessions,              # J3/M12
@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_union": relational.cohort_union,  # O3 (SQL-twinned; green in r1+r2)
         "doc_corpus_stats": relational.doc_corpus_stats,  # A1 (green in r1+r2)
         "doc_quality_flags": relational.doc_quality_flags,  # A6/A7 (green in r1+r2)
+        "source_lang_profile": relational.source_lang_profile,  # A13 combiner (green in r1+r2)
         "pricing_summary": relational.pricing_summary,  # grouped agg (green in r1+r2)
         "nation_revenue": relational.nation_revenue,  # broadcast join (green in r1+r2)
         # --- engine-defined models (gate = pytest determinism/recall pins) ---
@@ -703,6 +704,19 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         "simhash_docs": _SIMHASH_DOCS_SQL,
         "simhash_near_dups": _SIMHASH_PAIRS_SQL,
+        # distributed label propagation vs recursive-CTE closure over
+        # the SAME replicated simhash pair set: label = component min id
+        "dup_components": f"""
+            WITH RECURSIVE pairs AS ({_SIMHASH_PAIRS_SQL}),
+            e AS (SELECT a AS s, b AS d FROM pairs
+                  UNION SELECT b AS s, a AS d FROM pairs),
+            r(n, m) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM e)
+                UNION
+                SELECT e.s, r.m FROM e JOIN r ON e.d = r.n
+            )
+            SELECT n AS node, CAST(MIN(m) AS BIGINT) AS label FROM r GROUP BY n
+        """,
         # train/eval decontamination: distinct word-8-gram overlap with
         # the benchmark slice (doc_id % 97 == 0); raw-string join =
         # the engine's FNV-hashed broadcast membership (ASCII corpus)

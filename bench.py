@@ -179,6 +179,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "pack_docs", "user_retention", "salient_terms_per_source",
         "ann_lsh", "file_attributes",
         "audio_fingerprint_dedup", "audio_vad_profile", "audio_resample_norm",
+        "dup_components",
     ]
     out: dict[str, float] = {}
     for name in names:

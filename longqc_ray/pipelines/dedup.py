@@ -650,3 +650,22 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = JACCARD_TAU) -> pd.DataFrame:
     verified near-dup pairs over documents (a, b, jaccard)."""
     ds = table(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_near_dups(ds, tau=tau)
+
+
+def dup_components(sf_dir: str) -> rd.Dataset:
+    """Connected components of the simhash near-dup graph, computed by
+    the DISTRIBUTED min-label-propagation operator — the query surface
+    for ``connected_components_lp`` (its driver twin backs
+    ``dedup_minhash``). Output: (node, label) where label is the
+    component's min doc_id; the DuckDB oracle recomputes the same
+    closure with a recursive CTE over the replicated simhash pairs."""
+    pairs = simhash_near_dups(sf_dir)
+    if pairs.empty:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+        }))
+    return connected_components_lp(rd.from_arrow(pa.table({
+        "a": pa.array(pairs["a"].to_numpy(), pa.int64()),
+        "b": pa.array(pairs["b"].to_numpy(), pa.int64()),
+    })))

@@ -74,6 +74,7 @@ SQL_BACKED = [
     "ann_ivf",
     "embedding_clusters",
     "file_footer_profile",
+    "dup_components",
 ]
 
 
