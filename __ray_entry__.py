@@ -122,8 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_n50": relational.doc_n50,                          # A2
         "length_bin_profile": relational.length_bin_profile,    # A13
         "dup_components": dedup.dup_components,  # distributed label propagation
-        "control_anti_join": relational.control_anti_join,      # J1
-        "sample_semi_join": relational.sample_semi_join,        # J2
+        "shipping_priority": relational.shipping_priority,      # Q3-shape 3-join pipeline
+        "returned_item_revenue": relational.returned_item_revenue,  # Q10-shape, names after top-k
         "user_sessions": relational.user_sessions,              # J3/M12
         "deterministic_sample": relational.deterministic_sample,  # O1 analogue
         "stratified_sample_docs": relational.stratified_sample_docs,  # per-stratum bottom-k
@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_corpus_stats": relational.doc_corpus_stats,  # A1 (green in r1+r2)
         "doc_quality_flags": relational.doc_quality_flags,  # A6/A7 (green in r1+r2)
         "source_lang_profile": relational.source_lang_profile,  # A13 combiner (green in r1+r2)
+        "control_anti_join": relational.control_anti_join,  # J1 (green in r1+r2)
+        "sample_semi_join": relational.sample_semi_join,  # J2 (green in r1+r2)
         "pricing_summary": relational.pricing_summary,  # grouped agg (green in r1+r2)
         "nation_revenue": relational.nation_revenue,  # broadcast join (green in r1+r2)
         # --- engine-defined models (gate = pytest determinism/recall pins) ---
@@ -968,6 +970,40 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id % 20 = 0 AND b.vec_id > a.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        # composed multi-join pipelines (exact centi-cent revenue:
+        # cents(price) x (100 - discount_pct), integer on both sides)
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cc,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_s,
+                   o_orderpriority
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND floor(epoch(o_orderdate)) < 896659200
+              AND floor(epoch(l_shipdate)) > 896659200
+            GROUP BY l_orderkey, o_date_s, o_orderpriority
+            ORDER BY revenue_cc DESC, o_date_s, l_orderkey
+            LIMIT 10
+        """,
+        "returned_item_revenue": """
+            WITH rev AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cc
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                GROUP BY o_custkey
+                ORDER BY revenue_cc DESC, o_custkey
+                LIMIT 20
+            )
+            SELECT c_custkey, c_name, n_name, revenue_cc
+            FROM rev
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
         """,
         # generated twins: hyperplanes / Lloyd rounds live in
         # similarity.py so Ray path and SQL share one constant set

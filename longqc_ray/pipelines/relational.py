@@ -1263,3 +1263,184 @@ def parts_never_bulk_ordered(sf_dir: str) -> pd.DataFrame:
     out = hash_anti_semi_join(part, bulk, "p_partkey", "l_partkey",
                               n_parts=_table_parts(sf_dir, "part", "p_partkey", rows_per_part=25_000)).to_pandas()
     return out.sort_values("p_partkey", kind="stable").reset_index(drop=True)
+
+
+# ----------------------------------------------- composed multi-join
+# pipelines (TPC-H Q3/Q10 shapes): several joins in ONE streaming
+# pipeline, each join picked by side size — broadcast-under-cap for
+# dimension-sized sides, hash co-group for fact×fact, and name/label
+# attachment deferred to AFTER the top-k so the wide string columns
+# only ever touch k rows.
+
+SHIP_CUTOFF_S = 896_659_200  # 1998-06-01 UTC, epoch seconds
+SEG_BROADCAST_CAP = 5_000_000  # same 40 MB/worker budget as NATION_BROADCAST_CAP
+
+
+def _epoch_s(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """int64 epoch seconds (floor) of a timestamp column."""
+    us = col.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    return np.floor_divide(us.astype(np.int64), 1_000_000)
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    k: int = 10,
+    broadcast_cap: int = SEG_BROADCAST_CAP,
+) -> pd.DataFrame:
+    """Q3 shape: BUILDING customers' orders placed before the cutoff,
+    revenue from their lineitems shipped after it, top-k orders.
+
+    Join plan (every step streams): (1) segment customers reduce to a
+    KEY SET — broadcast `pc.is_in` under SEG_BROADCAST_CAP, hash
+    semi-join above it (util.hash_anti_semi_join, the J2 scale path);
+    (2) orders×lineitem is fact×fact → co-grouped hash_join on
+    orderkey; (3) per-order revenue is a distributed groupby whose
+    output stays a Dataset (one row per qualifying order never
+    collects); (4) distributed sort + limit(k). Revenue is exact
+    integer centi-cents: cents(extendedprice) × (100 − discount_pct),
+    so the SQL twin matches bit-for-bit."""
+    from ray.data.aggregate import Min, Sum
+
+    from .util import hash_anti_semi_join, hash_join
+
+    cust = table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    n_cust = _footer_rows(sf_dir, "customer", "c_custkey")
+    if n_cust is None:
+        n_cust = cust.count()
+    orders = table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def project_orders(batch: pa.Table) -> pa.Table:
+        d = _epoch_s(batch.column("o_orderdate"))
+        keep = pa.array(d < SHIP_CUTOFF_S)
+        t = pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_custkey": batch.column("o_custkey"),
+            "o_date_s": pa.array(d, pa.int64()),
+            "o_orderpriority": batch.column("o_orderpriority"),
+        })
+        return t.filter(keep)
+
+    o_proj = orders.map_batches(project_orders, batch_format="pyarrow", batch_size=65536)
+
+    def seg_filter(batch: pa.Table) -> pa.Table:
+        return pa.table({"ck": batch.column("c_custkey").filter(
+            pc.equal(batch.column("c_mktsegment"), segment)
+        )})
+
+    seg_keys_ds = cust.map_batches(seg_filter, batch_format="pyarrow")
+    if n_cust > broadcast_cap:
+        o_f = hash_anti_semi_join(o_proj, seg_keys_ds, "o_custkey", "ck", semi=True)
+    else:
+        keys = pa.concat_tables(
+            ray.get(seg_keys_ds.to_arrow_refs())
+        ).column("ck").combine_chunks()
+        keys_ref = ray.put(keys)
+
+        def keep_seg(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("o_custkey"), value_set=ray.get(keys_ref)))
+
+        o_f = o_proj.map_batches(keep_seg, batch_format="pyarrow")
+
+    line = table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def project_line(batch: pa.Table) -> pa.Table:
+        ship = _epoch_s(batch.column("l_shipdate"))
+        price_c = cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = cents(batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0) // 100
+        t = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "rev_cc": pa.array(price_c * (100 - disc_pct), pa.int64()),
+        })
+        return t.filter(pa.array(ship > SHIP_CUTOFF_S))
+
+    l_proj = line.map_batches(project_line, batch_format="pyarrow", batch_size=65536)
+
+    joined = hash_join(l_proj, o_f.map_batches(
+        lambda t: t.drop_columns(["o_custkey"]), batch_format="pyarrow"
+    ), "l_orderkey", "o_orderkey")
+
+    top = (
+        joined.groupby("l_orderkey")
+        .aggregate(
+            Sum("rev_cc", alias_name="revenue_cc"),
+            Min("o_date_s", alias_name="o_date_s"),
+            Min("o_orderpriority", alias_name="o_orderpriority"),
+        )
+        .sort(["revenue_cc", "o_date_s", "l_orderkey"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    for c in ("l_orderkey", "revenue_cc", "o_date_s"):
+        top[c] = top[c].astype(np.int64)
+    return top[["l_orderkey", "revenue_cc", "o_date_s", "o_orderpriority"]]
+
+
+def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Q10 shape: customers ranked by revenue of RETURNED lineitems.
+
+    Join plan: lineitem(returnflag='R') projects to (orderkey, exact
+    centi-cent revenue) map-side; fact×fact hash_join onto orders'
+    (orderkey, custkey); distributed per-customer sum stays a Dataset;
+    distributed sort + limit(k); and only THEN are the k winners'
+    names/nations attached — the string side is a filtered `is_in`
+    read of exactly k customer rows, so no wide column ever shuffles
+    and no corpus-fraction broadcast exists on the hot path."""
+    from ray.data.aggregate import Sum
+
+    from .util import hash_join
+
+    line = table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def project_line(batch: pa.Table) -> pa.Table:
+        price_c = cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = cents(batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0) // 100
+        t = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "rev_cc": pa.array(price_c * (100 - disc_pct), pa.int64()),
+        })
+        return t.filter(pc.equal(batch.column("l_returnflag"), "R"))
+
+    l_proj = line.map_batches(project_line, batch_format="pyarrow", batch_size=65536)
+    o_proj = table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    top = (
+        hash_join(l_proj, o_proj, "l_orderkey", "o_orderkey")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_cc", alias_name="revenue_cc"))
+        .sort(["revenue_cc", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["o_custkey"] = top["o_custkey"].astype(np.int64)
+    top["revenue_cc"] = top["revenue_cc"].astype(np.int64)
+
+    # name attach AFTER top-k: k-row pruned read, tiny driver merge
+    winners = pa.array(top["o_custkey"].to_numpy(), pa.int64())
+    cust = table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_custkey"), value_set=winners)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    nation = table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out = out.rename(columns={"o_custkey": "c_custkey_out"})
+    res = pd.DataFrame({
+        "c_custkey": out["c_custkey_out"].astype(np.int64),
+        "c_name": out["c_name"],
+        "n_name": out["n_name"],
+        "revenue_cc": out["revenue_cc"].astype(np.int64),
+    })
+    return res.sort_values(["revenue_cc", "c_custkey"], ascending=[False, True]).reset_index(drop=True)

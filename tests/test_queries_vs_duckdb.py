@@ -75,6 +75,8 @@ SQL_BACKED = [
     "embedding_clusters",
     "file_footer_profile",
     "dup_components",
+    "shipping_priority",
+    "returned_item_revenue",
 ]
 
 

@@ -276,3 +276,14 @@ def test_audio_ops_over_derived_clips():
     # exact linear-resample length contract
     assert (ok.n_out == (ok.n_in * 16000 / ok.sr_in).round().astype(np.int64)).all()
     assert (rs.loc[~rs.resampled, "n_out"] == 0).all()
+
+
+def test_shipping_priority_broadcast_and_shuffle_branches_equal():
+    """Q3-shape pipeline: the hash semi-join scale branch must emit the
+    same top-k as the broadcast branch."""
+    from longqc_ray.pipelines.relational import shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    a = shipping_priority(sf).reset_index(drop=True)
+    b = shipping_priority(sf, broadcast_cap=0).reset_index(drop=True)
+    assert len(a) == 10 and a.equals(b)
