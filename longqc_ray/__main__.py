@@ -78,6 +78,16 @@ def cmd_report(args: argparse.Namespace) -> int:
     if not shards:
         raise SystemExit(f"no parquet shards under {args.input}")
     labeled = label_clips(read_wide_parquet(shards), config=_config_for(args.preset))
+    if args.html:
+        from .pipelines.qc_summary import binned_quality_stats
+        from .sources.report_html import render_qc_html
+
+        labeled = labeled.materialize()
+        summary = qc_summary(labeled)
+        with open(args.html, "w") as f:
+            f.write(render_qc_html(summary, binned_quality_stats(labeled)))
+        print(json.dumps({"html": args.html, "n_clips": summary["n_clips"]}))
+        return 0
     print(json.dumps(qc_summary(labeled), indent=2, default=str))
     return 0
 
@@ -128,6 +138,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--input", required=True)
     r.add_argument("--preset", default="default")
     r.add_argument("--cpus", type=int, default=None)
+    r.add_argument("--html", default=None,
+                   help="also write a self-contained HTML report (S11 analogue)")
     r.set_defaults(fn=cmd_report)
 
     q = sub.add_parser("query", help="run one registered query")

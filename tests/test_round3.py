@@ -287,3 +287,24 @@ def test_shipping_priority_broadcast_and_shuffle_branches_equal():
     a = shipping_priority(sf).reset_index(drop=True)
     b = shipping_priority(sf, broadcast_cap=0).reset_index(drop=True)
     assert len(a) == 10 and a.equals(b)
+
+
+def test_html_report_renders_and_writes(tmp_path):
+    """S11 analogue: self-contained HTML report with inline-SVG charts,
+    data tables, and every scalar metric."""
+    from longqc_ray.sources.report_html import render_qc_html, write_qc_report_html
+
+    out = str(tmp_path / "qc.html")
+    p = write_qc_report_html("/root/testdata/sf0.001", out)
+    doc = open(p).read()
+    assert doc.startswith("<!doctype html>")
+    assert doc.count("<svg") == 2 and "<title>" in doc  # charts + hover tooltips
+    for key in ("drop reasons", "keep fraction", "dur_n50_ms", "corpus_size_str"):
+        assert key in doc, key
+    for reason in ("low_snr", "too_short", "wrong_lang"):
+        assert reason in doc, reason
+    # escaping: render never emits raw user strings
+    fake = {"n_clips": 1, "n_keep": 1, "warns": ["<script>x</script>"],
+            "errors": [], "drop_reasons": {"a<b": 2}}
+    doc2 = render_qc_html(fake, None)
+    assert "<script>x</script>" not in doc2 and "&lt;script&gt;" in doc2
