@@ -125,16 +125,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.shipping_priority,      # Q3-shape 3-join pipeline
         "returned_item_revenue": relational.returned_item_revenue,  # Q10-shape, names after top-k
         "user_sessions": relational.user_sessions,              # J3/M12
-        "deterministic_sample": relational.deterministic_sample,  # O1 analogue
         "stratified_sample_docs": relational.stratified_sample_docs,  # per-stratum bottom-k
+        "weighted_sample_docs": relational.weighted_sample_docs,  # Efraimidis-Spirakis A-Res
         "order_revenue_join": relational.order_revenue_join,    # large×large co-group join
-        "windowed_event_stats": relational.windowed_event_stats,  # §2.9 window
+        "windowed_event_stats": relational.windowed_event_stats,  # §2.9 tumbling window
+        "hopping_window_stats": relational.hopping_window_stats,  # §2.9 overlapping windows
         "purchase_click_asof": relational.purchase_click_asof,    # as-of join
         "event_window_range_join": relational.event_window_range_join,  # range join
         "user_rolling_value": relational.user_rolling_value,      # per-key rolling window
         "value_quantiles": relational.value_quantiles,            # distributed quantile_disc
         "user_occupancy": relational.user_occupancy,            # A15 occupancy
-        "user_gap_profile": relational.user_gap_profile,        # M11 gaps
         "user_activity_intervals": relational.user_activity_intervals,  # M12/T4 merge
         "approx_distinct_users": relational.approx_distinct_users,  # A17 HLL scale path
         "approx_users_by_type": relational.approx_users_by_type,  # grouped HLL sketch
@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_profile": relational.source_lang_profile,  # A13 combiner (green in r1+r2)
         "control_anti_join": relational.control_anti_join,  # J1 (green in r1+r2)
         "sample_semi_join": relational.sample_semi_join,  # J2 (green in r1+r2)
+        "deterministic_sample": relational.deterministic_sample,  # O1 (green in r1+r2)
+        "user_gap_profile": relational.user_gap_profile,  # M11 gaps (green in r1+r2)
         "pricing_summary": relational.pricing_summary,  # grouped agg (green in r1+r2)
         "nation_revenue": relational.nation_revenue,  # broadcast join (green in r1+r2)
         # --- engine-defined models (gate = pytest determinism/recall pins) ---
@@ -522,6 +524,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE rn <= 20
         """,
+        # Efraimidis-Spirakis weighted sample: priority u^(1/w) ordered
+        # as ln(u)/w, u = fnv1a64(id)/2^64 — same double expression as
+        # the engine
+        "weighted_sample_docs": f"""
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       ln(CAST({_fnv_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                          / 18446744073709551616.0) / n_chars AS key
+                FROM documents
+                ORDER BY key DESC, doc_id LIMIT 50)
+        """,
         # sequence packing: pack_id = floor(prefix-token-sum-before /
         # cap) over doc_id order — the SQL window scan twins the
         # engine's two-level range/offset prefix sum
@@ -589,6 +602,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # hopping windows: every event in its 4 covering 1h windows
+        # that advance every 15 min (offset cross join = the map-side
+        # replication)
+        "hopping_window_stats": """
+            SELECT event_type,
+                   CAST((CAST(floor(epoch(ts)) AS BIGINT) // 900 - k.k) * 900 AS BIGINT) AS window_start_s,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events, (SELECT unnest(range(4)) AS k) k
+            GROUP BY 1, 2
         """,
         "purchase_click_asof": """
             SELECT l.event_id, l.user_id,

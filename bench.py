@@ -179,7 +179,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "pack_docs", "user_retention", "salient_terms_per_source",
         "ann_lsh", "file_attributes",
         "audio_fingerprint_dedup", "audio_vad_profile", "audio_resample_norm",
-        "dup_components",
+        "dup_components", "shipping_priority", "returned_item_revenue",
+        "hopping_window_stats", "weighted_sample_docs",
     ]
     out: dict[str, float] = {}
     for name in names:

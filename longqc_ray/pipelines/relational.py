@@ -1444,3 +1444,85 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
         "revenue_cc": out["revenue_cc"].astype(np.int64),
     })
     return res.sort_values(["revenue_cc", "c_custkey"], ascending=[False, True]).reset_index(drop=True)
+
+
+HOP_S = 900
+HOP_WINDOW_S = 3600
+
+
+def hopping_window_stats(
+    sf_dir: str, window_s: int = HOP_WINDOW_S, hop_s: int = HOP_S
+) -> pd.DataFrame:
+    """HOPPING-window aggregate (§2.9: the overlapping-window sibling
+    of ``windowed_event_stats``'s tumbling windows): per (event_type,
+    window_start) over sliding windows of ``window_s`` advancing every
+    ``hop_s`` — each event belongs to window_s/hop_s windows.
+
+    The replication happens MAP-SIDE inside the batch (np.repeat of
+    the narrow projected columns, never the raw row), and the map-side
+    combiner collapses it before the one narrow shuffle — the
+    all-to-all carries per-(type, window) partials, not the xN row
+    expansion."""
+    assert window_s % hop_s == 0
+    fan = window_s // hop_s
+    ds = table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_windows(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        base = ts // (hop_s * 1_000_000)
+        ks = np.arange(fan, dtype=np.int64)
+        ws = ((base[:, None] - ks[None, :]) * hop_s).reshape(-1)
+        v = cents(batch.column("value").to_numpy(zero_copy_only=False))
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        return pa.table({
+            "event_type": pa.array(np.repeat(et, fan)),
+            "window_start_s": pa.array(ws, pa.int64()),
+            "value_c": pa.array(np.repeat(v, fan), pa.int64()),
+        })
+
+    rows = ds.map_batches(add_windows, batch_format="pyarrow", batch_size=65536)
+    out = grouped_sums(rows, ["event_type", "window_start_s"], ["value_c"])
+    out = out.rename(columns={"value_c_total": "value_cents", "n_total": "n_events"})
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["value_cents"] = out["value_cents"].astype(np.int64)
+    return out[["event_type", "window_start_s", "n_events", "value_cents"]]
+
+
+WEIGHTED_K = 50
+
+
+def weighted_sample_docs(sf_dir: str, k: int = WEIGHTED_K) -> pd.DataFrame:
+    """Deterministic WEIGHTED sampling without replacement
+    (Efraimidis–Spirakis A-Res, the public construction): doc i gets
+    priority u_i^(1/w_i) with u_i = fnv1a64(doc_id)/2^64 and weight
+    w_i = n_chars; the k highest priorities are the sample, so longer
+    documents are proportionally more likely, yet the result is a pure
+    function of the ids (order/partition/batch independent — same
+    min-wise-hash discipline as ``deterministic_sample``).
+
+    Per batch: one vectorized hash + log, LOCAL top-k partial (≤ k
+    rows leave each batch), tiny driver merge. Ordering happens on
+    log(u)/w, monotone in u^(1/w); the SQL twin computes the same
+    double expression."""
+    from ..kernels.text import fnv1a_64_ints
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        u = fnv1a_64_ints(ids).astype(np.float64) / 18446744073709551616.0
+        with np.errstate(divide="ignore"):
+            key = np.log(u) / w
+        kk = min(k, ids.size)
+        top = np.argpartition(-key, kk - 1)[:kk] if ids.size > kk else np.arange(ids.size)
+        return pa.table({
+            "doc_id": pa.array(ids[top], pa.int64()),
+            "n_chars": pa.array(w[top].astype(np.int64), pa.int64()),
+            "key": pa.array(key[top], pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    parts = parts.sort_values(["key", "doc_id"], ascending=[False, True], kind="stable")
+    out = parts.head(k).reset_index(drop=True)
+    return out[["doc_id", "n_chars"]].astype(np.int64)

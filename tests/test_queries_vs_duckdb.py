@@ -77,6 +77,8 @@ SQL_BACKED = [
     "dup_components",
     "shipping_priority",
     "returned_item_revenue",
+    "hopping_window_stats",
+    "weighted_sample_docs",
 ]
 
 
