@@ -68,6 +68,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from longqc_ray.sources.ingest import file_footer_profile
 
+    def _audio_spectral(sf_dir: str):
+        from longqc_ray.pipelines.multimodal import audio_spectral_features
+
+        return audio_spectral_features(sf_dir)
+
     def _embedding_clusters_assign(sf_dir: str):
         """(vec_id, cluster) projection of embedding_clusters — the
         integer assignment is hash-stable across engines; the float
@@ -187,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_trim_silence": audio_trim_silence,  # lq_adapt.py:10-78 audio twin
         "audio_fingerprint_dedup": audio_fingerprint_dedup,  # audio rung of the dedup ladder
         "audio_vad_profile": audio_vad_profile,  # energy VAD utterance segmentation
+        "audio_spectral_features": _audio_spectral,  # centroid/bandwidth/rolloff/flux
         "audio_resample_norm": audio_resample_norm,  # sr + loudness normalization
         "image_features": image_features,  # real PPM/BMP numpy decode + declared fallback
         "video_frame_features": video_frame_features,  # real y4m frame seek/sample

@@ -180,7 +180,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "ann_lsh", "file_attributes",
         "audio_fingerprint_dedup", "audio_vad_profile", "audio_resample_norm",
         "dup_components", "shipping_priority", "returned_item_revenue",
-        "hopping_window_stats", "weighted_sample_docs",
+        "hopping_window_stats", "weighted_sample_docs", "audio_spectral_features",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -322,3 +322,47 @@ def gain_normalize(
     y = x * g
     clipped = float(np.mean(np.abs(y) > 1.0))
     return (np.clip(y, -1.0, 1.0).astype(np.float32), g, clipped)
+
+
+def spectral_features(
+    pcm: np.ndarray, sr: int, frame_len: int = 512, max_samples: int = 65_536
+) -> tuple[float, float, float, float]:
+    """(centroid_hz, bandwidth_hz, rolloff_hz, flux) — the standard
+    frame-averaged spectral shape features (librosa-equivalent public
+    definitions), computed from ONE batched rFFT over the complete
+    frames of the analysis window (same work-cap discipline as
+    ``estimate_snr_db``):
+
+    - centroid = energy-weighted mean frequency, averaged over frames
+    - bandwidth = energy-weighted std dev around the centroid
+    - rolloff = frequency below which 85% of each frame's energy lies
+    - flux = mean L2 norm of the frame-to-frame magnitude delta,
+      normalized by the mean frame magnitude norm (gain-invariant)
+    Silent or <1-frame clips return zeros."""
+    x = pcm[:max_samples]
+    n = (x.size // frame_len) * frame_len
+    if n == 0:
+        return (0.0, 0.0, 0.0, 0.0)
+    frames = x[:n].astype(np.float64).reshape(-1, frame_len)
+    mag = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]  # drop DC
+    freqs = np.fft.rfftfreq(frame_len, d=1.0 / max(sr, 1))[1:]
+    e = mag * mag
+    tot = e.sum(axis=1)
+    live = tot > 0.0
+    if not live.any():
+        return (0.0, 0.0, 0.0, 0.0)
+    e, tot = e[live], tot[live]
+    cent = (e * freqs).sum(axis=1) / tot
+    var = (e * (freqs[None, :] - cent[:, None]) ** 2).sum(axis=1) / tot
+    bw = np.sqrt(var)
+    cum = np.cumsum(e, axis=1)
+    roll_idx = np.argmax(cum >= 0.85 * tot[:, None], axis=1)
+    roll = freqs[roll_idx]
+    m = mag[live]
+    if m.shape[0] >= 2:
+        num = float(np.linalg.norm(m[1:] - m[:-1], axis=1).mean())
+        den = float(np.linalg.norm(m, axis=1).mean())
+        flux = num / den if den > 0 else 0.0
+    else:
+        flux = 0.0
+    return (float(cent.mean()), float(bw.mean()), float(roll.mean()), flux)

@@ -610,3 +610,40 @@ def audio_resample_norm(
     # batch so batch x concurrency stays inside a worker heap
     bs = 128 if emit_payload else 256
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=bs, zero_copy_batch=True)
+
+
+def audio_spectral_features(sf_dir: str) -> rd.Dataset:
+    """Per-clip spectral shape profile (centroid/bandwidth/rolloff/
+    flux — the standard frame-averaged public definitions): one
+    batched rFFT per clip inside a streaming map_batches, zero-copy
+    payload views, narrow float output. The audio sibling of the text
+    quality_scores feature row."""
+    from ..kernels.audio import decode_view, spectral_features
+
+    ds = read_derived_clips(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, codecs, offs, data = _payload_arrays(batch)
+        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        cent = np.zeros(n, dtype=np.float64)
+        bw = np.zeros(n, dtype=np.float64)
+        roll = np.zeros(n, dtype=np.float64)
+        flux = np.zeros(n, dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            if pcm is None or srs[i] <= 0:
+                continue
+            ok[i] = True
+            cent[i], bw[i], roll[i], flux[i] = spectral_features(pcm, int(srs[i]))
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "decoded": pa.array(ok, pa.bool_()),
+            "centroid_hz": pa.array(cent, pa.float64()),
+            "bandwidth_hz": pa.array(bw, pa.float64()),
+            "rolloff_hz": pa.array(roll, pa.float64()),
+            "flux": pa.array(flux, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)

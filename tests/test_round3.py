@@ -319,3 +319,36 @@ def test_dup_components_engines_identical():
     a = dup_components(sf).to_pandas().sort_values("node").reset_index(drop=True)
     b = dup_components(sf, lp_min_pairs=0).to_pandas().sort_values("node").reset_index(drop=True)
     assert len(a) > 0 and a.equals(b)
+
+
+def test_spectral_features_kernel():
+    from longqc_ray.kernels.audio import spectral_features
+
+    sr = 16000
+    tone = _tone(1000, sr, 8192)
+    cent, bw, roll, flux = spectral_features(tone, sr)
+    assert abs(cent - 1000) < 40        # centroid at the tone
+    assert bw < 200                      # narrowband
+    assert 900 <= roll <= 1200           # rolloff just past the tone
+    assert flux < 0.05                   # steady tone: no frame-to-frame change
+    # chirp: rising frequency -> high flux, wide band
+    t = np.arange(8192) / sr
+    chirp = (0.4 * np.sin(2 * np.pi * (300 + 4000 * t) * t)).astype(np.float32)
+    c2, b2, r2, f2 = spectral_features(chirp, sr)
+    assert f2 > flux * 5 and b2 > bw
+    # gain invariance of flux; centroid unchanged
+    c3, _, _, f3 = spectral_features(0.1 * tone, sr)
+    assert abs(c3 - cent) < 1e-6 and abs(f3 - flux) < 1e-9
+    assert spectral_features(np.zeros(4096, np.float32), sr) == (0.0, 0.0, 0.0, 0.0)
+    assert spectral_features(np.empty(0, np.float32), sr) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_audio_spectral_features_operator():
+    from longqc_ray.pipelines.multimodal import audio_spectral_features
+
+    df = audio_spectral_features("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    ok = df[df.decoded]
+    assert len(ok) > 400
+    assert (ok.centroid_hz > 0).all() and (ok.rolloff_hz >= 0).all()
+    assert (~df.decoded | (df.bandwidth_hz >= 0)).all()
