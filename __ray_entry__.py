@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": similarity.ann_ivf,  # k-means unrolled into CTEs
         "embedding_clusters": _embedding_clusters_assign,  # same codebook, int projection
         "file_footer_profile": file_footer_profile,  # S8 footer vs COUNT(*) cross-check
+        # tau=0.45: the synthetic table has no cos>=0.95 pairs (max
+        # pairwise cos 0.51), so the driver row is made non-trivial at
+        # a lower threshold; the production default stays NEAR_DUP_COS
+        "embedding_near_dups_lsh": lambda sf: similarity.embedding_near_dups_lsh(sf, tau=0.45),
         "user_retention": relational.user_retention,  # cohort retention matrix
         # --- SQL-twinned but never reached by the r2 driver (were slots 51+) ---
         "pack_docs": text_analysis.pack_docs,  # sequence packing (distributed prefix scan)
@@ -139,7 +143,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_window_range_join": relational.event_window_range_join,  # range join
         "user_rolling_value": relational.user_rolling_value,      # per-key rolling window
         "value_quantiles": relational.value_quantiles,            # distributed quantile_disc
-        "user_occupancy": relational.user_occupancy,            # A15 occupancy
         "user_activity_intervals": relational.user_activity_intervals,  # M12/T4 merge
         "approx_distinct_users": relational.approx_distinct_users,  # A17 HLL scale path
         "approx_users_by_type": relational.approx_users_by_type,  # grouped HLL sketch
@@ -180,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_semi_join": relational.sample_semi_join,  # J2 (green in r1+r2)
         "deterministic_sample": relational.deterministic_sample,  # O1 (green in r1+r2)
         "user_gap_profile": relational.user_gap_profile,  # M11 gaps (green in r1+r2)
+        "user_occupancy": relational.user_occupancy,  # A15 occupancy (green in r1+r2)
         "pricing_summary": relational.pricing_summary,  # grouped agg (green in r1+r2)
         "nation_revenue": relational.nation_revenue,  # broadcast join (green in r1+r2)
         # --- engine-defined models (gate = pytest determinism/recall pins) ---
@@ -1037,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # generated twins: hyperplanes / Lloyd rounds live in
         # similarity.py so Ray path and SQL share one constant set
+        "embedding_near_dups_lsh": _sim.embedding_near_dups_lsh_oracle_sql(tau=0.45),
         "ann_lsh": _sim.ann_lsh_oracle_sql(),
         "ann_ivf": _sim.ann_ivf_oracle_sql(),
         "embedding_clusters": _sim.embedding_clusters_oracle_sql(),

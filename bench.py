@@ -181,6 +181,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "audio_fingerprint_dedup", "audio_vad_profile", "audio_resample_norm",
         "dup_components", "shipping_priority", "returned_item_revenue",
         "hopping_window_stats", "weighted_sample_docs", "audio_spectral_features",
+        "embedding_near_dups_lsh",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -641,3 +641,117 @@ def embedding_clusters_oracle_sql(n_clusters: int = IVF_CENTROIDS) -> str:
     return f"""
 WITH {_kmeans_cells_cte(n_clusters)}
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM cells"""
+
+
+LSH_PAIR_BUCKET_CAP = 256
+
+
+def embedding_near_dups_lsh(
+    sf_dir: str, tau: float = NEAR_DUP_COS, bucket_cap: int = LSH_PAIR_BUCKET_CAP
+) -> pd.DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the SCALE path beside
+    the exact broadcast-slab ``embedding_near_dups`` (which streams
+    the full corpus against a slab and cannot prune at 10^12 rows).
+
+    Construction: every vector is emitted under its 8-bit hyperplane
+    bucket AND all 8 one-bit flips (9 narrow (key, vec_id) rows — the
+    embeddings themselves never shuffle). Two vectors share an emitted
+    key IFF their buckets differ by <= 2 bits (a->x<-b with one flip
+    each), so the candidate set is exactly the Hamming<=2 bucket
+    neighborhood; candidates then pay one exact-cosine verify over a
+    pruned ``is_in`` re-read (the minhash fetch pattern). Hot buckets
+    are capped at ``bucket_cap`` ids (COVT analogue, esterr.c:85-100
+    discipline; never reached at test SFs, logged intent at prod
+    skew). Expected recall vs the exact operator at cos>=0.95 is ~0.96
+    (p = 1 - acos(.95)/pi per plane; sum of <=2-flip collision terms);
+    the observed floor is pinned in tests. The DuckDB twin states the
+    same predicate directly: bit_count(xor(b_a, b_b)) <= 2 AND cos >=
+    tau."""
+    import pyarrow.compute as pc
+
+    ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    probe_head = ds.map_batches(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    ).limit(1).to_pandas()
+    d = len(probe_head["embedding"][0]) if len(probe_head) else 64
+    planes_ref = ray.put(_hyperplanes(d))
+
+    def emit_keys(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        bk = _bucket_of(m, ray.get(planes_ref))
+        keys = [bk]
+        for i in range(LSH_BITS):
+            keys.append(bk ^ (1 << i))
+        k = np.stack(keys, axis=1).reshape(-1)  # (n, 9) -> flat
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "vec_id": pa.array(np.repeat(ids, LSH_BITS + 1), pa.int64()),
+        })
+
+    def pairs_of_bucket(g: pa.Table) -> pa.Table:
+        ids = np.unique(g.column("vec_id").to_numpy(zero_copy_only=False))[:bucket_cap]
+        if ids.size < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(ids.size, k=1)
+        return pa.table({
+            "a": pa.array(ids[ai], pa.int64()),
+            "b": pa.array(ids[bi], pa.int64()),
+        })
+
+    cand = (
+        ds.map_batches(emit_keys, batch_format="pyarrow", batch_size=4096)
+        .groupby("key")
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pd.DataFrame({"a_id": np.empty(0, np.int64), "b_id": np.empty(0, np.int64)})
+
+    # exact-cosine verify over a pruned re-read of candidate ids only
+    need = pa.array(np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])), pa.int64())
+    tbl = pa.concat_tables(ray.get(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=need)),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    ))
+    ids, m = _emb_matrix(tbl)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    a = cand["a"].to_numpy(dtype=np.int64)
+    b = cand["b"].to_numpy(dtype=np.int64)
+    ia = np.fromiter((pos[int(x)] for x in a), dtype=np.int64, count=a.size)
+    ib = np.fromiter((pos[int(x)] for x in b), dtype=np.int64, count=b.size)
+    cos = np.einsum("ij,ij->i", m[ia], m[ib])
+    keep = cos >= tau
+    out = pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
+    return out.sort_values(["a_id", "b_id"], kind="stable").reset_index(drop=True)
+
+
+def embedding_near_dups_lsh_oracle_sql(
+    tau: float = NEAR_DUP_COS, d: int = 64
+) -> str:
+    """DuckDB twin of ``embedding_near_dups_lsh``: the shared-emitted-
+    key candidate set equals {pairs with bucket Hamming distance <= 2},
+    which SQL states directly — buckets from the same embedded plane
+    literals, then bit_count(xor) <= 2 AND exact cosine >= tau."""
+    planes = _hyperplanes(d)
+    rows = ",\n".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}]::DOUBLE[])"
+        for i in range(LSH_BITS)
+    )
+    return f"""
+WITH planes(i, p) AS (VALUES {rows}),
+b AS MATERIALIZED (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.embedding, p.p) > 0 THEN 1<<p.i ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+)
+SELECT x.vec_id AS a_id, y.vec_id AS b_id
+FROM embeddings x
+JOIN b bx ON bx.vec_id = x.vec_id
+JOIN b by2 ON TRUE
+JOIN embeddings y ON y.vec_id = by2.vec_id
+WHERE x.vec_id < y.vec_id
+  AND bit_count(xor(bx.bucket, by2.bucket)) <= 2
+  AND list_cosine_similarity(x.embedding, y.embedding) >= {tau}"""

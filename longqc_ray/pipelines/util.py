@@ -241,7 +241,17 @@ def asof_merge_tagged(
         )
         out = out.dropna(subset=[right_on])
         for c in int_cols:
-            out[c] = out[c].astype(np.int64)
+            # unmatched-row NaNs force the int columns through float64
+            # inside merge_asof; exact only below 2^53 (epoch-us stamps
+            # are ~2^51, ids far smaller). Fail loudly rather than
+            # silently corrupt if a caller ever exceeds that.
+            v = out[c].to_numpy()
+            if v.size and np.abs(v).max() >= 2.0**53:
+                raise ValueError(
+                    f"asof merge: |{c}| >= 2^53 would lose precision in the "
+                    "float64 round-trip; pre-scale or rekey the column"
+                )
+            out[c] = v.astype(np.int64)
         return out
 
     return both.groupby("__part").map_groups(merge_part, batch_format="pandas")

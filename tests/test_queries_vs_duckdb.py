@@ -79,6 +79,7 @@ SQL_BACKED = [
     "returned_item_revenue",
     "hopping_window_stats",
     "weighted_sample_docs",
+    "embedding_near_dups_lsh",
 ]
 
 

@@ -352,3 +352,61 @@ def test_audio_spectral_features_operator():
     assert len(ok) > 400
     assert (ok.centroid_hz > 0).all() and (ok.rolloff_hz >= 0).all()
     assert (~df.decoded | (df.bandwidth_hz >= 0)).all()
+
+
+def test_hash_join_preserves_big_ints():
+    """The Acero per-partition join must carry int64 values >= 2^53
+    exactly (the old pandas merge widened null-padded ints to float64,
+    corrupting them)."""
+    from longqc_ray.pipelines.util import hash_join
+
+    big = [2**53 + 1, 2**62 + 7, -(2**60) - 3]
+    left = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array(big, pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array([3, 2, 1], pa.int64()),
+        "rv": pa.array([b + 1 for b in big], pa.int64()),
+    })
+    got = hash_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", n_parts=4)
+    df = got.to_pandas().sort_values("k").reset_index(drop=True)
+    assert df["lv"].tolist() == big
+    assert df["rv"].tolist() == [big[2] + 1, big[1] + 1, big[0] + 1]
+    assert df["rk"].tolist() == [1, 2, 3]
+
+
+def test_embedding_near_dups_lsh_recall_on_planted(tmp_path):
+    """At the operator's intended regime (cos >= 0.95) the Hamming<=2
+    bucket neighborhood must recover planted near-dup pairs; recall vs
+    the exhaustive pair set pinned >= 0.8 (analytic expectation 0.96)."""
+    import pyarrow.parquet as pq
+
+    from longqc_ray.pipelines.similarity import embedding_near_dups_lsh
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 64)).astype(np.float32)
+    rows, truth = [], []
+    vid = 0
+    for i in range(60):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((vid, v)); a = vid; vid += 1
+        if i % 3 == 0:  # planted near-dup: tiny perturbation, cos ~0.999
+            w = v + 0.02 * rng.standard_normal(64).astype(np.float32)
+            w = w / np.linalg.norm(w)
+            rows.append((vid, w)); truth.append((a, vid)); vid += 1
+    t = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in rows], pa.list_(pa.float32())),
+    })
+    d = tmp_path / "planted"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    got = embedding_near_dups_lsh(str(d), tau=0.95)
+    found = set(zip(got["a_id"], got["b_id"]))
+    hit = sum((a, b) in found for a, b in truth)
+    assert hit / len(truth) >= 0.8, (hit, len(truth))
+    # no hallucinated pairs: everything returned really is cos>=0.95
+    emb = {r[0]: r[1] for r in rows}
+    for a, b in found:
+        assert float(np.dot(emb[a], emb[b])) >= 0.95 - 1e-6
