@@ -228,6 +228,8 @@ def grouped_quantile_disc(
 
     stats = ds.select_columns([key, col]).materialize()
     g = stats.groupby(key).aggregate(Min(col), Max(col), Count(), Sum(col)).to_pandas()
+    if g.empty:  # empty input: zero groups, zero quantiles
+        return ({}, {}) if with_stats else {}
     keys = g[key].tolist()
     n_keys = len(keys)
     kidx = {k: i for i, k in enumerate(keys)}

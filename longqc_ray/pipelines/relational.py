@@ -42,6 +42,13 @@ def doc_corpus_stats(sf_dir: str) -> pa.Table:
     agg = ds.aggregate(Sum("n_chars", alias_name="total_chars"),
                        Max("n_chars", alias_name="max_chars"),
                        Count(alias_name="n_docs"))
+    if agg is None or agg.get("n_docs") in (None, 0):  # empty partition set
+        return pa.table({
+            "n_docs": pa.array([0], pa.int64()),
+            "total_chars": pa.array([0], pa.int64()),
+            "max_chars": pa.array([0], pa.int64()),
+            "mean_chars": pa.array([float("nan")], pa.float64()),
+        })
     n = int(agg["n_docs"])
     total = int(agg["total_chars"])
     return pa.table({
@@ -506,6 +513,12 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
         key_col = "c_nationkey"
     else:
         cust = cust_ds.to_pandas()
+        if cust.empty:  # empty partition set: typed empty result
+            return pd.DataFrame({
+                "n_name": pd.Series(dtype=object),
+                "n_orders": pd.Series(dtype=np.int64),
+                "revenue_cents": pd.Series(dtype=np.int64),
+            })
         order_idx = np.argsort(cust["c_custkey"].to_numpy(), kind="stable")
         ck_sorted = cust["c_custkey"].to_numpy()[order_idx]
         nk_sorted = cust["c_nationkey"].to_numpy()[order_idx].astype(np.int16)
@@ -1176,6 +1189,12 @@ def event_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
         {"event_type": k, "q": q, "value_cents": int(v)}
         for k in sorted(res) for q, v in zip(_GROUPED_QS, res[k])
     ]
+    if not recs:  # empty input: typed zero-row frame, schema preserved
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype=object),
+            "q": pd.Series(dtype=np.float64),
+            "value_cents": pd.Series(dtype=np.int64),
+        })
     return pd.DataFrame(recs)
 
 

@@ -20,8 +20,25 @@ import ray.data as rd
 
 
 def table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Column-pruned parquet read of one driver table."""
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    """Column-pruned parquet read of one driver table.
+
+    Zero-row guard: ``read_parquet`` of an empty file yields ZERO
+    blocks, so downstream ``map_batches`` UDFs never run and the
+    schema is lost (``ds.schema()`` → None, empty frames with no
+    columns — every column access downstream KeyErrors). Empty
+    PARTITIONS are routine at scale, so when the footer says 0 rows
+    this returns a one-block, zero-row dataset carrying the correct
+    (pruned) arrow schema instead: UDFs see one empty batch and the
+    schema propagates."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.isdir(path) and pq.read_metadata(path).num_rows == 0:
+        schema = pq.read_schema(path)
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return rd.from_arrow(schema.empty_table())
+    return rd.read_parquet(path, columns=columns)
 
 
 def parquet_column_stats(
@@ -334,12 +351,26 @@ def preagg_sum(keys: list[str], sum_cols: list[str]):
 
 
 def final_sum(ds: rd.Dataset, keys: list[str], sum_cols: list[str]) -> "pd.DataFrame":  # noqa: F821
-    """Final aggregate over the tiny partials; returns pandas (small)."""
+    """Final aggregate over the tiny partials; returns pandas (small).
+
+    Empty-input contract: Ray drops zero-row blocks, so on an empty
+    upstream the grouped frame arrives with NO columns; the expected
+    columns are reattached here (keys as object, totals as int64) so
+    every grouped_sums caller sees its schema even for 0 groups —
+    empty partitions are routine at scale and must not KeyError."""
+    import pandas as pd
     from ray.data.aggregate import Sum
 
     aggs = [Sum(f"{c}_partial", alias_name=f"{c}_total") for c in sum_cols]
     aggs.append(Sum("n_partial", alias_name="n_total"))
-    return ds.groupby(keys).aggregate(*aggs).to_pandas()
+    out = ds.groupby(keys).aggregate(*aggs).to_pandas()
+    if out.empty and not list(out.columns):
+        cols: dict = {k: pd.Series(dtype=object) for k in keys}
+        for c in sum_cols:
+            cols[f"{c}_total"] = pd.Series(dtype=np.int64)
+        cols["n_total"] = pd.Series(dtype=np.int64)
+        return pd.DataFrame(cols)
+    return out
 
 
 def grouped_sums(

@@ -410,3 +410,33 @@ def test_embedding_near_dups_lsh_recall_on_planted(tmp_path):
     emb = {r[0]: r[1] for r in rows}
     for a, b in found:
         assert float(np.dot(emb[a], emb[b])) >= 0.95 - 1e-6
+
+
+def test_empty_input_contract(tmp_path):
+    """Empty partitions are routine at 100 TB: the aggregate family
+    must return correctly-typed empty (or zero-row-count) results on a
+    zero-row table set, not KeyError. (Ray drops zero-row blocks, so
+    this is guarded at the read + final-merge layers; the join family
+    documents the remaining limitation in util.table's docstring.)"""
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        pq.write_table(pq.read_table(f"{src}/{t}.parquet").slice(0, 0),
+                       str(tmp_path / f"{t}.parquet"))
+    import __ray_entry__ as entrymod
+    from tools.check_oracle import to_pandas
+
+    qs = entrymod.queries()
+    expect_empty = [
+        "pricing_summary", "windowed_event_stats", "hopping_window_stats",
+        "source_lang_profile", "user_occupancy", "event_props_extract",
+        "nation_revenue", "length_bin_profile", "event_value_quantiles_by_type",
+    ]
+    for name in expect_empty:
+        df = to_pandas(qs[name](str(tmp_path)))
+        assert len(df) == 0, name
+        assert len(df.columns) > 0, name  # schema survives
+    stats = to_pandas(qs["doc_corpus_stats"](str(tmp_path)))
+    assert len(stats) == 1 and int(stats["n_docs"][0]) == 0
