@@ -357,10 +357,13 @@ def vocab_top_tokens(sf_dir: str, k: int = VOCAB_TOP_K) -> pd.DataFrame:
             "cnt": pa.array(c.astype(np.int64), pa.int64()),
         })
 
+    from .util import hash_grouped_sum
+
     out = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("token")
-        .aggregate(Sum("cnt", alias_name="n"))
+        hash_grouped_sum(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+            ["token"], "cnt", "n",
+        )
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
         .to_pandas()
@@ -508,7 +511,9 @@ def chunk_dedup_docs(
         totals = merged.groupby("h", sort=False)["nd"].sum()
         freq_h = totals.index.to_numpy()[totals.to_numpy() >= min_docs]
     else:
-        counts = parts.groupby("h").aggregate(Sum("nd", alias_name="n_docs"))
+        from .util import hash_grouped_sum
+
+        counts = hash_grouped_sum(parts, ["h"], "nd", "n_docs")
 
         def frequent(t: pa.Table) -> pa.Table:
             nd = t.column("n_docs").to_numpy(zero_copy_only=False)
@@ -599,12 +604,12 @@ def bigram_collocations(
             "cnt": pa.array(c.astype(np.int64), pa.int64()),
         })
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("cnt", alias_name="n"))
-        .materialize()
-    )
+    from .util import hash_grouped_sum
+
+    counts = hash_grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["w1", "w2"], "cnt", "n",
+    ).materialize()
 
     def unis(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t.column("w2"), "")).select(["w1", "n"])

@@ -466,3 +466,34 @@ def hash_anti_semi_join(
         return out.select(l_cols)
 
     return both.groupby("__part").map_groups(per_part, batch_format="pyarrow")
+
+
+def hash_grouped_sum(
+    ds: rd.Dataset,
+    keys: list[str],
+    val_col: str,
+    alias: str,
+    n_parts: int = 16,
+) -> rd.Dataset:
+    """Distributed grouped SUM via bounded hash co-group + one Arrow
+    ``group_by`` per partition — the same 4×-measured win over Ray's
+    sample+sort+reduce aggregate that ``final_sum`` uses, returned as
+    a DATASET so callers can keep sorting/limiting distributedly.
+    Callers are expected to have pre-combined map-side (per-batch
+    partials), so the shuffle moves ~distinct-keys-per-block rows."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = _part_hash(t, keys[0], n_parts)
+        for k in keys[1:]:
+            h = h ^ _part_hash(t, k, n_parts)
+        return t.append_column("__part", pa.array(h % n_parts, pa.int64()))
+
+    def agg_part(g: pa.Table) -> pa.Table:
+        out = g.group_by(keys).aggregate([(val_col, "sum")])
+        return out.rename_columns(keys + [alias])
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(agg_part, batch_format="pyarrow")
+    )
