@@ -217,19 +217,42 @@ _TOK = TOKEN_PATTERN.replace("'", "''")
 _STOP = STOPWORD_PATTERN
 
 
-def _fnv_sql(e: str) -> str:
+def _fnv_sql(
+    e: str,
+    basis: int = 14695981039346656037,
+    prime: int = 1099511628211,
+) -> str:
     """DuckDB expression: FNV-1a 64 over the UTF-8 bytes of VARCHAR
     expression ``e`` (bytes recovered from hex(encode(..)), folded with
     list_reduce in HUGEINT mod 2^64) — bit-identical to
     kernels/text.fnv1a_64 / fnv1a_64_strs / fnv1a_64_ints. The same
-    fold the simhash/HLL CTEs below inline."""
+    fold the simhash/HLL CTEs below inline. ``basis``/``prime``
+    select the fold family: defaults are FNV-1a; the FNV2 constants
+    (kernels/text.FNV2_BASIS/FNV2_PRIME) give the second independent
+    fold of the 128-bit content fingerprint."""
     return (
-        "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+        f"list_reduce(list_prepend({basis}::HUGEINT, "
         f"list_transform(range(1, octet_length(encode({e})) + 1), "
         f"i -> ((strpos('0123456789ABCDEF', substring(hex(encode({e})), 2*i-1, 1)) - 1) * 16 "
         f"+ (strpos('0123456789ABCDEF', substring(hex(encode({e})), 2*i, 1)) - 1))::HUGEINT)), "
-        "(h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT) "
+        f"(h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * {prime}::HUGEINT) "
         "% 18446744073709551616::HUGEINT)::UBIGINT"
+    )
+
+
+def _fnv2_sql(e: str) -> str:
+    """Second fold of the 128-bit content fingerprint (FNV2 basis and
+    prime — must equal kernels/text.content_fp128's second column).
+    The FNV2 prime is ~2^63.6, so ``h * prime`` overflows INT128 —
+    the per-byte multiply goes through the 32-bit-limb ``_mulmod64_sql``
+    instead of the direct HUGEINT product the small FNV prime allows."""
+    mul = _mulmod64_sql("xor(h::UBIGINT, b::UBIGINT)", 14313749767032793493)
+    return (
+        "list_reduce(list_prepend(9521211207457086692::HUGEINT, "
+        f"list_transform(range(1, octet_length(encode({e})) + 1), "
+        f"i -> ((strpos('0123456789ABCDEF', substring(hex(encode({e})), 2*i-1, 1)) - 1) * 16 "
+        f"+ (strpos('0123456789ABCDEF', substring(hex(encode({e})), 2*i, 1)) - 1))::HUGEINT)), "
+        f"(h, b) -> {mul}::HUGEINT)::UBIGINT"
     )
 
 
@@ -730,12 +753,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.9,  CAST(quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.9)  AS BIGINT) FROM lineitem
             UNION ALL SELECT 0.99, CAST(quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.99) AS BIGINT) FROM lineitem
         """,
-        # fingerprint = the engine's vectorized FNV-1a 64 over the raw
-        # text bytes (any collision collides identically on both sides)
+        # fingerprint = the engine's 128-bit content fingerprint (two
+        # independent 64-bit folds over the raw text bytes; any residual
+        # collision collides identically on both sides)
         "dedup_exact": f"""
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_copies
-            FROM documents GROUP BY {_fnv_sql("text")}
+            FROM documents GROUP BY {_fnv_sql("text")}, {_fnv2_sql("text")}
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         "simhash_docs": _SIMHASH_DOCS_SQL,

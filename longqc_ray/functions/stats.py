@@ -201,6 +201,73 @@ def nxx_exact_local(values: np.ndarray, frac: float = 0.5) -> float:
     return float(a[min(idx, len(a) - 1)])
 
 
+# group count above which the dense histogram accumulator (n_groups ×
+# n_bins int64 — 10k × 1024 = 80 MB PER accumulator copy) stops being
+# shippable per block and grouped_quantile_disc switches to the
+# hash-partitioned exact path (all rows of a key co-located, one
+# lexsort per partition). Same measured-crossover discipline as
+# DUP_BROADCAST_CAP / LP_MIN_PAIRS.
+GQ_DENSE_MAX_GROUPS = 10_000
+
+
+def _grouped_quantile_partitioned(
+    stats: rd.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    n_parts: int = 64,
+) -> tuple[dict, dict]:
+    """High-cardinality fallback: hash-partition by ``key`` (co-group),
+    then per partition ONE factorize + lexsort answers every group's
+    quantiles exactly — per-partition memory is O(partition rows), not
+    O(n_groups × n_bins). Shuffles only the narrow (key, col)
+    projection; the driver sees one result row per group (the dict
+    return is O(n_groups) by contract either way)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..pipelines.util import _part_hash
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part", pa.array(_part_hash(t, key, n_parts), pa.int64())
+        )
+
+    qs_arr = np.asarray(qs, dtype=np.float64)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        kv = np.asarray(g.column(key).to_pylist(), dtype=object)
+        v = g.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(kv)
+        order = np.lexsort((v, codes))
+        c2, v2 = codes[order], v[order]
+        starts = np.nonzero(np.concatenate([[True], c2[1:] != c2[:-1]]))[0]
+        counts = np.diff(np.append(starts, c2.size))
+        sums = np.add.reduceat(v2, starts)
+        data: dict = {
+            "k": pa.array(uniq[c2[starts]].tolist()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+            "s": pa.array(sums, pa.float64()),
+        }
+        for j, q in enumerate(qs_arr):
+            r = np.clip(np.ceil(q * counts).astype(np.int64) - 1, 0, counts - 1)
+            data[f"q{j}"] = pa.array(v2[starts + r], pa.float64())
+        return pa.table(data)
+
+    rows = (
+        stats.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out: dict = {}
+    gstats: dict = {}
+    for _, row in rows.iterrows():
+        out[row["k"]] = [float(row[f"q{j}"]) for j in range(len(qs))]
+        gstats[row["k"]] = (int(row["n"]), float(row["s"]))
+    return out, gstats
+
+
 def grouped_quantile_disc(
     ds: rd.Dataset,
     key: str,
@@ -208,6 +275,7 @@ def grouped_quantile_disc(
     qs: list[float],
     n_bins: int = 1024,
     with_stats: bool = False,
+    max_dense_groups: int = GQ_DENSE_MAX_GROUPS,
 ) -> dict | tuple[dict, dict]:
     """Per-GROUP exact discrete quantiles, same scale shape as
     ``quantile_disc`` (A2/A13 grouped): materialize the narrow
@@ -216,9 +284,11 @@ def grouped_quantile_disc(
     (n_groups × n_bins) count matrix with PER-GROUP edges, then ONE
     combined filtered collect for every (group, crossing-bin) pair.
 
-    Designed for bounded-cardinality keys (the matrix is n_groups ×
-    n_bins × 8 bytes; 1e4 groups × 1024 bins = 80 MB — beyond that,
-    hash-partition by key and run per partition). Returns
+    The dense matrix is for bounded-cardinality keys (n_groups ×
+    n_bins × 8 bytes per accumulator copy); above ``max_dense_groups``
+    the call switches to ``_grouped_quantile_partitioned`` (hash
+    co-group + per-partition lexsort — exact, O(partition) memory;
+    equality with the dense path pinned in tests). Returns
     {group_value: [quantile per q]}; with ``with_stats`` also a second
     dict {group_value: (count, sum)} from the same fused per-group
     aggregate, so callers needing count/mean alongside the quantiles
@@ -230,6 +300,9 @@ def grouped_quantile_disc(
     g = stats.groupby(key).aggregate(Min(col), Max(col), Count(), Sum(col)).to_pandas()
     if g.empty:  # empty input: zero groups, zero quantiles
         return ({}, {}) if with_stats else {}
+    if len(g) > max_dense_groups:
+        out, gstats = _grouped_quantile_partitioned(stats, key, col, qs)
+        return (out, gstats) if with_stats else out
     keys = g[key].tolist()
     n_keys = len(keys)
     kidx = {k: i for i, k in enumerate(keys)}

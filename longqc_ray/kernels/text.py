@@ -189,6 +189,17 @@ def char_ngram_buckets(text: str, ns: tuple[int, ...] = (2, 3), n_buckets: int =
 _FNV_BASIS = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
+# Second independent 64-bit fold for 128-bit content fingerprints:
+# same xor-then-multiply shape with a DIFFERENT offset basis (the
+# standard basis byte-rotated) and a different odd multiplier (the
+# public MurmurHash2 constant). Content dedup groups on BOTH folds —
+# a silent merge needs a simultaneous collision in two unrelated
+# 64-bit hashes (~2^-128 per pair), fine past 10^12 rows. Plain
+# FNV-64 stays in use for sampling priorities / partition hashing,
+# where a collision only perturbs a sample or a partition choice.
+FNV2_BASIS = np.uint64(0x84222325CBF29CE4)
+FNV2_PRIME = np.uint64(0xC6A4A7935BD1E995)
+
 
 def _fnv1a_64_np(windows: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a over rows of a (m, n) uint8 window matrix.
@@ -204,7 +215,12 @@ def _fnv1a_64_np(windows: np.ndarray) -> np.ndarray:
     return h
 
 
-def fnv1a_64_varlen_np(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+def fnv1a_64_varlen_np(
+    mat: np.ndarray,
+    lens: np.ndarray,
+    basis: np.uint64 = _FNV_BASIS,
+    prime: np.uint64 = _FNV_PRIME,
+) -> np.ndarray:
     """Vectorized FNV-1a over rows of a zero-PADDED (m, n) uint8 matrix
     where row i's true byte length is ``lens[i]`` — each row's hash is
     snapshotted at its own length, so padding never feeds the hash.
@@ -214,20 +230,26 @@ def fnv1a_64_varlen_np(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     fixed-width n-gram windows it was built for, wrong for variable-
     length keys: the same word/value would hash differently across
     batches). Row hashes equal ``fnv1a_64`` of the unpadded bytes
-    bit-for-bit (asserted in tests)."""
-    h = np.full(mat.shape[0], _FNV_BASIS, dtype=np.uint64)
-    out = np.full(mat.shape[0], _FNV_BASIS, dtype=np.uint64)  # len-0 rows
+    bit-for-bit (asserted in tests). ``basis``/``prime`` select the
+    fold family (default FNV-1a; FNV2_* for the second fingerprint
+    fold)."""
+    h = np.full(mat.shape[0], basis, dtype=np.uint64)
+    out = np.full(mat.shape[0], basis, dtype=np.uint64)  # len-0 rows
     with np.errstate(over="ignore"):
         for j in range(mat.shape[1]):
             h ^= mat[:, j].astype(np.uint64)
-            h = h * _FNV_PRIME
+            h = h * prime
             done = lens == j + 1
             if done.any():
                 out[done] = h[done]
     return out
 
 
-def fnv1a_64_strs(strs: list[str]) -> np.ndarray:
+def fnv1a_64_strs(
+    strs: list[str],
+    basis: np.uint64 = _FNV_BASIS,
+    prime: np.uint64 = _FNV_PRIME,
+) -> np.ndarray:
     """uint64 FNV-1a per string (UTF-8 bytes), batch-vectorized via the
     length-aware padded-matrix kernel. Batch-width invariant: a string
     hashes identically regardless of which batch it appears in."""
@@ -239,7 +261,84 @@ def fnv1a_64_strs(strs: list[str]) -> np.ndarray:
     mat = np.frombuffer(
         np.array(enc, dtype=f"S{width}").tobytes(), dtype=np.uint8
     ).reshape(len(enc), width)
-    return fnv1a_64_varlen_np(mat, lens)
+    return fnv1a_64_varlen_np(mat, lens, basis=basis, prime=prime)
+
+
+def _arrow_flat_bytes(col) -> tuple[np.ndarray, np.ndarray, int]:
+    """(flat_bytes, offsets, n) zero-copy views of an Arrow
+    string/binary array's value buffer — offsets rebased to 0."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    big = pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type)
+    dt = np.int64 if big else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=dt)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    buf = (
+        np.frombuffer(col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        if col.buffers()[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return buf, offs - offs[0], n
+
+
+def fnv1a_64_arrow(
+    col,
+    basis: np.uint64 = _FNV_BASIS,
+    prime: np.uint64 = _FNV_PRIME,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """uint64 FNV-1a per value of an Arrow string/binary array,
+    hashed STRAIGHT from the array's flat value buffer (no per-row
+    ``str``/``encode`` round-trip — that Python encode step is ~2× the
+    cost of the fold itself; measured 7.7× over a per-row zlib.crc32
+    loop incl. its to_pylist on 1M keys). Row hashes equal
+    ``fnv1a_64_strs`` bit-for-bit (asserted in tests). Processes in
+    ≤``chunk``-row gathers so the padded matrix stays a small reused
+    temporary (first-touch page-fault discipline)."""
+    buf, offs, n = _arrow_flat_bytes(col)
+    lens = np.diff(offs)
+    out = np.empty(n, dtype=np.uint64)
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        ls = lens[c0:c1]
+        w = max(int(ls.max()) if ls.size else 1, 1)
+        if buf.size:
+            pos = np.minimum(
+                offs[c0:c1][:, None] + np.arange(w, dtype=np.int64)[None, :],
+                buf.size - 1,
+            )
+            mat = buf[pos]
+        else:
+            mat = np.zeros((c1 - c0, w), dtype=np.uint8)
+        out[c0:c1] = fnv1a_64_varlen_np(mat, ls, basis=basis, prime=prime)
+    return out
+
+
+def content_fp128(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content fingerprint as two independent 64-bit folds
+    (FNV-1a and the FNV2 basis/prime variant) over one shared padded
+    byte matrix — the encode/pad cost is paid once. Dedup groups on
+    the PAIR, so a silent merge of distinct texts needs both unrelated
+    64-bit hashes to collide at once (~2^-128 per pair) — safe past
+    the 10^12-row target where a single 64-bit fold's birthday bound
+    (~2^32) is not."""
+    if not strs:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e.copy()
+    enc = [s.encode("utf-8", "replace") for s in strs]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    width = max(int(lens.max()), 1)
+    mat = np.frombuffer(
+        np.array(enc, dtype=f"S{width}").tobytes(), dtype=np.uint8
+    ).reshape(len(enc), width)
+    return (
+        fnv1a_64_varlen_np(mat, lens),
+        fnv1a_64_varlen_np(mat, lens, basis=FNV2_BASIS, prime=FNV2_PRIME),
+    )
 
 
 def fnv1a_64_ints(ids: np.ndarray) -> np.ndarray:
@@ -310,6 +409,58 @@ def char_ngram_buckets_batch(
                 lens[i] += cnt
     flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
     return flat, lens
+
+
+def ascii_class_counts(col) -> dict[str, np.ndarray]:
+    """Per-row ASCII char-class counts over an Arrow StringArray,
+    zero-copy from the column's offsets/data buffers — ONE pass of
+    numpy byte masks + segment sums for the whole batch.
+
+    Returns int64 arrays: ``alpha`` ([A-Za-z]), ``digit`` ([0-9]),
+    ``space`` (' '), ``tok_chars`` (chars in the token class
+    [A-Za-z0-9']), ``n_tok`` (maximal token-class runs — equals
+    ``len(re.findall(TOKEN_PATTERN, t))``, asserted in tests).
+
+    Measured 3-7× faster than either the per-row ``re.findall`` loop
+    or Arrow's ``pc.count_substring_regex`` per class (RE2 iterates
+    matches one at a time for single-char classes: 0.117 s vs 0.035 s
+    for all five stats on the sf0.1 corpus). Byte-level is exact for
+    these classes even on non-ASCII text: UTF-8 continuation bytes
+    (0x80+) never fall in the ASCII ranges."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    out_z = np.zeros(n, dtype=np.int64)
+    if n == 0 or col.buffers()[2] is None:
+        return {k: out_z.copy() for k in ("alpha", "digit", "space", "tok_chars", "n_tok")}
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    am = ((buf >= 65) & (buf <= 90)) | ((buf >= 97) & (buf <= 122))
+    dm = (buf >= 48) & (buf <= 57)
+    tokm = am | dm | (buf == 39)  # [A-Za-z0-9']
+    c = np.zeros(buf.size + 1, dtype=np.int64)
+
+    def seg(mask: np.ndarray) -> np.ndarray:
+        np.cumsum(mask, out=c[1:])
+        return c[offs[1:]] - c[offs[:-1]]
+
+    # run starts: token char whose predecessor is not one; row starts
+    # always begin a new run (the predecessor belongs to another row)
+    prev = np.concatenate([[False], tokm[:-1]])
+    row_starts = offs[:-1][offs[:-1] < buf.size]
+    prev[row_starts] = False
+    return {
+        "alpha": seg(am),
+        "digit": seg(dm),
+        "space": seg(buf == 32),
+        "tok_chars": seg(tokm),
+        "n_tok": seg(tokm & ~prev),
+    }
 
 
 def rolling_fingerprint(text: str, mod: int = (1 << 61) - 1, base: int = 257) -> int:

@@ -114,24 +114,33 @@ def exact_jaccard(a: str, b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------- exact
 
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup by content hash: FNV-1a-64(text) fingerprint via the
-    vectorized padded-matrix kernel (kernels/text.fnv1a_64_strs — no
-    per-row Python hashing), groupby fingerprint keeps (min doc_id,
-    copy count) — the shuffle moves 8-byte keys, never the text. The
-    SQL twin replicates the full FNV fold byte-for-byte, so hash
-    collisions (the only semantic difference vs a crypto digest) would
-    collide identically on both sides."""
-    from ..kernels.text import fnv1a_64_strs
+    """Exact dedup by content hash: a 128-BIT fingerprint (two
+    independent 64-bit folds over one shared padded byte matrix,
+    kernels/text.content_fp128 — no per-row Python hashing), groupby
+    the (fp, fp2) pair keeps (min doc_id, copy count) — the shuffle
+    moves 16-byte keys, never the text. A single 64-bit fold's
+    birthday bound (~2^32 docs) is below the 10^12-row target and
+    adversarially constructible; colliding BOTH unrelated folds at
+    once is ~2^-128 per pair. The SQL twin replicates both folds
+    byte-for-byte, so any residual collision would collide identically
+    on both sides. (FNV-64 singles remain in use only for sampling
+    priorities and partition hashing, where collisions are benign.)"""
+    from ..kernels.text import FNV2_BASIS, FNV2_PRIME, fnv1a_64_arrow
 
     ds = table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        # int64 VIEW of the uint64 hash: grouping is bijective under the
-        # reinterpretation, and Ray's aggregate would otherwise fall back
-        # to pickled-object blocks for uint64 keys above 2^63
+        col = batch.column("text")
+        # int64 VIEW of the uint64 hashes: grouping is bijective under
+        # the reinterpretation, and Ray's aggregate would otherwise fall
+        # back to pickled-object blocks for uint64 keys above 2^63.
+        # Both folds hash straight off the Arrow value buffer (no
+        # per-row encode round-trip — kernels/text.fnv1a_64_arrow).
+        h1 = fnv1a_64_arrow(col)
+        h2 = fnv1a_64_arrow(col, basis=FNV2_BASIS, prime=FNV2_PRIME)
         return pa.table({
-            "fp": pa.array(fnv1a_64_strs(texts).view(np.int64), pa.int64()),
+            "fp": pa.array(h1.view(np.int64), pa.int64()),
+            "fp2": pa.array(h2.view(np.int64), pa.int64()),
             "doc_id": batch.column("doc_id"),
         })
 
@@ -139,7 +148,7 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 
     out = (
         ds.map_batches(fp, batch_format="pyarrow", batch_size=4096)
-        .groupby("fp")
+        .groupby(["fp", "fp2"])
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
         .to_pandas()
     )

@@ -438,7 +438,17 @@ def _payload_arrays(batch: pa.Table) -> tuple[list, list, "np.ndarray", "np.ndar
     col = batch.column("bytes")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+    # binary() carries int32 value offsets, large_binary() int64 — a
+    # >2 GB concat can silently promote the column, and reading int64
+    # offsets as int32 pairs would decode every clip from garbage
+    # ranges. Branch on the actual type; anything else fails loudly.
+    if pa.types.is_large_binary(col.type):
+        off_dt = np.int64
+    elif pa.types.is_binary(col.type):
+        off_dt = np.int32
+    else:
+        raise TypeError(f"payload column 'bytes' must be binary, got {col.type}")
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
         col.offset : col.offset + n + 1
     ].astype(np.int64)
     data = (

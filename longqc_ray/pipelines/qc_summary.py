@@ -106,8 +106,9 @@ def coverage_scalars(
 
 def binned_quality_stats(labeled: rd.Dataset, bin_ms: int = DUR_BIN_MS):
     """Per-duration-bin QC stats (A13/A14): count, mean/min/max snr,
-    quartiles of snr_db via per-bin numpy (map_groups)."""
-    import pandas as pd
+    quartiles of snr_db via per-bin numpy (map_groups). Arrow-native
+    per-group kernel — the pandas block-format conversion this stage
+    paid per group bought nothing (the math is numpy either way)."""
 
     def add_bin(t: pa.Table) -> pa.Table:
         b = pc.cast(pc.floor(pc.divide(pc.cast(t.column("dur_ms"), pa.float64()), bin_ms)), pa.int64())
@@ -117,25 +118,33 @@ def binned_quality_stats(labeled: rd.Dataset, bin_ms: int = DUR_BIN_MS):
         add_bin, batch_format="pyarrow"
     )
 
-    def per_bin(g: pd.DataFrame) -> pd.DataFrame:
-        q = np.quantile(g["snr_db"].values, [0.25, 0.5, 0.75])
-        return pd.DataFrame(
-            {
-                "dur_bin": [g["dur_bin"].iloc[0]],
-                "n": [len(g)],
-                "keep_frac": [float(g["keep"].mean())],
-                "snr_q25": [q[0]],
-                "snr_median": [q[1]],
-                "snr_q75": [q[2]],
-                "snr_mean": [float(g["snr_db"].mean())],
-            }
-        )
+    def per_bin(g: pa.Table) -> pa.Table:
+        snr = g.column("snr_db").to_numpy(zero_copy_only=False)
+        keep = g.column("keep").to_numpy(zero_copy_only=False)
+        q = np.quantile(snr, [0.25, 0.5, 0.75])
+        return pa.table({
+            "dur_bin": pa.array([g.column("dur_bin")[0].as_py()], pa.int64()),
+            "n": pa.array([g.num_rows], pa.int64()),
+            "keep_frac": pa.array([float(keep.mean())], pa.float64()),
+            "snr_q25": pa.array([q[0]], pa.float64()),
+            "snr_median": pa.array([q[1]], pa.float64()),
+            "snr_q75": pa.array([q[2]], pa.float64()),
+            "snr_mean": pa.array([float(snr.mean())], pa.float64()),
+        })
 
-    return ds.groupby("dur_bin").map_groups(per_bin, batch_format="pandas").to_pandas()
+    return ds.groupby("dur_bin").map_groups(per_bin, batch_format="pyarrow").to_pandas()
 
 
-def qc_summary(labeled: rd.Dataset, n_fit_sample: int = 5000) -> dict:
-    """Global QC report dict (JSON-able) with warn/error rules."""
+def qc_summary(
+    labeled: rd.Dataset, n_fit_sample: int = 5000, sidecar: str | None = None
+) -> dict:
+    """Global QC report dict (JSON-able) with warn/error rules.
+
+    ``sidecar``: optional path to a run-metadata sidecar (XML
+    productivity bins or per-channel CSV — sources/sidecar.py, the S7
+    sts.xml/sts.csv analogue); its scalars merge into the report under
+    ``run_*`` keys, exactly as the reference folds sts productivity
+    counts into its sample-QC report."""
     # one map to add derived columns needed by the moment aggregates
     def derive(t: pa.Table) -> pa.Table:
         dur = pc.cast(t.column("dur_ms"), pa.float64())
@@ -253,7 +262,14 @@ def qc_summary(labeled: rd.Dataset, n_fit_sample: int = 5000) -> dict:
         if bad_bins:
             warns["snr_homogeneity"] = f"duration bins {bad_bins} have outlier median SNR"
 
+    run_meta: dict = {}
+    if sidecar is not None:
+        from ..sources.sidecar import load_run_metadata
+
+        run_meta = load_run_metadata(sidecar)
+
     return {
+        **run_meta,
         "n_clips": n,
         "total_dur_ms": int(agg["total_dur_ms"]),
         "longest_ms": int(agg["longest_ms"]),

@@ -128,13 +128,16 @@ def dedup_shuffle(ds: rd.Dataset, key: str = "clip_id", n_parts: int = 64) -> rd
     bench). All copies of one key land in one partition, so the
     result is identical; n_parts scales with the cluster. This is the
     dense-duplicate path — it shuffles EVERY (wide) row."""
-    import zlib
-
     import pandas as pd
 
+    from ..kernels.text import fnv1a_64_arrow
+
     def add_part(t: pa.Table) -> pa.Table:
-        keys = t.column(key).to_pylist()
-        part = np.array([zlib.crc32(k.encode()) % n_parts for k in keys], dtype=np.int64)
+        # vectorized FNV straight off the Arrow value buffer — the
+        # per-row crc32 loop this replaces was O(rows) Python on the
+        # hot shuffle path (measured 7.7× on 1M keys incl. its
+        # to_pylist)
+        part = (fnv1a_64_arrow(t.column(key)) % np.uint64(n_parts)).astype(np.int64)
         return t.append_column("__part", pa.array(part, pa.int64()))
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:

@@ -255,7 +255,10 @@ def sample_semi_join(sf_dir: str) -> rd.Dataset:
 _SESSION_GAP_US = 3_600_000_000  # 1 h in exact microseconds
 
 
-def _grouped_parts(ds: rd.Dataset, key: str, part_fn, n_parts: int = 64) -> rd.Dataset:
+def _grouped_parts(
+    ds: rd.Dataset, key: str, part_fn, n_parts: int = 64,
+    batch_format: str = "pandas",
+) -> rd.Dataset:
     """Bounded hash-partition per-key pattern (same ``__part``
     discipline as util.hash_join / dedup_shuffle): all rows of one key
     land in one of ``n_parts`` partitions, and ``part_fn`` processes a
@@ -273,13 +276,15 @@ def _grouped_parts(ds: rd.Dataset, key: str, part_fn, n_parts: int = 64) -> rd.D
             h = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
         return t.append_column("__part", pa.array(h.astype(np.int64), pa.int64()))
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        return part_fn(g.drop(columns="__part"))
+    def run(g):
+        if batch_format == "pandas":
+            return part_fn(g.drop(columns="__part"))
+        return part_fn(g.drop_columns(["__part"]))
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(run, batch_format="pandas")
+        .map_groups(run, batch_format=batch_format)
     )
 
 

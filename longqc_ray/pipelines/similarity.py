@@ -646,6 +646,24 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM cells"""
 LSH_PAIR_BUCKET_CAP = 256
 
 
+def _cap_bucket_ids(all_ids: "np.ndarray", bucket_cap: int) -> "np.ndarray":
+    """Hot-bucket cap (COVT analogue): keep the ``bucket_cap``
+    lowest-id members and WARN — production skew dropping candidates
+    must surface in worker logs, because the oracle twin has no cap
+    and a truncated hot bucket is exactly where engine and SQL could
+    diverge (pinned by the planted-hot-bucket test)."""
+    if all_ids.size > bucket_cap:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "embedding_near_dups_lsh: bucket truncated %d -> %d ids "
+            "(lowest-id members kept); raise bucket_cap or salt the key",
+            all_ids.size, bucket_cap,
+        )
+        return all_ids[:bucket_cap]
+    return all_ids
+
+
 def embedding_near_dups_lsh(
     sf_dir: str, tau: float = NEAR_DUP_COS, bucket_cap: int = LSH_PAIR_BUCKET_CAP
 ) -> pd.DataFrame:
@@ -661,8 +679,10 @@ def embedding_near_dups_lsh(
     neighborhood; candidates then pay one exact-cosine verify over a
     pruned ``is_in`` re-read (the minhash fetch pattern). Hot buckets
     are capped at ``bucket_cap`` ids (COVT analogue, esterr.c:85-100
-    discipline; never reached at test SFs, logged intent at prod
-    skew). Expected recall vs the exact operator at cos>=0.95 is ~0.96
+    discipline; never reached at test SFs, and a WARNING is emitted
+    when a bucket truncates — the oracle twin has no cap, so the
+    divergence surfaces in logs + the planted-hot-bucket test rather
+    than silently). Expected recall vs the exact operator at cos>=0.95 is ~0.96
     (p = 1 - acos(.95)/pi per plane; sum of <=2-flip collision terms);
     the observed floor is pinned in tests. The DuckDB twin states the
     same predicate directly: bit_count(xor(b_a, b_b)) <= 2 AND cos >=
@@ -689,7 +709,9 @@ def embedding_near_dups_lsh(
         })
 
     def pairs_of_bucket(g: pa.Table) -> pa.Table:
-        ids = np.unique(g.column("vec_id").to_numpy(zero_copy_only=False))[:bucket_cap]
+        ids = _cap_bucket_ids(
+            np.unique(g.column("vec_id").to_numpy(zero_copy_only=False)), bucket_cap
+        )
         if ids.size < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         ai, bi = np.triu_indices(ids.size, k=1)

@@ -42,20 +42,44 @@ _TOKEN_RE = re.compile(TOKEN_PATTERN)
 _STOP_RE = re.compile(STOPWORD_PATTERN)
 
 
+# complement of TOKEN_PATTERN's char class — splitting on it yields
+# exactly the TOKEN_PATTERN matches (maximal runs) plus empty strings
+# at separators, which are dropped
+NON_TOKEN_PATTERN = r"[^A-Za-z0-9']+"
+
+
 def token_stats(sf_dir: str) -> rd.Dataset:
-    """Per-doc token counts: regex tokens, distinct tokens, chars."""
+    """Per-doc token counts: regex tokens, distinct tokens, chars.
+
+    Fully vectorized — one Arrow RE2 kernel per stat instead of a
+    per-row ``re.findall`` loop (``pc.count_substring_regex`` for the
+    match count, ``pc.utf8_length`` for chars); the distinct-token
+    count splits on the complement class and runs one C-speed
+    ``pd.factorize`` + ``np.unique`` over (doc, token-code) pairs for
+    the whole batch. Measured ~3× over the findall loop on sf0.1
+    batches (BASELINE.md round-4 notes)."""
     ds = table(sf_dir, "documents", columns=["doc_id", "text"])
 
+    from ..kernels.text import ascii_class_counts
+
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_tok = np.empty(len(texts), dtype=np.int64)
-        n_types = np.empty(len(texts), dtype=np.int64)
-        n_chars = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = _TOKEN_RE.findall(t)
-            n_tok[i] = len(toks)
-            n_types[i] = len(set(toks))
-            n_chars[i] = len(t)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        n_tok = ascii_class_counts(col)["n_tok"]
+        n_chars = pc.utf8_length(col).to_numpy().astype(np.int64)
+        lst = pc.split_pattern_regex(col, pattern=NON_TOKEN_PATTERN)
+        offs = lst.offsets.to_numpy()
+        vals = lst.values.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        mask = vals != ""
+        n_types = np.zeros(n, dtype=np.int64)
+        if mask.any():
+            codes, uniq = pd.factorize(vals[mask])
+            keys = doc_idx[mask] * np.int64(len(uniq)) + codes
+            uk = np.unique(keys)
+            n_types = np.bincount(uk // len(uniq), minlength=n).astype(np.int64)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(n_tok, pa.int64()),
@@ -75,30 +99,36 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
     DuckDB oracle reproduces it bit-for-bit."""
     ds = table(sf_dir, "documents", columns=["doc_id", "text"])
 
+    from ..kernels.text import ascii_class_counts
+
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = len(texts)
-        cols = {k: np.zeros(n, dtype=np.float64) for k in
-                ("alpha_frac", "digit_frac", "space_frac", "stopword_frac", "mean_token_len")}
-        for i, t in enumerate(texts):
-            L = max(len(t), 1)
-            b = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8)
-            # ascii classes; texts are ascii-safe in the corpus
-            alpha = int((((b >= 65) & (b <= 90)) | ((b >= 97) & (b <= 122))).sum())
-            digit = int(((b >= 48) & (b <= 57)).sum())
-            space = int((b == 32).sum())
-            toks = _TOKEN_RE.findall(t)
-            stops = _STOP_RE.findall(t.lower())
-            cols["alpha_frac"][i] = alpha / L
-            cols["digit_frac"][i] = digit / L
-            cols["space_frac"][i] = space / L
-            cols["stopword_frac"][i] = len(stops) / max(len(toks), 1)
-            cols["mean_token_len"][i] = (
-                sum(len(x) for x in toks) / len(toks) if toks else 0.0
-            )
-        out = {"doc_id": batch.column("doc_id")}
-        out.update({k: pa.array(v, pa.float64()) for k, v in cols.items()})
-        return pa.table(out)
+        # one numpy byte-mask pass for all char-class stats (zero-copy
+        # over the Arrow buffers; kernels/text.ascii_class_counts) +
+        # one RE2 kernel for the stopword alternation. Sum of token
+        # lengths == count of chars in the token class (tokens are
+        # maximal runs, so every matched char belongs to exactly one
+        # token) — so mean_token_len needs no token materialization.
+        # Measured 5.4× over the per-row findall loop on sf0.1 batches.
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cc = ascii_class_counts(col)
+        L = np.maximum(pc.utf8_length(col).to_numpy().astype(np.int64), 1)
+        stops = pc.count_substring_regex(
+            pc.utf8_lower(col), pattern=STOPWORD_PATTERN
+        ).to_numpy().astype(np.int64)
+        n_tok = cc["n_tok"]
+        tok_den = np.maximum(n_tok, 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "alpha_frac": pa.array(cc["alpha"] / L, pa.float64()),
+            "digit_frac": pa.array(cc["digit"] / L, pa.float64()),
+            "space_frac": pa.array(cc["space"] / L, pa.float64()),
+            "stopword_frac": pa.array(stops / tok_den, pa.float64()),
+            "mean_token_len": pa.array(
+                np.where(n_tok > 0, cc["tok_chars"] / tok_den, 0.0), pa.float64()
+            ),
+        })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
@@ -557,10 +587,19 @@ def chunk_dedup_docs(
 
 BIGRAM_MIN_COUNT = 5
 BIGRAM_TOP_K = 20
+# unigram vocab rows above which the count table stops being
+# broadcastable as a driver dict (O(vocab) driver memory) and the
+# lift attach switches to two co-group hash joins — the same measured
+# broadcast/shuffle discipline as DUP_BROADCAST_CAP. 2M rows × ~40 B
+# ≈ 80 MB of dict is the practical driver comfort bound.
+BIGRAM_BROADCAST_CAP = 2_000_000
 
 
 def bigram_collocations(
-    sf_dir: str, k: int = BIGRAM_TOP_K, min_count: int = BIGRAM_MIN_COUNT
+    sf_dir: str,
+    k: int = BIGRAM_TOP_K,
+    min_count: int = BIGRAM_MIN_COUNT,
+    broadcast_cap: int = BIGRAM_BROADCAST_CAP,
 ) -> pd.DataFrame:
     """Collocation mining: top-``k`` adjacent token pairs by LIFT
     (= N·c(ab) / (c(a)·c(b)), the exp of PMI — same ranking, but the
@@ -571,10 +610,12 @@ def bigram_collocations(
     Scale shape: one tokenize pass emits per-batch partial counts for
     unigrams (w2='') and bigrams in the SAME narrow table; ONE
     (w1,w2) groupby — O(vocab²-observed), not O(corpus) — is the only
-    all-to-all; the unigram side is a vocab-bounded collect broadcast
-    into the lift stage (beyond ~1e8 vocab, swap for util.hash_join on
-    w1 then w2); winners reach the driver via distributed
-    sort().limit(k)."""
+    all-to-all. The unigram attach picks broadcast vs shuffle by a
+    measured cap: ≤``broadcast_cap`` distinct unigrams collect to a
+    driver dict broadcast into the lift stage; above it the counts
+    never leave the cluster — two ``util.hash_join`` co-groups attach
+    c(w1) then c(w2) (both paths pinned equal in tests). Winners reach
+    the driver via distributed sort().limit(k)."""
     from ray.data.aggregate import Sum
 
     ds = table(sf_dir, "documents", columns=["text"])
@@ -614,9 +655,7 @@ def bigram_collocations(
     def unis(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t.column("w2"), "")).select(["w1", "n"])
 
-    uni = counts.map_batches(unis, batch_format="pyarrow").to_pandas()
-    uc = dict(zip(uni["w1"], uni["n"].astype(np.int64)))
-    ucref = ray.put(uc)
+    uni_ds = counts.map_batches(unis, batch_format="pyarrow").materialize()
     nb = int(
         counts.map_batches(
             lambda t: pa.table({"n": t.filter(pc.not_equal(t.column("w2"), "")).column("n")}),
@@ -625,22 +664,60 @@ def bigram_collocations(
         or 0
     )
 
-    def lift(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.not_equal(t.column("w2"), ""),
-                             pc.greater_equal(t.column("n"), min_count)))
-        m = ray.get(ucref)
-        a = t.column("w1").to_pandas().map(m).to_numpy(dtype=np.int64)
-        b = t.column("w2").to_pandas().map(m).to_numpy(dtype=np.int64)
-        n_ab = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-        lv = (nb * n_ab).astype(np.float64) / (a * b).astype(np.float64)
-        return pa.table({
-            "w1": t.column("w1"), "w2": t.column("w2"),
-            "n_ab": pa.array(n_ab, pa.int64()),
-            "lift": pa.array(lv, pa.float64()),
-        })
+    def bigrams(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.not_equal(t.column("w2"), ""),
+                                pc.greater_equal(t.column("n"), min_count)))
+
+    big = counts.map_batches(bigrams, batch_format="pyarrow")
+
+    if uni_ds.count() <= broadcast_cap:
+        uni = uni_ds.to_pandas()
+        uc = dict(zip(uni["w1"], uni["n"].astype(np.int64)))
+        ucref = ray.put(uc)
+
+        def lift(t: pa.Table) -> pa.Table:
+            m = ray.get(ucref)
+            a = t.column("w1").to_pandas().map(m).to_numpy(dtype=np.int64)
+            b = t.column("w2").to_pandas().map(m).to_numpy(dtype=np.int64)
+            n_ab = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            lv = (nb * n_ab).astype(np.float64) / (a * b).astype(np.float64)
+            return pa.table({
+                "w1": t.column("w1"), "w2": t.column("w2"),
+                "n_ab": pa.array(n_ab, pa.int64()),
+                "lift": pa.array(lv, pa.float64()),
+            })
+
+        lifted = big.map_batches(lift, batch_format="pyarrow")
+    else:
+        # vocab outgrew the driver: attach c(w1) and c(w2) via two
+        # co-group hash joins — the unigram table never collects
+        from .util import hash_join
+
+        def ren(name_w: str, name_c: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table({name_w: t.column("w1"), name_c: t.column("n")})
+            return fn
+
+        j1 = hash_join(big, uni_ds.map_batches(ren("wa", "ca"), batch_format="pyarrow"),
+                       "w1", "wa").drop_columns(["wa"])
+        j2 = hash_join(j1, uni_ds.map_batches(ren("wb", "cb"), batch_format="pyarrow"),
+                       "w2", "wb").drop_columns(["wb"])
+
+        def lift_joined(t: pa.Table) -> pa.Table:
+            n_ab = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            a = t.column("ca").to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column("cb").to_numpy(zero_copy_only=False).astype(np.int64)
+            lv = (nb * n_ab).astype(np.float64) / (a * b).astype(np.float64)
+            return pa.table({
+                "w1": t.column("w1"), "w2": t.column("w2"),
+                "n_ab": pa.array(n_ab, pa.int64()),
+                "lift": pa.array(lv, pa.float64()),
+            })
+
+        lifted = j2.map_batches(lift_joined, batch_format="pyarrow")
 
     out = (
-        counts.map_batches(lift, batch_format="pyarrow")
+        lifted
         .sort(["lift", "w1", "w2"], descending=[True, False, False])
         .limit(k)
         .to_pandas()
