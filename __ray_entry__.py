@@ -158,34 +158,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash,
         "simhash_docs": dedup.simhash_docs,
         "simhash_near_dups": dedup.simhash_near_dups,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "embedding_near_dups": similarity.embedding_near_dups,
-        # --- similarity search (exact baseline has a SQL twin) ---
-        "ann_topk": similarity.ann_topk,
         # --- text analysis ---
         "token_stats": text_analysis.token_stats,
         "quality_scores": text_analysis.quality_scores,
         "salient_terms_per_source": text_analysis.salient_terms_per_source,  # exact-ratio tf-idf
         "pii_scrub_docs": text_analysis.pii_scrub_docs,
-        "toxicity_docs": text_analysis.toxicity_docs,
-        "repetition_docs": text_analysis.repetition_docs,
         "fuzzy_span_docs": text_analysis.fuzzy_span_docs,  # lq_adapt.py:10-78 analogue
+        # --- modified in round 3/4 — kept in the externally-checked
+        # window for at least one round after the change (ADVICE r3):
+        # deterministic_sample (md5→FNV r3), doc_corpus_stats (fused agg
+        # r3), control/sample_*_join (crossover r3 + FNV part-hash r4),
+        # nation_revenue (footer-count r3) ---
+        "deterministic_sample": relational.deterministic_sample,  # O1
+        "doc_corpus_stats": relational.doc_corpus_stats,  # A1
+        "control_anti_join": relational.control_anti_join,  # J1
+        "sample_semi_join": relational.sample_semi_join,  # J2
+        "nation_revenue": relational.nation_revenue,  # broadcast join
         # ---------------- position 51+ below this line ----------------
-        # (every entry here is either green in BOTH r1 and r2 or gated
-        # by pytest pins, so losing a driver slot costs no information)
+        # (every entry here is either green in at least TWO rounds with
+        # its code path untouched since, or gated by pytest pins, so
+        # losing a driver slot costs no information)
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # green r2+r3, untouched
+        "embedding_near_dups": similarity.embedding_near_dups,  # green r2+r3, untouched
+        "ann_topk": similarity.ann_topk,  # green r1-r3, untouched
+        "toxicity_docs": text_analysis.toxicity_docs,  # green r1-r3, untouched
+        "repetition_docs": text_analysis.repetition_docs,  # green r1-r3, untouched
         "top_docs": relational.top_docs,  # O4/O7 (SQL-twinned; green in r1+r2)
         "doc_fingerprints": doc_fingerprints_md5,  # md5 fingerprint (SQL-twinned; green in r2)
         "cohort_union": relational.cohort_union,  # O3 (SQL-twinned; green in r1+r2)
-        "doc_corpus_stats": relational.doc_corpus_stats,  # A1 (green in r1+r2)
         "doc_quality_flags": relational.doc_quality_flags,  # A6/A7 (green in r1+r2)
         "source_lang_profile": relational.source_lang_profile,  # A13 combiner (green in r1+r2)
-        "control_anti_join": relational.control_anti_join,  # J1 (green in r1+r2)
-        "sample_semi_join": relational.sample_semi_join,  # J2 (green in r1+r2)
-        "deterministic_sample": relational.deterministic_sample,  # O1 (green in r1+r2)
         "user_gap_profile": relational.user_gap_profile,  # M11 gaps (green in r1+r2)
         "user_occupancy": relational.user_occupancy,  # A15 occupancy (green in r1+r2)
         "pricing_summary": relational.pricing_summary,  # grouped agg (green in r1+r2)
-        "nation_revenue": relational.nation_revenue,  # broadcast join (green in r1+r2)
         # --- engine-defined models (gate = pytest determinism/recall pins) ---
         "lang_id_docs": text_analysis.lang_id_docs,
         # --- platform metadata (S8 analogue: footer-only per-file map) ---

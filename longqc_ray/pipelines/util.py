@@ -234,6 +234,16 @@ def hash_join(
     return both.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
 
 
+def _asof_on_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Ordering values of an as-of ``on`` column as numpy: timestamps
+    view as int64 microseconds (nulls = the other side's rows, never
+    read), numerics pass through."""
+    v = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(v.dtype, np.datetime64):
+        return v.astype("datetime64[us]").view(np.int64)
+    return v
+
+
 def asof_merge_tagged(
     both: rd.Dataset,
     l_cols: list[str],
@@ -241,7 +251,7 @@ def asof_merge_tagged(
     by: str,
     left_on: str,
     right_on: str,
-    int_cols: list[str],
+    int_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Partitioned backward as-of merge over a pre-tagged union.
 
@@ -249,32 +259,54 @@ def asof_merge_tagged(
     ``__side`` ('l'/'r') columns plus the null-padded superset of both
     sides' columns. Exposed so single-source callers (both sides are
     filters of ONE table, e.g. purchase_click_asof) can build the
-    tagged union in one scan instead of reading the input twice."""
+    tagged union in one scan instead of reading the input twice.
+
+    The per-partition merge is a pure int64 numpy kernel (replaced
+    ``pd.merge_asof``, whose unmatched-row NaNs forced int columns
+    through float64 — the old 2^53 guard is gone because nothing
+    leaves the integer domain): ONE lexsort by (key, time, side with
+    rights-before-lefts at equal time), then a per-group running max
+    over right-row positions (group resets via the gid·BIG offset
+    trick) gives every left row its latest right row with
+    right_on ≤ left_on. Ties among equal right times resolve to the
+    LAST in input order — bit-identical to the stable-sorted
+    ``merge_asof`` it replaced (oracle-checked). ``int_cols`` is kept
+    for API compatibility; types now survive untouched via Arrow
+    ``take``. Blocks stay Arrow for downstream operators."""
     import pandas as pd
 
-    def merge_part(g: "pd.DataFrame") -> "pd.DataFrame":
-        l = g[g["__side"] == "l"][l_cols].sort_values(left_on, kind="stable")
-        r = g[g["__side"] == "r"][r_cols].sort_values(right_on, kind="stable")
-        out = pd.merge_asof(
-            l, r, left_on=left_on, right_on=right_on, by=by,
-            direction="backward", allow_exact_matches=True,
-        )
-        out = out.dropna(subset=[right_on])
-        for c in int_cols:
-            # unmatched-row NaNs force the int columns through float64
-            # inside merge_asof; exact only below 2^53 (epoch-us stamps
-            # are ~2^51, ids far smaller). Fail loudly rather than
-            # silently corrupt if a caller ever exceeds that.
-            v = out[c].to_numpy()
-            if v.size and np.abs(v).max() >= 2.0**53:
-                raise ValueError(
-                    f"asof merge: |{c}| >= 2^53 would lose precision in the "
-                    "float64 round-trip; pre-scale or rekey the column"
-                )
-            out[c] = v.astype(np.int64)
-        return out
+    out_r = [c for c in r_cols if c != by]
+    out_cols = l_cols + out_r
 
-    return both.groupby("__part").map_groups(merge_part, batch_format="pandas")
+    def merge_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        is_l = pc_.equal(g.column("__side"), "l").to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(
+            np.asarray(g.column(by).to_pylist(), dtype=object)
+        )
+        codes = codes.astype(np.int64)
+        t = np.where(is_l, _asof_on_values(g.column(left_on)),
+                     _asof_on_values(g.column(right_on)))
+        n = g.num_rows
+        order = np.lexsort((is_l.astype(np.int8), t, codes))
+        c2 = codes[order]
+        isl2 = is_l[order]
+        big = np.int64(n + 2)
+        pos = np.arange(n, dtype=np.int64)
+        val = c2 * big + np.where(~isl2, pos + 1, 0)
+        run = np.maximum.accumulate(val)
+        last_r = run - c2 * big - 1  # sorted-pos of latest right; -1 = none
+        lmask = isl2 & (last_r >= 0)
+        left_idx = order[np.nonzero(lmask)[0]]
+        right_idx = order[last_r[lmask]]
+        li = pa.array(left_idx, pa.int64())
+        ri = pa.array(right_idx, pa.int64())
+        data = {c: g.column(c).take(li) for c in l_cols}
+        data.update({c: g.column(c).take(ri) for c in out_r})
+        return pa.table({c: data[c] for c in out_cols})
+
+    return both.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
 
 
 def asof_join(
