@@ -591,11 +591,20 @@ def user_gap_profile(sf_dir: str) -> rd.Dataset:
     read → here per user against the global event window). The global
     bounds are one tiny aggregate broadcast into the per-group pass."""
     ds = table(sf_dir, "events", columns=["user_id", "ts"])
-    from ray.data.aggregate import Max, Min
+    from .util import parquet_ts_bounds
 
-    bounds = ds.aggregate(Min("ts", alias_name="g0"), Max("ts", alias_name="g1"))
-    g0 = np.datetime64(bounds["g0"], "us").astype(np.int64)
-    g1 = np.datetime64(bounds["g1"], "us").astype(np.int64)
+    fb = parquet_ts_bounds(sf_dir, "events", "ts")
+    if fb is not None:
+        # footer short-circuit: global time bounds come from row-group
+        # statistics (metadata-only), saving one whole Min/Max
+        # aggregate execution
+        g0, g1 = fb
+    else:
+        from ray.data.aggregate import Max, Min
+
+        bounds = ds.aggregate(Min("ts", alias_name="g0"), Max("ts", alias_name="g1"))
+        g0 = int(np.datetime64(bounds["g0"], "us").astype(np.int64))
+        g1 = int(np.datetime64(bounds["g1"], "us").astype(np.int64))
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g, uid, ts, new_user, starts = _user_sorted(g)
@@ -684,21 +693,27 @@ def user_occupancy(sf_dir: str) -> pd.DataFrame:
     analogue, lq_nanopore.py:294-325): per minute window, the count of
     DISTINCT active users + event count. Distinct is two-stage: dedup
     (window, user) pairs via a grouped count, then sum per window —
-    both shuffles carry only pair keys."""
-    from ray.data.aggregate import Count
+    both shuffles carry only pair keys. Both stages go through the
+    hash co-group (``hash_grouped_sum``/``final_sum``), not Ray's
+    sample+sort+reduce aggregate — the two-key sort on ~10^5 pair rows
+    measured 8-12 s vs <1 s for the co-group on this box."""
+    from .util import hash_grouped_sum
 
     ds = table(sf_dir, "events", columns=["user_id", "ts"])
 
-    def add_window(batch: pa.Table) -> pa.Table:
+    def pair_partials(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        return pa.table({
+        t = pa.table({
             "window_start_s": pa.array((ts // 60_000_000) * 60, pa.int64()),
             "user_id": batch.column("user_id"),
         })
+        out = t.group_by(["window_start_s", "user_id"]).aggregate([([], "count_all")])
+        out = out.select(["window_start_s", "user_id", "count_all"])
+        return out.rename_columns(["window_start_s", "user_id", "n_pair"])
 
-    pairs = ds.map_batches(add_window, batch_format="pyarrow", batch_size=65536)
-    per_pair = pairs.groupby(["window_start_s", "user_id"]).aggregate(
-        Count(alias_name="n_events_pair")
+    pairs = ds.map_batches(pair_partials, batch_format="pyarrow", batch_size=65536)
+    per_pair = hash_grouped_sum(
+        pairs, ["window_start_s", "user_id"], "n_pair", "n_events_pair"
     )
     out = grouped_sums(per_pair, ["window_start_s"], ["n_events_pair"])
     out = out.rename(columns={"n_events_pair_total": "n_events", "n_total": "active_users"})
@@ -782,10 +797,19 @@ def event_window_range_join(sf_dir: str) -> pd.DataFrame:
     join is bin-replication inside ``map_batches``: each event emits a
     row per containing window — no all-to-all; the only shuffle is the
     final combiner groupby over (win_id) partials."""
-    from ray.data.aggregate import Min
+    from .util import parquet_ts_bounds
 
     ds = table(sf_dir, "events", columns=["ts", "value"])
-    g0 = np.datetime64(ds.aggregate(Min("ts", alias_name="g0"))["g0"], "us").astype(np.int64)
+    fb = parquet_ts_bounds(sf_dir, "events", "ts")
+    if fb is not None:
+        g0 = fb[0]  # footer short-circuit, as in user_gap_profile
+    else:
+        from ray.data.aggregate import Min
+
+        g0 = int(
+            np.datetime64(ds.aggregate(Min("ts", alias_name="g0"))["g0"], "us")
+            .astype(np.int64)
+        )
 
     def assign(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
@@ -1324,9 +1348,7 @@ def shipping_priority(
     collects); (4) distributed sort + limit(k). Revenue is exact
     integer centi-cents: cents(extendedprice) × (100 − discount_pct),
     so the SQL twin matches bit-for-bit."""
-    from ray.data.aggregate import Min, Sum
-
-    from .util import hash_anti_semi_join, hash_join
+    from .util import hash_anti_semi_join, hash_join, local_topk
 
     cust = table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     n_cust = _footer_rows(sf_dir, "customer", "c_custkey")
@@ -1386,21 +1408,28 @@ def shipping_priority(
 
     l_proj = line.map_batches(project_line, batch_format="pyarrow", batch_size=65536)
 
-    joined = hash_join(l_proj, o_f.map_batches(
-        lambda t: t.drop_columns(["o_custkey"]), batch_format="pyarrow"
-    ), "l_orderkey", "o_orderkey")
-
-    top = (
-        joined.groupby("l_orderkey")
-        .aggregate(
-            Sum("rev_cc", alias_name="revenue_cc"),
-            Min("o_date_s", alias_name="o_date_s"),
-            Min("o_orderpriority", alias_name="o_orderpriority"),
+    # per-order aggregate runs INSIDE the join partition (group key ==
+    # join key, so each partition holds every row of its orders —
+    # exact, zero extra shuffle); top-k is per-block local top-k + one
+    # tiny driver merge (util.local_topk) instead of a global sort
+    def per_order(j: pa.Table) -> pa.Table:
+        out = j.group_by("l_orderkey").aggregate(
+            [("rev_cc", "sum"), ("o_date_s", "min"), ("o_orderpriority", "min")]
         )
-        .sort(["revenue_cc", "o_date_s", "l_orderkey"], descending=[True, False, False])
-        .limit(k)
-        .to_pandas()
-    )
+        out = out.select(
+            ["l_orderkey", "rev_cc_sum", "o_date_s_min", "o_orderpriority_min"]
+        )
+        return out.rename_columns(
+            ["l_orderkey", "revenue_cc", "o_date_s", "o_orderpriority"]
+        )
+
+    per = hash_join(l_proj, o_f.map_batches(
+        lambda t: t.drop_columns(["o_custkey"]), batch_format="pyarrow"
+    ), "l_orderkey", "o_orderkey", post=per_order)
+
+    top = local_topk(
+        per, ["revenue_cc", "o_date_s", "l_orderkey"], [True, False, False], k
+    ).to_pandas()
     for c in ("l_orderkey", "revenue_cc", "o_date_s"):
         top[c] = top[c].astype(np.int64)
     return top[["l_orderkey", "revenue_cc", "o_date_s", "o_orderpriority"]]
@@ -1416,9 +1445,7 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     names/nations attached — the string side is a filtered `is_in`
     read of exactly k customer rows, so no wide column ever shuffles
     and no corpus-fraction broadcast exists on the hot path."""
-    from ray.data.aggregate import Sum
-
-    from .util import hash_join
+    from .util import hash_grouped_sum, hash_join, local_topk
 
     line = table(
         sf_dir, "lineitem",
@@ -1437,14 +1464,22 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     l_proj = line.map_batches(project_line, batch_format="pyarrow", batch_size=65536)
     o_proj = table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    top = (
-        hash_join(l_proj, o_proj, "l_orderkey", "o_orderkey")
-        .groupby("o_custkey")
-        .aggregate(Sum("rev_cc", alias_name="revenue_cc"))
-        .sort(["revenue_cc", "o_custkey"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
+    # the join partition pre-aggregates per customer (partial sums —
+    # the aggregate key differs from the join key, so the partials
+    # still need one narrow co-group on o_custkey), and the global
+    # sort+limit becomes per-block top-k + one tiny driver merge
+    def cust_partials(j: pa.Table) -> pa.Table:
+        out = j.group_by("o_custkey").aggregate([("rev_cc", "sum")])
+        out = out.select(["o_custkey", "rev_cc_sum"])
+        return out.rename_columns(["o_custkey", "rev_partial"])
+
+    partials = hash_join(
+        l_proj, o_proj, "l_orderkey", "o_orderkey", post=cust_partials
     )
+    per_cust = hash_grouped_sum(partials, ["o_custkey"], "rev_partial", "revenue_cc")
+    top = local_topk(
+        per_cust, ["revenue_cc", "o_custkey"], [True, False], k
+    ).to_pandas()
     top["o_custkey"] = top["o_custkey"].astype(np.int64)
     top["revenue_cc"] = top["revenue_cc"].astype(np.int64)
 

@@ -116,6 +116,33 @@ def _hyperplanes(d: int) -> np.ndarray:
     return rng.standard_normal((LSH_BITS, d))
 
 
+def _embedding_dim(sf_dir: str, default: int = 64) -> int:
+    """Dimension of the embeddings table's ``embedding`` column, read
+    DRIVER-SIDE from the parquet file: fixed_size_list width straight
+    from the schema when typed that way, else one first-row read of
+    the first non-empty file. Replaces a ``limit(1)`` probe pipeline
+    whose full Ray execution cost ~1 s of fixed overhead per query
+    regardless of scale (the schema/footer read is O(1) at any SF)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        [path] if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    for f in files:
+        typ = pq.read_schema(f).field("embedding").type
+        if pa.types.is_fixed_size_list(typ):
+            return typ.list_size
+        for b in pq.ParquetFile(f).iter_batches(batch_size=1, columns=["embedding"]):
+            if b.num_rows:
+                return len(b.column(0)[0])
+    return default
+
+
 def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     bits = (m @ planes.T) > 0.0
     return (bits * (1 << np.arange(LSH_BITS))).sum(axis=1).astype(np.int64)
@@ -690,11 +717,7 @@ def embedding_near_dups_lsh(
     import pyarrow.compute as pc
 
     ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    probe_head = ds.map_batches(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    ).limit(1).to_pandas()
-    d = len(probe_head["embedding"][0]) if len(probe_head) else 64
-    planes_ref = ray.put(_hyperplanes(d))
+    planes_ref = ray.put(_hyperplanes(_embedding_dim(sf_dir)))
 
     def emit_keys(batch: pa.Table) -> pa.Table:
         ids, m = _emb_matrix(batch)
@@ -739,13 +762,20 @@ def embedding_near_dups_lsh(
         ).to_arrow_refs()
     ))
     ids, m = _emb_matrix(tbl)
-    pos = {int(v): i for i, v in enumerate(ids)}
     a = cand["a"].to_numpy(dtype=np.int64)
     b = cand["b"].to_numpy(dtype=np.int64)
-    ia = np.fromiter((pos[int(x)] for x in a), dtype=np.int64, count=a.size)
-    ib = np.fromiter((pos[int(x)] for x in b), dtype=np.int64, count=b.size)
-    cos = np.einsum("ij,ij->i", m[ia], m[ib])
-    keep = cos >= tau
+    order = np.argsort(ids, kind="stable")
+    ia = order[np.searchsorted(ids, a, sorter=order)]
+    ib = order[np.searchsorted(ids, b, sorter=order)]
+    # chunked gather+dot: one 300k-pair gather materializes ~2×150 MB
+    # of FRESH pages whose first-touch faults dominate (~50 MB/s on
+    # this VM — see BASELINE.md controls); 64k-pair chunks reuse the
+    # allocator's pages and run ~4× faster at identical results
+    keep = np.empty(a.size, dtype=bool)
+    step = 65536
+    for i in range(0, a.size, step):
+        s = slice(i, min(i + step, a.size))
+        keep[s] = np.einsum("ij,ij->i", m[ia[s]], m[ib[s]]) >= tau
     out = pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
     return out.sort_values(["a_id", "b_id"], kind="stable").reset_index(drop=True)
 

@@ -19,6 +19,49 @@ import pyarrow as pa
 import ray.data as rd
 
 
+# Read-parallelism policy. Ray Data's default (~2 blocks/CPU
+# regardless of data size) turns a 1 MiB table into 64 one-row-group
+# blocks; every downstream groupby then runs a 64-map × 64-reduce
+# shuffle of ~20 KB objects whose SCHEDULING dominates wall time —
+# measured on this box: the same 100k-row groupby is 3.99 s at the
+# default vs 0.64 s at 32 blocks, with a nonlinear cliff between 48
+# and 64 concurrent shuffle blocks at 32 CPUs. Policy: block count
+# follows DATA SIZE with a CPU-count ceiling on the small end —
+# max(1, min(CPUs, bytes/64KiB), bytes/32MiB). At 100 TB the
+# bytes/32MiB term dominates (≈32 MiB blocks, the map-side shape the
+# flagship reader already uses); tiny dimension tables collapse to one
+# block instead of 64 empty-ish ones.
+_MIN_BLOCK_BYTES = 64 << 10
+_TARGET_BLOCK_BYTES = 32 << 20
+
+
+def read_parallelism(total_bytes: int) -> int:
+    cpus = 32
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        pass
+    return max(
+        1,
+        min(cpus, total_bytes // _MIN_BLOCK_BYTES),
+        total_bytes // _TARGET_BLOCK_BYTES,
+    )
+
+
+def _path_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        import glob
+
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    return os.path.getsize(path)
+
+
 def table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     """Column-pruned parquet read of one driver table.
 
@@ -38,7 +81,10 @@ def table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
         if columns:
             schema = pa.schema([schema.field(c) for c in columns])
         return rd.from_arrow(schema.empty_table())
-    return rd.read_parquet(path, columns=columns)
+    return rd.read_parquet(
+        path, columns=columns,
+        override_num_blocks=read_parallelism(_path_bytes(path)),
+    )
 
 
 def parquet_column_stats(
@@ -77,6 +123,37 @@ def parquet_column_stats(
     if n == 0 or lo is None:
         return None
     return lo, hi, n
+
+
+def parquet_ts_bounds(sf_dir: str, name: str, col: str) -> tuple[int, int] | None:
+    """(min, max) of a timestamp column in epoch-microseconds straight
+    from the parquet footer statistics (the timestamp twin of
+    ``parquet_column_stats`` — saves queries needing only global time
+    bounds one whole Min/Max aggregate execution). None when any row
+    group lacks exact stats; callers fall back to the aggregate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    lo = hi = None
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = next((i for i in range(len(md.schema)) if md.schema.column(i).name == col), None)
+        if idx is None:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            a = np.datetime64(st.min, "us").astype(np.int64)
+            b = np.datetime64(st.max, "us").astype(np.int64)
+            lo = int(a) if lo is None else min(lo, int(a))
+            hi = int(b) if hi is None else max(hi, int(b))
+    if lo is None:
+        return None
+    return lo, hi
 
 
 WIDE_BLOCK_BYTES = 64 * 2**20  # ~64 MiB blocks for wide binary rows
@@ -162,6 +239,7 @@ def hash_join(
     left_key: str,
     right_key: str,
     n_parts: int = 64,
+    post=None,
 ) -> rd.Dataset:
     """Large×large inner hash join via co-grouping (Ray Data 2.49 has
     no native join): tag each side, union, hash-partition on the key
@@ -229,9 +307,45 @@ def hash_join(
             out = out.append_column(right_key, out.column(left_key).cast(
                 r_schema.field(right_key).type
             ))
-        return out.select(out_cols)
+        out = out.select(out_cols)
+        # ``post`` runs INSIDE the join partition: a partition holds
+        # every row of its join keys, so a group-by on the JOIN key
+        # (or a partial pre-agg on any other key) here saves the
+        # downstream pipeline one whole all-to-all
+        return post(out) if post is not None else out
 
     return both.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
+
+
+def local_topk(
+    ds: rd.Dataset, cols: list[str], descending: list[bool], k: int
+) -> pa.Table:
+    """Distributed top-k under a TOTAL order: per-block local top-k
+    (map-side), then one driver merge of ≤ k × n_blocks tiny rows —
+    replaces ``sort().limit(k)``, whose sample+range-partition
+    all-to-all costs ~1 s of fixed machinery per query regardless of
+    data size. ``cols`` must be a total order (include a key column)
+    or ties at the k boundary become nondeterministic."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    order = [(c, "descending" if d else "ascending") for c, d in zip(cols, descending)]
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows > k:
+            t = t.take(pc.sort_indices(t, sort_keys=order).slice(0, k))
+        return t
+
+    blocks = ray.get(ds.map_batches(local, batch_format="pyarrow").to_arrow_refs())
+    # Ray materializes empty partitions as ZERO-COLUMN tables, which
+    # poison concat_tables (see table() zero-row contract)
+    blocks = [b for b in blocks if b.num_columns]
+    if not blocks:
+        sch = ds.schema()
+        return sch.base_schema.empty_table() if sch else pa.table({})
+    parts = pa.concat_tables(blocks)
+    return parts.take(pc.sort_indices(parts, sort_keys=order).slice(0, k))
 
 
 def _asof_on_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
