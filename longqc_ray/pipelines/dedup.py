@@ -144,14 +144,12 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
             "doc_id": batch.column("doc_id"),
         })
 
-    from ray.data.aggregate import Count, Min
+    from .util import hash_grouped_agg
 
-    out = (
-        ds.map_batches(fp, batch_format="pyarrow", batch_size=4096)
-        .groupby(["fp", "fp2"])
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
-        .to_pandas()
-    )
+    out = hash_grouped_agg(
+        ds.map_batches(fp, batch_format="pyarrow", batch_size=4096),
+        keys=["fp", "fp2"], mins=("doc_id",), count_alias="n_copies",
+    ).to_pandas()
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["n_copies"] = out["n_copies"].astype(np.int64)
     return out[["doc_id", "n_copies"]]
@@ -242,25 +240,24 @@ def _runs_with_dups(bands: np.ndarray, buckets: np.ndarray, ids: np.ndarray):
 def _candidate_pairs(band_rows: rd.Dataset, id_col: str) -> pd.DataFrame:
     """LSH buckets → candidate id pairs (deduped). Bucket size capped."""
 
-    def pairs_of_part(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_of_part(g: pa.Table) -> pa.Table:
         out_a, out_b = [], []
         for u in _runs_with_dups(
-            g["band"].to_numpy(), g["bucket"].to_numpy(), g[id_col].to_numpy()
+            g.column("band").to_numpy(zero_copy_only=False),
+            g.column("bucket").to_numpy(zero_copy_only=False),
+            g.column(id_col).to_numpy(zero_copy_only=False),
         ):
             ai, bi = np.triu_indices(u.size, k=1)
             out_a.append(u[ai])
             out_b.append(u[bi])
-        if not out_a:
-            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-        return pd.DataFrame({
-            "a": np.concatenate(out_a).astype(np.int64),
-            "b": np.concatenate(out_b).astype(np.int64),
-        })
+        a = np.concatenate(out_a).astype(np.int64) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b).astype(np.int64) if out_b else np.empty(0, np.int64)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
     pairs = (
         band_rows.map_batches(_add_bucket_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(pairs_of_part, batch_format="pandas")
+        .map_groups(pairs_of_part, batch_format="pyarrow")
         .to_pandas()
     )
     if pairs.empty:
@@ -312,7 +309,7 @@ def connected_components_lp(pairs: rd.Dataset, max_iters: int = 64) -> rd.Datase
     equality with driver union-find is pinned in tests. Valid because
     every label is itself a node id present in the labels table (min
     of endpoint ids, inductively preserved by min-merging)."""
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     from .util import hash_join
 
@@ -337,9 +334,13 @@ def connected_components_lp(pairs: rd.Dataset, max_iters: int = 64) -> rd.Datase
     def to_arrow(t: pa.Table) -> pa.Table:
         return t  # identity pass pins Arrow block type for union()
 
+    from .util import hash_grouped_agg
+
     labels = (
-        pairs.map_batches(seed, batch_format="pyarrow")
-        .groupby("node").aggregate(Min("label", alias_name="label"))
+        hash_grouped_agg(
+            pairs.map_batches(seed, batch_format="pyarrow"),
+            keys=["node"], mins=("label",), n_parts=8,
+        )
         .map_batches(to_arrow, batch_format="pyarrow")
         .materialize()
     )
@@ -374,8 +375,10 @@ def connected_components_lp(pairs: rd.Dataset, max_iters: int = 64) -> rd.Datase
             batch_format="pyarrow",
         )
         labels = (
-            labels.union(neigh).union(jump)
-            .groupby("node").aggregate(Min("label", alias_name="label"))
+            hash_grouped_agg(
+                labels.union(neigh).union(jump),
+                keys=["node"], mins=("label",), n_parts=8,
+            )
             .map_batches(to_arrow, batch_format="pyarrow")
             .materialize()
         )
@@ -612,11 +615,14 @@ def simhash_near_dups(sf_dir: str, hamming_max: int = HAMMING_MAX) -> pd.DataFra
             "bucket": pa.array(bands.reshape(-1), pa.int64()),
         })
 
-    def pairs_of_part(g: pd.DataFrame) -> pd.DataFrame:
-        id2hash = dict(zip(g["doc_id"].to_numpy(), g["simhash"].to_numpy()))
+    def pairs_of_part(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        id2hash = dict(zip(did, g.column("simhash").to_numpy(zero_copy_only=False)))
         out_a, out_b, out_h = [], [], []
         for u in _runs_with_dups(
-            g["band"].to_numpy(), g["bucket"].to_numpy(), g["doc_id"].to_numpy()
+            g.column("band").to_numpy(zero_copy_only=False),
+            g.column("bucket").to_numpy(zero_copy_only=False),
+            did,
         ):
             hs = np.array([id2hash[i] for i in u], dtype=np.int64).view(np.uint64)
             ai, bi = np.triu_indices(u.size, k=1)
@@ -628,22 +634,19 @@ def simhash_near_dups(sf_dir: str, hamming_max: int = HAMMING_MAX) -> pd.DataFra
             out_a.append(u[ai[ok]])
             out_b.append(u[bi[ok]])
             out_h.append(ham[ok])
-        if not out_a:
-            return pd.DataFrame({
-                "a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
-                "hamming": np.empty(0, np.int64),
-            })
-        return pd.DataFrame({
-            "a": np.concatenate(out_a).astype(np.int64),
-            "b": np.concatenate(out_b).astype(np.int64),
-            "hamming": np.concatenate(out_h).astype(np.int64),
+        a = np.concatenate(out_a).astype(np.int64) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b).astype(np.int64) if out_b else np.empty(0, np.int64)
+        hm = np.concatenate(out_h).astype(np.int64) if out_h else np.empty(0, np.int64)
+        return pa.table({
+            "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+            "hamming": pa.array(hm, pa.int64()),
         })
 
     pairs = (
         sh.map_batches(explode, batch_format="pyarrow")
         .map_batches(_add_bucket_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(pairs_of_part, batch_format="pandas")
+        .map_groups(pairs_of_part, batch_format="pyarrow")
         .to_pandas()
     )
     if pairs.empty:

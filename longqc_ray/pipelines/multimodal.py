@@ -505,7 +505,7 @@ def fingerprint_dedup_over(ds: rd.Dataset) -> rd.Dataset:
     never payloads. Emits one row per duplicated fingerprint:
     (fp, rep_clip_id, n_copies). Gain-invariant: a re-leveled copy of
     a recording lands in the same group (pinned in tests)."""
-    from ray.data.aggregate import Count, Min
+    from .util import hash_grouped_agg
 
     fps = fingerprint_clips(ds)
 
@@ -514,12 +514,18 @@ def fingerprint_dedup_over(ds: rd.Dataset) -> rd.Dataset:
 
         return t.filter(pc.not_equal(t.column("fp"), 0))
 
-    return (
-        fps.map_batches(drop_null, batch_format="pyarrow")
-        .groupby("fp")
-        .aggregate(Min("clip_id", alias_name="rep_clip_id"), Count(alias_name="n_copies"))
-        .filter(lambda r: r["n_copies"] > 1)
+    grouped = hash_grouped_agg(
+        fps.map_batches(drop_null, batch_format="pyarrow"),
+        keys=["fp"], mins=("clip_id",), count_alias="n_copies",
     )
+    # rename the min column to the representative-id contract
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.rename_columns(["fp", "rep_clip_id", "n_copies"])
+        return t.filter(pc.greater(t.column("n_copies"), 1))
+
+    return grouped.map_batches(finish, batch_format="pyarrow")
 
 
 def audio_fingerprint_dedup(sf_dir: str) -> rd.Dataset:

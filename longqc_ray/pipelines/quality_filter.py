@@ -186,9 +186,9 @@ def find_dup_keys(ds: rd.Dataset, key: str = "clip_id") -> "pa.Array":
         totals = merged.groupby(key, sort=False)["n"].sum()
         dups = totals.index[totals.to_numpy() > 1]
         return pa.array(sorted(dups), pa.string())
-    from ray.data.aggregate import Sum
+    from .util import hash_grouped_sum
 
-    totals = partials.groupby(key).aggregate(Sum("n", alias_name="n"))
+    totals = hash_grouped_sum(partials, [key], "n", "n")
     dup = totals.map_batches(
         lambda t: t.filter(pc.greater(t.column("n"), 1)).select([key]),
         batch_format="pyarrow",

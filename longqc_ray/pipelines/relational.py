@@ -381,8 +381,10 @@ def user_sessions(sf_dir: str) -> rd.Dataset:
 def top_docs(sf_dir: str) -> pd.DataFrame:
     """Descending sort + limit (O4 N50 sort / O7 top-k): top 100 docs
     by length, deterministic tie-break on doc_id."""
+    from .util import local_topk
+
     ds = table(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100).to_pandas()
+    return local_topk(ds, ["n_chars", "doc_id"], [True, False], 100).to_pandas()
 
 
 def cohort_union(sf_dir: str) -> rd.Dataset:

@@ -343,21 +343,23 @@ def pack_docs(
     offsets = np.concatenate([[0], np.cumsum(sums["s"].to_numpy())[:-1]]).astype(np.int64)
     off_ref = ray.put((rng_ids, offsets))
 
-    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+    def per_range(g: pa.Table) -> pa.Table:
         r_ids, offs = ray.get(off_ref)
-        g = g.sort_values("doc_id", kind="stable")
-        base = int(offs[np.searchsorted(r_ids, int(g["rng"].iloc[0]))])
-        nt = g["n_tokens"].to_numpy()
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="stable")
+        did = did[order]
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False)[order]
+        base = int(offs[np.searchsorted(r_ids, int(g.column("rng")[0].as_py()))])
         before = base + np.cumsum(nt) - nt
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy(),
-            "n_tokens": nt,
-            "pack_id": (before // cap_tokens).astype(np.int64),
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "pack_id": pa.array((before // cap_tokens).astype(np.int64), pa.int64()),
         })
 
     # one row per doc — returned as a Dataset (no O(n_docs) driver
     # collect; the checker canonicalizes row order)
-    return narrow.groupby("rng").map_groups(per_range, batch_format="pandas")
+    return narrow.groupby("rng").map_groups(per_range, batch_format="pyarrow")
 
 
 VOCAB_TOP_K = 100
@@ -389,15 +391,15 @@ def vocab_top_tokens(sf_dir: str, k: int = VOCAB_TOP_K) -> pd.DataFrame:
 
     from .util import hash_grouped_sum
 
-    out = (
+    from .util import local_topk
+
+    out = local_topk(
         hash_grouped_sum(
             ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
             ["token"], "cnt", "n",
-        )
-        .sort(["n", "token"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
-    )
+        ),
+        ["n", "token"], [True, False], k,
+    ).to_pandas()
     out["n"] = out["n"].astype(np.int64)
     return out.reset_index(drop=True)[["token", "n"]]
 
@@ -716,12 +718,11 @@ def bigram_collocations(
 
         lifted = j2.map_batches(lift_joined, batch_format="pyarrow")
 
-    out = (
-        lifted
-        .sort(["lift", "w1", "w2"], descending=[True, False, False])
-        .limit(k)
-        .to_pandas()
-    )
+    from .util import local_topk
+
+    out = local_topk(
+        lifted, ["lift", "w1", "w2"], [True, False, False], k
+    ).to_pandas()
     out["n_ab"] = out["n_ab"].astype(np.int64)
     return out.reset_index(drop=True)[["w1", "w2", "n_ab", "lift"]]
 

@@ -653,3 +653,73 @@ def hash_grouped_sum(
         .groupby("__part")
         .map_groups(agg_part, batch_format="pyarrow")
     )
+
+
+def hash_grouped_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    mins: tuple[str, ...] = (),
+    sums: tuple[str, ...] = (),
+    count_alias: str | None = None,
+    n_parts: int = 16,
+) -> rd.Dataset:
+    """Grouped MIN / SUM / COUNT via the bounded hash co-group — the
+    multi-aggregate sibling of ``hash_grouped_sum`` for the dedup
+    family's (min representative id, copy count) shape. Map-side
+    per-batch partials combine here (min and sum are self-combining;
+    the row count becomes a summed partial), so the shuffle moves
+    ~distinct-keys-per-block narrow rows, and the final pass is one
+    Arrow ``group_by`` per partition instead of Ray's
+    sample+sort+reduce aggregate (4× measured, see final_sum).
+
+    ``mins``/``sums`` take column names (output keeps the name) or a
+    {column: output_alias} dict — required when one column is both
+    min'd and summed."""
+    mins = dict(mins) if isinstance(mins, dict) else {c: c for c in mins}
+    sums = dict(sums) if isinstance(sums, dict) else {c: c for c in sums}
+    out_names = (
+        list(keys) + list(mins.values()) + list(sums.values())
+        + ([count_alias] if count_alias else [])
+    )
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"duplicate output names: {out_names} — pass aliases")
+
+    def partial(t: pa.Table) -> pa.Table:
+        aggs = [(c, "min") for c in mins] + [(c, "sum") for c in sums]
+        if count_alias:
+            aggs.append(([], "count_all"))
+        out = t.group_by(keys).aggregate(aggs)
+        sel = (
+            list(keys)
+            + [f"{c}_min" for c in mins]
+            + [f"{c}_sum" for c in sums]
+            + (["count_all"] if count_alias else [])
+        )
+        return out.select(sel).rename_columns(out_names)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = _part_hash(t, keys[0], n_parts)
+        for k in keys[1:]:
+            h = h ^ _part_hash(t, k, n_parts)
+        return t.append_column("__part", pa.array(h % n_parts, pa.int64()))
+
+    def agg_part(g: pa.Table) -> pa.Table:
+        aggs = [(a, "min") for a in mins.values()] + [
+            (a, "sum")
+            for a in list(sums.values()) + ([count_alias] if count_alias else [])
+        ]
+        out = g.group_by(keys).aggregate(aggs)
+        sel = (
+            list(keys)
+            + [f"{a}_min" for a in mins.values()]
+            + [f"{a}_sum" for a in sums.values()]
+            + ([f"{count_alias}_sum"] if count_alias else [])
+        )
+        return out.select(sel).rename_columns(out_names)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(agg_part, batch_format="pyarrow")
+    )

@@ -249,3 +249,74 @@ def test_reservoir_parity_harness(ray_session, tiny_fixture_dir):
     assert abs(ov - mean) <= 6 * sd + 1, (
         f"overlap {ov} outside E={mean:.1f} ± {6 * sd:.1f}"
     )
+
+
+# ------------------------------------------------- round-4 perf utilities
+
+def test_read_parallelism_policy():
+    """Block count follows data size: 1 block for tiny dims, CPU-bounded
+    for bench tables, bytes/32MiB-dominated at scale."""
+    from longqc_ray.pipelines.util import read_parallelism
+
+    assert read_parallelism(2_000) == 1                 # nation-sized
+    assert read_parallelism(600 << 10) <= 32            # documents-sized
+    assert read_parallelism(600 << 10) >= 4
+    # 1 TiB → ~32k blocks of ~32 MiB, CPU floor irrelevant
+    assert read_parallelism(1 << 40) == (1 << 40) // (32 << 20)
+
+
+def test_parquet_ts_bounds_matches_aggregate(tmp_path):
+    import pyarrow.parquet as pq
+
+    from longqc_ray.pipelines.util import parquet_ts_bounds
+
+    ts = pa.array(
+        np.array([10, 99, 5, 42], dtype="datetime64[us]"), pa.timestamp("us")
+    )
+    pq.write_table(pa.table({"ts": ts}), str(tmp_path / "t.parquet"))
+    b = parquet_ts_bounds(str(tmp_path), "t", "ts")
+    assert b == (5, 99)
+    assert parquet_ts_bounds(str(tmp_path), "t", "nope") is None
+
+
+def test_local_topk_total_order_and_empty(ray_session):
+    from longqc_ray.pipelines.util import local_topk
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 50, size=5000)
+    k_ = np.arange(5000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(v, pa.int64()),
+                                 "id": pa.array(k_, pa.int64())})).repartition(9)
+    got = local_topk(ds, ["v", "id"], [True, False], 37).to_pandas()
+    exp = (pd.DataFrame({"v": v, "id": k_})
+           .sort_values(["v", "id"], ascending=[False, True]).head(37)
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["v", "id"]], exp)
+    # empty input keeps the schema (zero-column-block guard)
+    empty = rd.from_arrow(pa.table({"v": pa.array([], pa.int64()),
+                                    "id": pa.array([], pa.int64())}))
+    out = local_topk(empty, ["v", "id"], [True, False], 5)
+    assert out.num_rows == 0 and set(out.column_names) == {"v", "id"}
+
+
+def test_hash_grouped_agg_matches_pandas(ray_session):
+    from longqc_ray.pipelines.util import hash_grouped_agg
+
+    rng = np.random.default_rng(11)
+    key = rng.integers(0, 200, size=20000).astype(np.int64)
+    val = rng.integers(-1000, 1000, size=20000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(key), "v": pa.array(val)})).repartition(7)
+    got = (
+        hash_grouped_agg(ds, keys=["k"], mins={"v": "vmin"},
+                         sums={"v": "vsum"}, count_alias="n")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = (pd.DataFrame({"k": key, "v": val}).groupby("k")
+           .agg(vmin=("v", "min"), vsum=("v", "sum"), n=("v", "size"))
+           .reset_index())
+    for c in ("k", "vmin", "vsum", "n"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # same column in mins and sums without aliases must fail loudly
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hash_grouped_agg(ds, keys=["k"], mins=("v",), sums=("v",))
