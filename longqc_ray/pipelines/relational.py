@@ -1323,6 +1323,14 @@ def parts_never_bulk_ordered(sf_dir: str) -> pd.DataFrame:
 # only ever touch k rows.
 
 SHIP_CUTOFF_S = 896_659_200  # 1998-06-01 UTC, epoch seconds
+
+# Q10 final-sum crossover: below this customer cardinality the
+# per-(join-partition, customer) partials collect to the driver (≤
+# n_parts × n_cust narrow int rows — tens of MB at the cap) instead of
+# paying a second all-to-all; above it the narrow hash co-group +
+# per-block top-k takes over. Same split discipline as
+# DUP_BROADCAST_CAP / SEG_BROADCAST_CAP.
+Q10_DRIVER_CAP = 2_000_000
 SEG_BROADCAST_CAP = 5_000_000  # same 40 MB/worker budget as NATION_BROADCAST_CAP
 
 
@@ -1468,20 +1476,37 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     # the join partition pre-aggregates per customer (partial sums —
     # the aggregate key differs from the join key, so the partials
-    # still need one narrow co-group on o_custkey), and the global
-    # sort+limit becomes per-block top-k + one tiny driver merge
+    # still need one merge on o_custkey). Below the cardinality cap
+    # (customer count from the parquet footer) the ≤ n_parts×n_cust
+    # narrow partial rows merge on the DRIVER (final_sum discipline —
+    # saves the second all-to-all entirely); above it, one narrow hash
+    # co-group + per-block top-k.
     def cust_partials(j: pa.Table) -> pa.Table:
-        out = j.group_by("o_custkey").aggregate([("rev_cc", "sum")])
-        out = out.select(["o_custkey", "rev_cc_sum"])
-        return out.rename_columns(["o_custkey", "rev_partial"])
+        out = j.group_by("o_custkey").aggregate([("rev_cc", "sum"), ([], "count_all")])
+        out = out.select(["o_custkey", "rev_cc_sum", "count_all"])
+        return out.rename_columns(["o_custkey", "rev_cc_partial", "n_partial"])
 
     partials = hash_join(
         l_proj, o_proj, "l_orderkey", "o_orderkey", post=cust_partials
     )
-    per_cust = hash_grouped_sum(partials, ["o_custkey"], "rev_partial", "revenue_cc")
-    top = local_topk(
-        per_cust, ["revenue_cc", "o_custkey"], [True, False], k
-    ).to_pandas()
+    n_cust = _footer_rows(sf_dir, "customer", "c_custkey")
+    if n_cust is not None and n_cust <= Q10_DRIVER_CAP:
+        # ≤ one narrow row per (join partition, customer) collects
+        # straight to the driver — no second all-to-all at all
+        pdf = partials.to_pandas()
+        per = (
+            pdf.groupby("o_custkey", sort=False)["rev_cc_partial"].sum()
+            .rename("revenue_cc").reset_index()
+        )
+        top = (
+            per.sort_values(["revenue_cc", "o_custkey"], ascending=[False, True])
+            .head(k)[["o_custkey", "revenue_cc"]].reset_index(drop=True)
+        )
+    else:
+        per_cust = hash_grouped_sum(partials, ["o_custkey"], "rev_cc_partial", "revenue_cc")
+        top = local_topk(
+            per_cust, ["revenue_cc", "o_custkey"], [True, False], k
+        ).to_pandas()
     top["o_custkey"] = top["o_custkey"].astype(np.int64)
     top["revenue_cc"] = top["revenue_cc"].astype(np.int64)
 

@@ -320,3 +320,17 @@ def test_hash_grouped_agg_matches_pandas(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         hash_grouped_agg(ds, keys=["k"], mins=("v",), sums=("v",))
+
+
+def test_q10_driver_and_shuffle_paths_equal(ray_session, monkeypatch):
+    """returned_item_revenue: the driver-merge branch (customer count
+    under Q10_DRIVER_CAP) and the hash-co-group + local_topk scale
+    branch must produce identical top-k."""
+    from longqc_ray.pipelines import relational
+
+    a = relational.returned_item_revenue(SF001)
+    monkeypatch.setattr(relational, "Q10_DRIVER_CAP", -1)
+    b = relational.returned_item_revenue(SF001)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
