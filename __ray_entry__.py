@@ -134,7 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.shipping_priority,      # Q3-shape 3-join pipeline
         "returned_item_revenue": relational.returned_item_revenue,  # Q10-shape, names after top-k
         "user_sessions": relational.user_sessions,              # J3/M12
-        "stratified_sample_docs": relational.stratified_sample_docs,  # per-stratum bottom-k
+        "top_docs": relational.top_docs,  # O4/O7 — local_topk tail changed in r4
         "weighted_sample_docs": relational.weighted_sample_docs,  # Efraimidis-Spirakis A-Res
         "order_revenue_join": relational.order_revenue_join,    # large×large co-group join
         "windowed_event_stats": relational.windowed_event_stats,  # §2.9 tumbling window
@@ -178,12 +178,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (every entry here is either green in at least TWO rounds with
         # its code path untouched since, or gated by pytest pins, so
         # losing a driver slot costs no information)
+        "stratified_sample_docs": relational.stratified_sample_docs,  # green r2+r3, sampling untouched in r4
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # green r2+r3, untouched
         "embedding_near_dups": similarity.embedding_near_dups,  # green r2+r3, untouched
         "ann_topk": similarity.ann_topk,  # green r1-r3, untouched
         "toxicity_docs": text_analysis.toxicity_docs,  # green r1-r3, untouched
         "repetition_docs": text_analysis.repetition_docs,  # green r1-r3, untouched
-        "top_docs": relational.top_docs,  # O4/O7 (SQL-twinned; green in r1+r2)
         "doc_fingerprints": doc_fingerprints_md5,  # md5 fingerprint (SQL-twinned; green in r2)
         "cohort_union": relational.cohort_union,  # O3 (SQL-twinned; green in r1+r2)
         "doc_quality_flags": relational.doc_quality_flags,  # A6/A7 (green in r1+r2)
