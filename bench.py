@@ -233,6 +233,14 @@ def main() -> None:
         import statistics
 
         med = {n: statistics.median(tputs[n]) for n in cpu_counts}
+        # per-pair N→4N ratios: each repetition's 8- and 32-CPU children
+        # run back-to-back, so when external host load drifts between
+        # repetitions the WITHIN-pair ratio is the robust statistic
+        # (BASELINE.md round-4 scaling sessions) — reported alongside
+        # the cross-rep medians
+        pair_eff = [
+            round(tputs[32][r] / (4.0 * tputs[8][r]), 3) for r in range(reps)
+        ]
         print(json.dumps({
             "metric": "flagship filter scaling (fresh ray sessions, same input, median of 3)"
                       + (" [compute-heavy profile]" if compute_heavy else ""),
@@ -248,6 +256,8 @@ def main() -> None:
             **{f"runs_cpus{n}": tputs[n] for n in cpu_counts},
             "scaling_efficiency": round(med[32] / (4.0 * med[8]), 3),
             "scaling_efficiency_8_16": round(med[16] / (2.0 * med[8]), 3),
+            "pair_efficiencies_8_32": pair_eff,
+            "pair_efficiency_median": round(statistics.median(pair_eff), 3),
         }))
         return
 

@@ -337,7 +337,18 @@ def local_topk(
             t = t.take(pc.sort_indices(t, sort_keys=order).slice(0, k))
         return t
 
-    blocks = ray.get(ds.map_batches(local, batch_format="pyarrow").to_arrow_refs())
+    surv = ds.map_batches(local, batch_format="pyarrow").materialize()
+    if surv.num_blocks() > 64:
+        # tree fold: at cluster scale the survivor set is k × n_blocks
+        # rows (unbounded driver merge at millions of blocks) — one
+        # cheap repartition of the tiny survivors bounds the driver
+        # collect at k × 16 rows regardless of input size
+        surv = (
+            surv.repartition(16)
+            .map_batches(local, batch_format="pyarrow")
+            .materialize()
+        )
+    blocks = ray.get(surv.to_arrow_refs())
     # Ray materializes empty partitions as ZERO-COLUMN tables, which
     # poison concat_tables (see table() zero-row contract)
     blocks = [b for b in blocks if b.num_columns]
