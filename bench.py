@@ -182,6 +182,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dup_components", "shipping_priority", "returned_item_revenue",
         "hopping_window_stats", "weighted_sample_docs", "audio_spectral_features",
         "embedding_near_dups_lsh",
+        # round-4 additions: queries whose paths changed this round
+        "user_occupancy", "user_gap_profile", "top_docs",
     ]
     out: dict[str, float] = {}
     for name in names:
