@@ -217,7 +217,10 @@ def main() -> None:
         # this VM (BASELINE.md §3 control runs), so single samples
         # routinely report both sub- and super-linear artifacts.
         reps = 3
-        cpu_counts = (8, 16, 32)
+        # 8 then 32 back-to-back (the within-pair N→4N ratio is the
+        # robust statistic under host-load drift — a 16-CPU child in
+        # between would contaminate it), 16 last in each repetition
+        cpu_counts = (8, 32, 16)
         secs: dict[int, list[float]] = {n: [] for n in cpu_counts}
         tputs: dict[int, list[float]] = {n: [] for n in cpu_counts}
         for _ in range(reps):
@@ -235,11 +238,11 @@ def main() -> None:
         import statistics
 
         med = {n: statistics.median(tputs[n]) for n in cpu_counts}
-        # per-pair N→4N ratios: each repetition's 8- and 32-CPU children
-        # run back-to-back, so when external host load drifts between
-        # repetitions the WITHIN-pair ratio is the robust statistic
-        # (BASELINE.md round-4 scaling sessions) — reported alongside
-        # the cross-rep medians
+        # per-pair N→4N ratios: each repetition runs its 8- and 32-CPU
+        # children back-to-back (cpu_counts order above), so when
+        # external host load drifts between repetitions the WITHIN-pair
+        # ratio is the robust statistic (BASELINE.md round-4 scaling
+        # sessions) — reported alongside the cross-rep medians
         pair_eff = [
             round(tputs[32][r] / (4.0 * tputs[8][r]), 3) for r in range(reps)
         ]

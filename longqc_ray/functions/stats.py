@@ -237,7 +237,12 @@ def _grouped_quantile_partitioned(
 
     def per_part(g: pa.Table) -> pa.Table:
         kv = np.asarray(g.column(key).to_pylist(), dtype=object)
-        v = g.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        # NATIVE dtype throughout: an int64 column cast to float64
+        # would mis-order values ≥ 2^53 in the lexsort and accumulate
+        # float sums where the dense path (Ray Sum) returns exact ints
+        # — the two paths must agree bit-for-bit across the
+        # max_dense_groups switch (pinned in tests)
+        v = g.column(col).to_numpy(zero_copy_only=False)
         codes, uniq = pd.factorize(kv)
         order = np.lexsort((v, codes))
         c2, v2 = codes[order], v[order]
@@ -247,11 +252,11 @@ def _grouped_quantile_partitioned(
         data: dict = {
             "k": pa.array(uniq[c2[starts]].tolist()),
             "n": pa.array(counts.astype(np.int64), pa.int64()),
-            "s": pa.array(sums, pa.float64()),
+            "s": pa.array(sums),
         }
         for j, q in enumerate(qs_arr):
             r = np.clip(np.ceil(q * counts).astype(np.int64) - 1, 0, counts - 1)
-            data[f"q{j}"] = pa.array(v2[starts + r], pa.float64())
+            data[f"q{j}"] = pa.array(v2[starts + r])
         return pa.table(data)
 
     rows = (

@@ -302,19 +302,35 @@ def fnv1a_64_arrow(
     buf, offs, n = _arrow_flat_bytes(col)
     lens = np.diff(offs)
     out = np.empty(n, dtype=np.uint64)
-    for c0 in range(0, n, chunk):
-        c1 = min(c0 + chunk, n)
-        ls = lens[c0:c1]
+    # Rows are processed in LENGTH-SORTED order with a CELL budget
+    # (rows × chunk-max-width ≤ 2^23): a fixed row chunk alone lets one
+    # long outlier value blow the padded matrix up to rows × max_len
+    # cells (and the int64 gather-index matrix is 8× that again — a
+    # single 1 MB document in a 64k-row chunk would mean ~32 GB
+    # transient). Sorting bounds the waste (widths within a chunk are
+    # homogeneous) and the budget bounds the peak at ~8 MB uint8 +
+    # ~64 MB index per chunk, reused by the allocator. Hashes are
+    # per-row, so scattering results back preserves bit-equality.
+    order = np.argsort(lens, kind="stable")
+    cell_budget = 1 << 23
+    i = 0
+    while i < n:
+        j = min(i + chunk, n)
+        w0 = max(int(lens[order[j - 1]]), 1)
+        j = min(j, i + max(1, cell_budget // w0))
+        idx = order[i:j]
+        ls = lens[idx]
         w = max(int(ls.max()) if ls.size else 1, 1)
         if buf.size:
             pos = np.minimum(
-                offs[c0:c1][:, None] + np.arange(w, dtype=np.int64)[None, :],
+                offs[idx][:, None] + np.arange(w, dtype=np.int64)[None, :],
                 buf.size - 1,
             )
             mat = buf[pos]
         else:
-            mat = np.zeros((c1 - c0, w), dtype=np.uint8)
-        out[c0:c1] = fnv1a_64_varlen_np(mat, ls, basis=basis, prime=prime)
+            mat = np.zeros((j - i, w), dtype=np.uint8)
+        out[idx] = fnv1a_64_varlen_np(mat, ls, basis=basis, prime=prime)
+        i = j
     return out
 
 
@@ -435,11 +451,11 @@ def ascii_class_counts(col) -> dict[str, np.ndarray]:
     out_z = np.zeros(n, dtype=np.int64)
     if n == 0 or col.buffers()[2] is None:
         return {k: out_z.copy() for k in ("alpha", "digit", "space", "tok_chars", "n_tok")}
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-        col.offset : col.offset + n + 1
-    ].astype(np.int64)
-    buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
-    offs = offs - offs[0]
+    # shared extractor: branches on large_string/large_binary int64
+    # offsets — a hardcoded int32 read would silently misparse a
+    # promoted large_string column (same class of bug as the
+    # _payload_arrays large_binary fix)
+    buf, offs, n = _arrow_flat_bytes(col)
     am = ((buf >= 65) & (buf <= 90)) | ((buf >= 97) & (buf <= 122))
     dm = (buf >= 48) & (buf <= 57)
     tokm = am | dm | (buf == 39)  # [A-Za-z0-9']

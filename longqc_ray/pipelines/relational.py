@@ -1324,12 +1324,13 @@ def parts_never_bulk_ordered(sf_dir: str) -> pd.DataFrame:
 
 SHIP_CUTOFF_S = 896_659_200  # 1998-06-01 UTC, epoch seconds
 
-# Q10 final-sum crossover: below this customer cardinality the
-# per-(join-partition, customer) partials collect to the driver (≤
-# n_parts × n_cust narrow int rows — tens of MB at the cap) instead of
-# paying a second all-to-all; above it the narrow hash co-group +
-# per-block top-k takes over. Same split discipline as
-# DUP_BROADCAST_CAP / SEG_BROADCAST_CAP.
+# Q10 final-sum crossover: when the MEASURED per-(join-partition,
+# customer) partial row count (up to n_parts × n_cust — customer
+# cardinality alone under-sizes it) stays under this cap, the narrow
+# int rows collect to the driver (~50 MB at the cap) instead of paying
+# a second all-to-all; above it the narrow hash co-group + per-block
+# top-k takes over. Same split discipline as DUP_BROADCAST_CAP /
+# SEG_BROADCAST_CAP.
 Q10_DRIVER_CAP = 2_000_000
 SEG_BROADCAST_CAP = 5_000_000  # same 40 MB/worker budget as NATION_BROADCAST_CAP
 
@@ -1489,10 +1490,15 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     partials = hash_join(
         l_proj, o_proj, "l_orderkey", "o_orderkey", post=cust_partials
     )
-    n_cust = _footer_rows(sf_dir, "customer", "c_custkey")
-    if n_cust is not None and n_cust <= Q10_DRIVER_CAP:
-        # ≤ one narrow row per (join partition, customer) collects
-        # straight to the driver — no second all-to-all at all
+    # branch on the ACTUAL partial row count (one narrow row per
+    # (join partition, customer) — up to n_parts × n_cust, so customer
+    # cardinality alone under-sizes the collect); the materialize also
+    # lets whichever branch runs reuse the executed join instead of
+    # re-running it
+    partials = partials.materialize()
+    if partials.count() <= Q10_DRIVER_CAP:
+        # narrow partials collect straight to the driver — no second
+        # all-to-all at all
         pdf = partials.to_pandas()
         per = (
             pdf.groupby("o_custkey", sort=False)["rev_cc_partial"].sum()

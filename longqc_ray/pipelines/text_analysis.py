@@ -114,6 +114,13 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
             col = col.combine_chunks()
         cc = ascii_class_counts(col)
         L = np.maximum(pc.utf8_length(col).to_numpy().astype(np.int64), 1)
+        # RE2 \b is ASCII-word-boundary: a stopword adjoining a
+        # non-ASCII word character counts here where Python's
+        # Unicode-aware re would not. The DuckDB oracle is RE2 too, so
+        # engine and oracle agree by construction; this ASCII-boundary
+        # definition of stopword_frac is the engine's spec (the
+        # heuristic targets English stopwords, where the ASCII
+        # boundary is the intended one).
         stops = pc.count_substring_regex(
             pc.utf8_lower(col), pattern=STOPWORD_PATTERN
         ).to_numpy().astype(np.int64)

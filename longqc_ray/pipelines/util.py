@@ -361,8 +361,15 @@ def local_topk(
 
 def _asof_on_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Ordering values of an as-of ``on`` column as numpy: timestamps
-    view as int64 microseconds (nulls = the other side's rows, never
-    read), numerics pass through."""
+    view as int64 microseconds, integer columns stay int64 via a
+    fill_null(0) (the nulls are the OTHER side's rows, never read —
+    without the fill, a nullable int column round-trips through
+    float64 and values ≥ 2^53 would mis-order silently), floats pass
+    through."""
+    if pa.types.is_integer(col.type):
+        import pyarrow.compute as pc_
+
+        return pc_.fill_null(col, 0).cast(pa.int64()).to_numpy(zero_copy_only=False)
     v = col.to_numpy(zero_copy_only=False)
     if np.issubdtype(v.dtype, np.datetime64):
         return v.astype("datetime64[us]").view(np.int64)

@@ -334,3 +334,58 @@ def test_q10_driver_and_shuffle_paths_equal(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+# -------------------------------------------- code-review regression pins
+
+def test_fnv_arrow_long_outlier_and_sorted_chunking():
+    """One long value among many short ones must not blow the padded
+    matrix up to rows × max_len (length-sorted cell-budget chunking);
+    hashes stay bit-equal to the reference under any chunking."""
+    from longqc_ray.kernels.text import fnv1a_64_arrow, fnv1a_64_strs
+
+    vals = ["x" * 3, "", "abc"] * 50 + ["L" * 200_000] + ["tail"] * 7
+    expect = fnv1a_64_strs(vals)
+    for chunk in (4, 65536):
+        got = fnv1a_64_arrow(pa.array(vals), chunk=chunk)
+        assert (got == expect).all(), chunk
+
+
+def test_ascii_class_counts_large_string():
+    from longqc_ray.kernels.text import ascii_class_counts
+
+    vals = ["abc 123 don't", "héllo wörld 9", ""]
+    small = ascii_class_counts(pa.array(vals, pa.string()))
+    large = ascii_class_counts(pa.array(vals, pa.large_string()))
+    for k in small:
+        assert (small[k] == large[k]).all(), k
+
+
+def test_asof_int_on_column_above_2_53(ray_session):
+    """Integer as-of on-columns ≥ 2^53 must keep exact int ordering
+    (the nullable-int float64 round-trip would collapse neighbors)."""
+    from longqc_ray.pipelines.util import asof_merge_tagged
+
+    base = 2**53
+    # two right rows 1 apart just below the left time; float64 would
+    # make base+2 and base+3 indistinguishable (both round to base+2)
+    lt = [base + 4, base + 10]
+    rt = [base + 2, base + 3]
+    t = pa.table({
+        "lid": pa.array([1, 2, None, None], pa.int64()),
+        "rid": pa.array([None, None, 10, 11], pa.int64()),
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "t": pa.array(lt + [None, None], pa.int64()),
+        "rt": pa.array([None, None] + rt, pa.int64()),
+        "__part": pa.array([0, 0, 0, 0], pa.int64()),
+        "__side": pa.array(["l", "l", "r", "r"]),
+    })
+    out = asof_merge_tagged(
+        rd.from_arrow(t),
+        l_cols=["lid", "k", "t"], r_cols=["rid", "k", "rt"],
+        by="k", left_on="t", right_on="rt",
+    ).to_pandas()
+    # both left rows must match the LATEST right row (base+3), which
+    # float64 ordering could miss
+    m = {int(r["t"]): int(r["rt"]) for _, r in out.iterrows()}
+    assert m == {base + 4: base + 3, base + 10: base + 3}
