@@ -515,6 +515,7 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
             cust_ds,
             "o_custkey",
             "c_custkey",
+            n_parts=_table_parts(sf_dir, "orders", "o_custkey", rows_per_part=25_000),
         )
         out = grouped_sums(joined, ["c_nationkey"], ["price_c"])
         key_col = "c_nationkey"
@@ -1434,9 +1435,12 @@ def shipping_priority(
             ["l_orderkey", "revenue_cc", "o_date_s", "o_orderpriority"]
         )
 
-    per = hash_join(l_proj, o_f.map_batches(
-        lambda t: t.drop_columns(["o_custkey"]), batch_format="pyarrow"
-    ), "l_orderkey", "o_orderkey", post=per_order)
+    per = hash_join(
+        l_proj,
+        o_f.map_batches(lambda t: t.drop_columns(["o_custkey"]), batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", post=per_order,
+        n_parts=_table_parts(sf_dir, "lineitem", "l_orderkey", rows_per_part=25_000),
+    )
 
     top = local_topk(
         per, ["revenue_cc", "o_date_s", "l_orderkey"], [True, False, False], k
@@ -1488,7 +1492,8 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return out.rename_columns(["o_custkey", "rev_cc_partial", "n_partial"])
 
     partials = hash_join(
-        l_proj, o_proj, "l_orderkey", "o_orderkey", post=cust_partials
+        l_proj, o_proj, "l_orderkey", "o_orderkey", post=cust_partials,
+        n_parts=_table_parts(sf_dir, "lineitem", "l_orderkey", rows_per_part=25_000),
     )
     # branch on the ACTUAL partial row count (one narrow row per
     # (join partition, customer) — up to n_parts × n_cust, so customer
