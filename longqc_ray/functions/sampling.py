@@ -21,15 +21,15 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from ..kernels.text import _fnv1a_64_np, fnv1a_64
+from ..kernels.text import _fnv1a_64_np, fnv1a_64, fnv1a_64_strs  # noqa: F401
 
 
 def hash_priority(keys: list[str]) -> np.ndarray:
-    """uint64 priority per key (vectorized FNV-1a over the key bytes)."""
-    out = np.empty(len(keys), dtype=np.uint64)
-    for i, k in enumerate(keys):
-        out[i] = fnv1a_64(k.encode())
-    return out
+    """uint64 priority per key — batch-vectorized FNV-1a via the
+    length-aware padded-matrix kernel (bit-equal to the old per-row
+    ``fnv1a_64(k.encode())`` loop, which cost O(len) Python byte ops
+    per key on EVERY full-input pass of ``bottomk_sample``)."""
+    return fnv1a_64_strs(keys)
 
 
 def bottomk_sample(
@@ -45,13 +45,24 @@ def bottomk_sample(
     broadcast anti-join key set (J2 in SURVEY.md §2.4).
     """
     excl = frozenset(exclude or ())
+    excl_arr = pa.array(sorted(excl)) if excl else None
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
-        prio = hash_priority(keys)
-        mask = np.ones(len(keys), dtype=bool)
-        if excl:
-            mask = np.array([k not in excl for k in keys], dtype=bool)
+        import pyarrow.compute as pc
+
+        from ..kernels.text import fnv1a_64_arrow
+
+        col = batch.column(key_col)
+        # hash straight off the Arrow value buffer (bit-equal to the
+        # old per-row fnv1a_64(k.encode()) loop, which ran over the
+        # FULL input on every qc_summary call — measured 6-7× when the
+        # same kernel replaced the partition hasher's per-row loop)
+        prio = fnv1a_64_arrow(col)
+        mask = np.ones(len(col), dtype=bool)
+        if excl_arr is not None:
+            mask = np.invert(
+                pc.is_in(col, value_set=excl_arr).to_numpy(zero_copy_only=False)
+            )
         idx = np.nonzero(mask)[0]
         if idx.size > n:
             sel = idx[np.argsort(prio[idx], kind="stable")[:n]]

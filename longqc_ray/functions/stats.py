@@ -269,7 +269,13 @@ def _grouped_quantile_partitioned(
     gstats: dict = {}
     for _, row in rows.iterrows():
         out[row["k"]] = [float(row[f"q{j}"]) for j in range(len(qs))]
-        gstats[row["k"]] = (int(row["n"]), float(row["s"]))
+        # keep the sum in its NATIVE dtype: the dense path (Ray Sum)
+        # returns exact int64 sums for int columns, and a float() here
+        # would lose exactness past 2^53 — the paths must agree
+        # bit-for-bit across the max_dense_groups switch
+        s = row["s"]
+        s = int(s) if isinstance(s, (int, np.integer)) else float(s)
+        gstats[row["k"]] = (int(row["n"]), s)
     return out, gstats
 
 
@@ -305,7 +311,9 @@ def grouped_quantile_disc(
     g = stats.groupby(key).aggregate(Min(col), Max(col), Count(), Sum(col)).to_pandas()
     if g.empty:  # empty input: zero groups, zero quantiles
         return ({}, {}) if with_stats else {}
-    if len(g) > max_dense_groups:
+    from ..pipelines.util import scale_cap
+
+    if len(g) > scale_cap("GQ_DENSE_MAX_GROUPS", max_dense_groups):
         out, gstats = _grouped_quantile_partitioned(stats, key, col, qs)
         return (out, gstats) if with_stats else out
     keys = g[key].tolist()

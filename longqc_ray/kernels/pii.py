@@ -34,3 +34,23 @@ def scrub_text(text: str) -> tuple[str, int]:
         text, n = rx.subn(rep, text)
         total += n
     return text, total
+
+
+def scrub_column(col):
+    """Whole-COLUMN scrub: sequential pattern application in Arrow's
+    RE2 (`pc.count_substring_regex` on the current text, then
+    `pc.replace_substring_regex`) — the patterns are RE2-compatible by
+    construction (shared verbatim with the DuckDB oracle), so output
+    is bit-identical to the per-row ``scrub_text`` loop (asserted in
+    tests) with the whole column scrubbed in C++ instead of one Python
+    ``re.subn`` call per (row, pattern). Returns
+    (scrubbed_string_array, n_spans int64 ndarray)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cur = col
+    total = np.zeros(len(col), dtype=np.int64)
+    for _name, pat, rep in PII_PATTERNS:
+        total += pc.count_substring_regex(cur, pat).to_numpy(zero_copy_only=False)
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=rep)
+    return cur, total

@@ -272,6 +272,17 @@ def _arrow_flat_bytes(col) -> tuple[np.ndarray, np.ndarray, int]:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
+    # Fail LOUDLY on nullable input: buffer-level hashing reads a null
+    # slot as its (empty) value range, so a NULL would silently hash —
+    # and dedup-group — identically to '' while the DuckDB twin
+    # (encode(NULL) -> NULL) groups NULLs separately. Callers must
+    # fill or drop nulls explicitly before hashing.
+    if col.null_count:
+        raise ValueError(
+            f"_arrow_flat_bytes: column has {col.null_count} nulls; "
+            "buffer-level hashing would silently alias NULL to '' — "
+            "fill_null/drop nulls explicitly first"
+        )
     big = pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type)
     dt = np.int64 if big else np.int32
     offs = np.frombuffer(col.buffers()[1], dtype=dt)[
@@ -448,6 +459,11 @@ def ascii_class_counts(col) -> dict[str, np.ndarray]:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
+    if col.null_count:  # see _arrow_flat_bytes: NULL must not alias ''
+        raise ValueError(
+            f"ascii_class_counts: column has {col.null_count} nulls; "
+            "fill_null/drop nulls explicitly first"
+        )
     out_z = np.zeros(n, dtype=np.int64)
     if n == 0 or col.buffers()[2] is None:
         return {k: out_z.copy() for k in ("alpha", "digit", "space", "tok_chars", "n_tok")}

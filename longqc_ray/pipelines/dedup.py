@@ -237,8 +237,12 @@ def _runs_with_dups(bands: np.ndarray, buckets: np.ndarray, ids: np.ndarray):
                 yield u[:BUCKET_CAP]
 
 
-def _candidate_pairs(band_rows: rd.Dataset, id_col: str) -> pd.DataFrame:
-    """LSH buckets → candidate id pairs (deduped). Bucket size capped."""
+def _candidate_pair_rows(band_rows: rd.Dataset, id_col: str) -> rd.Dataset:
+    """LSH buckets → raw candidate id pairs as a DATASET. Bucket size
+    capped. May contain cross-partition duplicates (a pair that shares
+    buckets in several bands lands in several ``__part`` groups) —
+    dedup is the caller's job (driver ``drop_duplicates`` below the
+    verify crossover, ``_distinct_pairs_ds`` above it)."""
 
     def pairs_of_part(g: pa.Table) -> pa.Table:
         out_a, out_b = [], []
@@ -254,15 +258,206 @@ def _candidate_pairs(band_rows: rd.Dataset, id_col: str) -> pd.DataFrame:
         b = np.concatenate(out_b).astype(np.int64) if out_b else np.empty(0, np.int64)
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
-    pairs = (
+    return (
         band_rows.map_batches(_add_bucket_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(pairs_of_part, batch_format="pyarrow")
-        .to_pandas()
     )
-    if pairs.empty:
-        return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-    return pairs.drop_duplicates(ignore_index=True)
+
+
+def _distinct_pairs_ds(raw: rd.Dataset, n_parts: int) -> rd.Dataset:
+    """Distributed pair dedupe: hash co-group on the PAIR (both
+    endpoints feed the partition hash, so every copy of a pair lands
+    in one partition), one Arrow distinct per partition. Shuffle
+    payload: (int64, int64) rows only."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).view(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                b * np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int64), pa.int64())
+        )
+
+    def distinct(g: pa.Table) -> pa.Table:
+        return g.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    return (
+        raw.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+
+def _u64_of_bytes(buf: np.ndarray) -> np.ndarray:
+    """uint64 view of a uint8 byte array; copies only if the slice is
+    not 8-byte aligned (numpy refuses unaligned dtype-widening views)."""
+    if buf.size == 0:
+        return np.empty(0, np.uint64)
+    if buf.ctypes.data % 8 == 0 and buf.flags["C_CONTIGUOUS"]:
+        return buf.view(np.uint64)
+    return np.frombuffer(buf.tobytes(), dtype=np.uint64)
+
+
+def _sigb_matrix(col) -> np.ndarray:
+    """(n, N_PERM) uint64 view of a packed fixed-size-binary sig column
+    (the Acero-join-safe wire format — Acero carries binary payloads
+    but not list/fixed_size_list ones)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    w = 8 * N_PERM
+    start = arr.offset * w
+    raw = np.frombuffer(arr.buffers()[1], np.uint8)[start : start + len(arr) * w]
+    return _u64_of_bytes(raw).reshape(-1, N_PERM)
+
+
+_EMPTY_VERIFIED = pa.table({
+    "a": pa.array([], pa.int64()),
+    "b": pa.array([], pa.int64()),
+    "jaccard": pa.array([], pa.float64()),
+})
+
+
+def _verify_pairs_distributed(
+    ds: rd.Dataset,
+    sig_ds: rd.Dataset,
+    pairs: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    tau: float,
+    n_parts: int,
+) -> rd.Dataset:
+    """Distributed candidate verify — the scale twin of the driver-side
+    estimate+exact pass (the round-4 verdict's last scale-killer; the
+    reference's analogous stage is the streaming overlap pipeline,
+    lqmap.c:752-856). Pairs stay a Dataset end-to-end:
+
+    1. both MinHash signatures are attached via two bounded hash
+       co-group joins (Acero carries them as fixed-width ``binary`` —
+       512 B/row; Acero rejects list payloads) and the Jaccard
+       ESTIMATE prefilter drops far pairs inside the join partitions;
+    2. shingle SETS are computed once per surviving endpoint — a
+       semi-join of the corpus against the endpoint id set (narrow
+       int64 shuffle; no driver ``value_set`` broadcast), packed as
+       variable ``binary``;
+    3. both shingle sets join onto the surviving pairs the same way
+       and exact Jaccard runs as ONE vectorized lexsort-intersection
+       per batch (per-side shingles are unique, so cross-side
+       adjacent-equal runs count the intersection exactly —
+       bit-identical to the driver path's ``np.intersect1d``,
+       pinned in tests).
+
+    Nothing corpus- or candidate-sized ever collects to the driver;
+    every shuffle moves (int64, int64) pair rows or pair+payload rows
+    bounded by the estimate survivor count."""
+    from .util import hash_anti_semi_join, hash_join
+
+    def pack_sigs(new_id: str, new_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            m = np.ascontiguousarray(_sig_matrix(t))
+            arr = pa.Array.from_buffers(
+                pa.binary(8 * N_PERM), m.shape[0], [None, pa.py_buffer(m.tobytes())]
+            )
+            return pa.table({new_id: t.column(id_col), new_col: arr})
+
+        return fn
+
+    sig_a = sig_ds.map_batches(pack_sigs("__ida", "__siga"), batch_format="pyarrow")
+    sig_b = sig_ds.map_batches(pack_sigs("__idb", "__sigb"), batch_format="pyarrow")
+    j = hash_join(
+        pairs, sig_a, "a", "__ida", n_parts=n_parts,
+        post=lambda t: t.drop_columns(["__ida"]),
+    )
+    j = hash_join(
+        j, sig_b, "b", "__idb", n_parts=n_parts,
+        post=lambda t: t.drop_columns(["__idb"]),
+    )
+
+    def est_filter(t: pa.Table) -> pa.Table:
+        ma = _sigb_matrix(t.column("__siga"))
+        mb = _sigb_matrix(t.column("__sigb"))
+        est = (ma == mb).sum(axis=1) / float(N_PERM)
+        return t.select(["a", "b"]).filter(pa.array(est >= tau - 0.2))
+
+    surv = j.map_batches(est_filter, batch_format="pyarrow").materialize()
+    if surv.count() == 0:
+        return rd.from_arrow(_EMPTY_VERIFIED)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "need_id": pa.array(np.unique(np.concatenate([a, b])), pa.int64())
+        })
+
+    need = surv.map_batches(endpoints, batch_format="pyarrow")
+    docs_cand = hash_anti_semi_join(
+        ds, need, id_col, "need_id", semi=True, n_parts=n_parts
+    )
+
+    def pack_shingles(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        shs = [_shingle_hashes(x) for x in texts]
+        lens = np.array([s.size for s in shs], np.int64)
+        flat = np.concatenate(shs) if shs else np.empty(0, np.uint64)
+        offs = np.zeros(len(shs) + 1, dtype=np.int32)
+        offs[1:] = np.cumsum(lens * 8).astype(np.int32)
+        arr = pa.Array.from_buffers(
+            pa.binary(), len(shs),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table({id_col: t.column(id_col), "__sh": arr})
+
+    # materialized: both per-side joins consume it — without this the
+    # semi-join + shingling would execute twice
+    sh_ds = docs_cand.map_batches(pack_shingles, batch_format="pyarrow").materialize()
+    sh_a = sh_ds.map_batches(
+        lambda t: pa.table({"__ida": t.column(id_col), "__sha": t.column("__sh")}),
+        batch_format="pyarrow",
+    )
+    sh_b = sh_ds.map_batches(
+        lambda t: pa.table({"__idb": t.column(id_col), "__shb": t.column("__sh")}),
+        batch_format="pyarrow",
+    )
+    v = hash_join(
+        surv, sh_a, "a", "__ida", n_parts=n_parts,
+        post=lambda t: t.drop_columns(["__ida"]),
+    )
+    v = hash_join(
+        v, sh_b, "b", "__idb", n_parts=n_parts,
+        post=lambda t: t.drop_columns(["__idb"]),
+    )
+
+    def exact(t: pa.Table) -> pa.Table:
+        from ..kernels.text import _arrow_flat_bytes
+
+        n = t.num_rows
+        if n == 0:
+            return _EMPTY_VERIFIED
+        buf_a, offs_a, _ = _arrow_flat_bytes(t.column("__sha"))
+        buf_b, offs_b, _ = _arrow_flat_bytes(t.column("__shb"))
+        va, vb = _u64_of_bytes(buf_a), _u64_of_bytes(buf_b)
+        la, lb = np.diff(offs_a) // 8, np.diff(offs_b) // 8
+        pidx = np.concatenate([
+            np.repeat(np.arange(n, dtype=np.int64), la),
+            np.repeat(np.arange(n, dtype=np.int64), lb),
+        ])
+        vals = np.concatenate([va, vb])
+        order = np.lexsort((vals, pidx))
+        p2, v2 = pidx[order], vals[order]
+        dup = (p2[1:] == p2[:-1]) & (v2[1:] == v2[:-1])
+        inter = np.bincount(p2[1:][dup], minlength=n)
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = pa.array(jac >= tau)
+        return pa.table({
+            "a": t.column("a"), "b": t.column("b"),
+            "jaccard": pa.array(jac, pa.float64()),
+        }).filter(keep)
+
+    return v.map_batches(exact, batch_format="pyarrow")
 
 
 def _connected_components(pairs: pd.DataFrame) -> dict[int, int]:
@@ -389,6 +584,9 @@ def connected_components_lp(pairs: rd.Dataset, max_iters: int = 64) -> rd.Datase
     return labels
 
 
+VERIFY_DRIVER_CAP = 200_000  # raw candidate pairs
+
+
 def minhash_near_dups(
     ds: rd.Dataset,
     id_col: str = "doc_id",
@@ -399,18 +597,40 @@ def minhash_near_dups(
 
     Returns verified pairs (a, b, jaccard) with jaccard ≥ tau.
     Signatures are computed once (materialized narrow dataset) and
-    reused by banding AND the estimate prefilter; texts are re-read
-    ONLY for docs in near-threshold pairs (pruned ``is_in`` filter,
-    shingle sets computed in the same distributed pass) — the full
-    corpus never collects and is never hashed twice."""
+    reused by banding AND the estimate prefilter.
+
+    Crossover discipline (same shape as ``dup_components``): below
+    ``VERIFY_DRIVER_CAP`` raw candidate pairs, the driver verify wins
+    — dedupe + estimate + exact on collected pairs, texts re-read only
+    for near-threshold docs (pruned ``is_in``). Above it, the pair
+    frame and shingle dict no longer belong on the driver:
+    ``_verify_pairs_distributed`` keeps pairs a Dataset end-to-end
+    (co-grouped estimate + in-partition exact Jaccard). Identical
+    output either way (pinned in tests via a forced cap of 0); only
+    the tiny VERIFIED pair set — a vanishing fraction of candidates —
+    ever reaches the driver on either path."""
+    from .util import scale_cap, scaled_parts
+
     sig_ds = _sig_ds(ds, id_col, text_col)
-    pairs = _candidate_pairs(_band_rows(sig_ds, id_col), id_col)
+    raw = _candidate_pair_rows(_band_rows(sig_ds, id_col), id_col).materialize()
+    n_raw = raw.count()
     empty = pd.DataFrame({
         "a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
         "jaccard": np.empty(0, np.float64),
     })
-    if pairs.empty:
+    if n_raw == 0:
         return empty
+    if n_raw > scale_cap("MINHASH_VERIFY_DRIVER", VERIFY_DRIVER_CAP):
+        n_parts = scaled_parts(n_raw, rows_per_part=500_000)
+        out = _verify_pairs_distributed(
+            ds, sig_ds, _distinct_pairs_ds(raw, n_parts),
+            id_col, text_col, tau, n_parts,
+        ).to_pandas()
+        if out.empty:
+            return empty
+        return out.sort_values(["a", "b"], kind="stable").reset_index(drop=True)
+
+    pairs = raw.to_pandas().drop_duplicates(ignore_index=True)
     pa_np = pairs["a"].to_numpy().astype(np.int64)
     pb_np = pairs["b"].to_numpy().astype(np.int64)
     cand_ids = pa.array(np.unique(np.concatenate([pa_np, pb_np])), pa.int64())
@@ -626,9 +846,13 @@ def simhash_near_dups(sf_dir: str, hamming_max: int = HAMMING_MAX) -> pd.DataFra
         ):
             hs = np.array([id2hash[i] for i in u], dtype=np.int64).view(np.uint64)
             ai, bi = np.triu_indices(u.size, k=1)
-            ham = np.array(
-                [bin(int(hs[x] ^ hs[y])).count("1") for x, y in zip(ai, bi)],
-                dtype=np.int64,
+            # vectorized popcount (numpy 1.26 has no bitwise_count):
+            # unpack each xor'd u64's 8 bytes to bits and row-sum
+            xor = hs[ai] ^ hs[bi]
+            ham = (
+                np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
             )
             ok = ham <= hamming_max
             out_a.append(u[ai[ok]])
@@ -687,7 +911,9 @@ def dup_components(sf_dir: str, lp_min_pairs: int = LP_MIN_PAIRS) -> rd.Dataset:
             "node": pa.array([], pa.int64()),
             "label": pa.array([], pa.int64()),
         }))
-    if len(pairs) >= lp_min_pairs:
+    from .util import scale_cap
+
+    if len(pairs) >= scale_cap("LP_MIN_PAIRS", lp_min_pairs):
         return connected_components_lp(rd.from_arrow(pa.table({
             "a": pa.array(pairs["a"].to_numpy(), pa.int64()),
             "b": pa.array(pairs["b"].to_numpy(), pa.int64()),

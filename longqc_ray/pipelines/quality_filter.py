@@ -29,6 +29,7 @@ from ..config import DEFAULT_CONFIG, FilterConfig
 from ..stages.features import compute_features
 from ..stages.rules import apply_rules
 from ..state.scorers import ModelScorer, put_model_refs
+from .util import scale_cap
 
 # Wide-row stage batch: 512 rows ≈ 18 MB payload per batch (the
 # decode loop holds only ONE row's PCM transiently, so batch memory is
@@ -181,7 +182,7 @@ def find_dup_keys(ds: rd.Dataset, key: str = "clip_id") -> "pa.Array":
     # PARTIAL row count — the actual driver-merge collect size — which
     # is ≤ input rows, so the cap semantics only tighten.
     partials = ds.map_batches(key_counts, batch_format="pyarrow").materialize()
-    if partials.count() <= DUP_SCAN_DRIVER_CAP:
+    if partials.count() <= scale_cap("DUP_SCAN_DRIVER", DUP_SCAN_DRIVER_CAP):
         merged = partials.to_pandas()
         totals = merged.groupby(key, sort=False)["n"].sum()
         dups = totals.index[totals.to_numpy() > 1]

@@ -28,7 +28,7 @@ import ray
 import ray.data as rd
 
 from ..functions.stats import nxx
-from .util import cents, grouped_sums, table
+from .util import cents, grouped_sums, scale_cap, table
 
 
 # ---------------------------------------------------------------- A1/A2
@@ -191,7 +191,7 @@ def control_anti_join(sf_dir: str) -> rd.Dataset:
     ds = table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
 
     n_rows = _footer_rows(sf_dir, "documents", "doc_id")
-    if n_rows is None or n_rows // 101 > FILTER_KEYS_BROADCAST_CAP:
+    if n_rows is None or n_rows // 101 > scale_cap("FILTER_KEYS_BROADCAST", FILTER_KEYS_BROADCAST_CAP):
         from .util import hash_anti_semi_join
 
         return hash_anti_semi_join(ds, key_ds, "doc_id", "doc_id",
@@ -232,7 +232,7 @@ def sample_semi_join(sf_dir: str) -> rd.Dataset:
     ds = table(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     n_rows = _footer_rows(sf_dir, "events", "user_id")
-    if n_rows is None or n_rows // 7 > FILTER_KEYS_BROADCAST_CAP:
+    if n_rows is None or n_rows // 7 > scale_cap("FILTER_KEYS_BROADCAST", FILTER_KEYS_BROADCAST_CAP):
         from .util import hash_anti_semi_join
 
         left = ds.map_batches(project, batch_format="pyarrow")
@@ -1390,7 +1390,7 @@ def shipping_priority(
         )})
 
     seg_keys_ds = cust.map_batches(seg_filter, batch_format="pyarrow")
-    if n_cust > broadcast_cap:
+    if n_cust > scale_cap("SEG_BROADCAST", broadcast_cap):
         o_f = hash_anti_semi_join(o_proj, seg_keys_ds, "o_custkey", "ck", semi=True)
     else:
         keys = pa.concat_tables(
@@ -1501,7 +1501,7 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     # lets whichever branch runs reuse the executed join instead of
     # re-running it
     partials = partials.materialize()
-    if partials.count() <= Q10_DRIVER_CAP:
+    if partials.count() <= scale_cap("Q10_DRIVER", Q10_DRIVER_CAP):
         # narrow partials collect straight to the driver — no second
         # all-to-all at all
         pdf = partials.to_pandas()

@@ -767,6 +767,12 @@ def embedding_near_dups_lsh(
     order = np.argsort(ids, kind="stable")
     ia = order[np.searchsorted(ids, a, sorter=order)]
     ib = order[np.searchsorted(ids, b, sorter=order)]
+    # loud invariant guard: a candidate id absent from the pruned
+    # re-read would make searchsorted return a WRONG neighbor index
+    # silently (the old dict lookup raised KeyError); candidates are
+    # drawn from the same table, so inequality here is a real bug
+    if not (np.array_equal(ids[ia], a) and np.array_equal(ids[ib], b)):
+        raise AssertionError("candidate id missing from pruned embedding re-read")
     # chunked gather+dot: one 300k-pair gather materializes ~2×150 MB
     # of FRESH pages whose first-touch faults dominate (~50 MB/s on
     # this VM — see BASELINE.md controls); 64k-pair chunks reuse the

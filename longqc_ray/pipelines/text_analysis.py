@@ -29,10 +29,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..kernels.pii import _COMPILED as PII_COMPILED
-from ..kernels.text import count_bpe_ish_tokens, repetition_mask, rolling_fingerprint
-from ..kernels.toxicity import TOXIC_RE
-from .util import table
+from ..kernels.text import count_bpe_ish_tokens, rolling_fingerprint
+from .util import scale_cap, table
 
 # Shared with the SQL oracle verbatim (RE2-compatible, no lookaround).
 TOKEN_PATTERN = r"[A-Za-z0-9']+"
@@ -203,19 +201,14 @@ def pii_scrub_docs(sf_dir: str) -> rd.Dataset:
     ds = table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        scrubbed = []
-        n_pii = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            total = 0
-            for _name, rx, rep in PII_COMPILED:
-                t, k = rx.subn(rep, t)
-                total += k
-            scrubbed.append(t)
-            n_pii[i] = total
+        from ..kernels.pii import scrub_column
+
+        # whole-column RE2 scrub (bit-identical to the per-row re.subn
+        # loop — the pattern strings are the shared spec)
+        scrubbed, n_pii = scrub_column(batch.column("text"))
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "scrubbed_text": pa.array(scrubbed, pa.string()),
+            "scrubbed_text": scrubbed,
             "n_pii": pa.array(n_pii, pa.int64()),
         })
 
@@ -227,8 +220,9 @@ def toxicity_docs(sf_dir: str) -> rd.Dataset:
     ds = table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        hits = np.array([len(TOXIC_RE.findall(t)) for t in texts], dtype=np.int64)
+        from ..kernels.toxicity import toxic_hits_column
+
+        hits = toxic_hits_column(batch.column("text"))
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_toxic": pa.array(hits, pa.int64()),
@@ -679,7 +673,7 @@ def bigram_collocations(
 
     big = counts.map_batches(bigrams, batch_format="pyarrow")
 
-    if uni_ds.count() <= broadcast_cap:
+    if uni_ds.count() <= scale_cap("BIGRAM_BROADCAST", broadcast_cap):
         uni = uni_ds.to_pandas()
         uc = dict(zip(uni["w1"], uni["n"].astype(np.int64)))
         ucref = ray.put(uc)

@@ -51,6 +51,25 @@ def read_parallelism(total_bytes: int) -> int:
     )
 
 
+def scale_cap(name: str, default: int) -> int:
+    """Crossover-cap resolution for the repo-wide broadcast/driver vs
+    shuffle/distributed discipline. Reads, in priority order:
+    ``LONGQC_CAP_<NAME>`` (pin one cap), ``LONGQC_FORCE_SCALE_PATHS``
+    (truthy → EVERY cap becomes 0, so the scale branches run even at
+    bench scale), else ``default``. The force switch exists because
+    the big-side branches never trigger at sf0.1 — the committed
+    scale-path sweep (CHECK_SWEEP_r05_scale.json) re-checks the
+    affected queries against DuckDB with every crossover forced.
+    Caps are only ever read DRIVER-side (the crossover decisions are
+    driver decisions), so the env var needs no worker propagation."""
+    v = os.environ.get(f"LONGQC_CAP_{name}")
+    if v is not None:
+        return int(v)
+    if os.environ.get("LONGQC_FORCE_SCALE_PATHS", "0") not in ("", "0"):
+        return 0
+    return default
+
+
 def _path_bytes(path: str) -> int:
     if os.path.isdir(path):
         import glob
@@ -147,8 +166,17 @@ def parquet_ts_bounds(sf_dir: str, name: str, col: str) -> tuple[int, int] | Non
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
                 return None
-            a = np.datetime64(st.min, "us").astype(np.int64)
-            b = np.datetime64(st.max, "us").astype(np.int64)
+            # tz-AWARE timestamp stats either raise or (numpy 1.26)
+            # silently tz-convert in np.datetime64 — the documented
+            # contract is None → caller falls back to the Min/Max
+            # aggregate, so detect tzinfo up front and guard the parse
+            if getattr(st.min, "tzinfo", None) is not None:
+                return None
+            try:
+                a = np.datetime64(st.min, "us").astype(np.int64)
+                b = np.datetime64(st.max, "us").astype(np.int64)
+            except ValueError:
+                return None
             lo = int(a) if lo is None else min(lo, int(a))
             hi = int(b) if hi is None else max(hi, int(b))
     if lo is None:

@@ -28,21 +28,33 @@ from .. import fixtures  # noqa: F401  (not used directly; doc link)
 from ..pipelines.quality_filter import dedup_first, label_clips
 
 
+# Manifest hash-scheme version. v1 was a per-row Python double-crc32
+# loop (O(kept rows) Python on every unit); v2 composes
+# "clip_id|keep|scrubbed" as ONE Arrow column and hashes it with the
+# vectorized FNV-1a buffer kernel. Every manifest record carries the
+# scheme name so a verifier recomputing content_hash_xor knows which
+# kernel produced it — hashes from different schemes are never
+# comparable silently. Resume-by-unit-name is scheme-independent (the
+# written parquet is valid either way; pinned in test_resume).
+HASH_SCHEME = "fnv1a64-v2"
+
+
 def _content_hash_column(batch: pa.Table) -> pa.Table:
     """Order-insensitive per-row hash: xor-reducible uint64 over
-    (clip_id, keep, scrubbed_transcript)."""
-    import zlib
+    (clip_id, keep, scrubbed_transcript) — one composed string column
+    (pc.binary_join_element_wise) hashed straight off its Arrow value
+    buffer (kernels/text.fnv1a_64_arrow), no per-row Python."""
+    import pyarrow.compute as pc
 
-    ids = batch.column("clip_id").to_pylist()
-    keeps = batch.column("keep").to_pylist()
-    scr = batch.column("scrubbed_transcript").to_pylist()
-    h = np.array(
-        [
-            zlib.crc32(f"{i}|{int(k)}|{s}".encode()) + (zlib.crc32(s[::-1].encode()) << 32)
-            for i, k, s in zip(ids, keeps, scr)
-        ],
-        dtype=np.uint64,
+    from ..kernels.text import fnv1a_64_arrow
+
+    composed = pc.binary_join_element_wise(
+        batch.column("clip_id").cast(pa.string()),
+        batch.column("keep").cast(pa.int8()).cast(pa.string()),
+        batch.column("scrubbed_transcript"),
+        "|",
     )
+    h = fnv1a_64_arrow(composed)
     return batch.append_column("row_hash", pa.array(h, pa.uint64()))
 
 
@@ -154,6 +166,7 @@ def run_filter_resumable(
                         "rows_out": rows_out,
                         "drop_reasons": hist,
                         "content_hash_xor": xor_hash,
+                        "hash_scheme": HASH_SCHEME,
                         "wall_s": round(time.time() - t0, 3),
                     }
                 )

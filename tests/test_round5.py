@@ -1,0 +1,267 @@
+"""Round-5 pins: vectorized scrub/toxicity/sampling/lineage kernels
+(bit-equality with the per-row loops they replaced), the null-guard
+and tz-bounds contracts from the round-4 advice, and the manifest
+hash-scheme versioning."""
+
+import json
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from longqc_ray.kernels.pii import PII_PATTERNS, scrub_column, scrub_text
+from longqc_ray.kernels.text import (
+    ascii_class_counts,
+    fnv1a_64,
+    fnv1a_64_arrow,
+)
+from longqc_ray.kernels.toxicity import TOXIC_LEXICON, toxic_hits, toxic_hits_column
+
+PII_TEXTS = [
+    "",
+    "no pii at all",
+    "mail a.b@x.co now",
+    "ssn 123-45-6789 ok",
+    "call +555-123-4567 or 555 123 4567x",
+    "a@b.cc 111-22-3333 999.888.7777",
+    "edge: x@y.zz@q.com trailing 123-45-678",
+    "many " + " ".join(f"u{i}@host{i}.com" for i in range(20)),
+    "unicode héllo wörld a@b.de 123-45-6789",
+]
+
+
+def test_scrub_column_equals_per_row_loop():
+    col = pa.array(PII_TEXTS)
+    scrubbed, n_pii = scrub_column(col)
+    exp = [scrub_text(t) for t in PII_TEXTS]
+    assert scrubbed.to_pylist() == [s for s, _ in exp]
+    assert n_pii.tolist() == [n for _, n in exp]
+    # also via a chunked array (map_batches hands those out)
+    ch = pa.chunked_array([pa.array(PII_TEXTS[:4]), pa.array(PII_TEXTS[4:])])
+    scrubbed2, n2 = scrub_column(ch)
+    assert scrubbed2.to_pylist() == [s for s, _ in exp]
+    assert n2.tolist() == [n for _, n in exp]
+
+
+def test_scrub_column_matches_sequential_semantics():
+    # a replacement token must never be re-matched by a later pattern
+    # (sequential application, not a combined alternation)
+    t = "x@y.com 123-45-6789"
+    col = pa.array([t])
+    scrubbed, n = scrub_column(col)
+    s, k = scrub_text(t)
+    assert scrubbed.to_pylist() == [s] and n.tolist() == [k]
+    # patterns stay RE2-compatible (no lookaround) — the oracle contract
+    for _name, pat, _rep in PII_PATTERNS:
+        assert "(?<" not in pat and "(?=" not in pat and "(?!" not in pat
+        re.compile(pat)  # and valid for Python's re
+
+
+def test_toxic_hits_column_equals_per_row():
+    texts = [
+        "",
+        "clean text",
+        f"a {TOXIC_LEXICON[0]} b",
+        f"{TOXIC_LEXICON[1].upper()} twice {TOXIC_LEXICON[1]}",
+        f"sub{TOXIC_LEXICON[2]}word is not a hit",
+        " ".join(TOXIC_LEXICON),
+    ]
+    got = toxic_hits_column(pa.array(texts))
+    assert got.tolist() == [toxic_hits(t) for t in texts]
+
+
+def test_hash_priority_vectorized_bit_equal():
+    from longqc_ray.functions.sampling import hash_priority
+
+    keys = ["", "a", "clip-000123", "héllo", "x" * 300]
+    got = hash_priority(keys)
+    exp = np.array([fnv1a_64(k.encode("utf-8", "replace")) for k in keys], dtype=np.uint64)
+    assert got.dtype == np.uint64
+    assert np.array_equal(got, exp)
+
+
+def test_bottomk_sample_unchanged_and_exclude(ray_session):
+    import ray.data as rd
+
+    from longqc_ray.functions.sampling import bottomk_sample
+
+    ids = [f"clip-{i:05d}" for i in range(500)]
+    ds = rd.from_arrow(pa.table({"clip_id": pa.array(ids), "v": pa.array(range(500))}))
+    out = bottomk_sample(ds, "clip_id", 20)
+    # deterministic: the 20 smallest FNV priorities
+    prio = np.array([fnv1a_64(i.encode()) for i in ids], dtype=np.uint64)
+    exp = [ids[j] for j in np.argsort(prio, kind="stable")[:20]]
+    assert sorted(out.column("clip_id").to_pylist()) == sorted(exp)
+    # exclusion honored
+    excl = set(exp[:5])
+    out2 = bottomk_sample(ds, "clip_id", 20, exclude=excl)
+    got2 = set(out2.column("clip_id").to_pylist())
+    assert not (got2 & excl) and len(got2) == 20
+
+
+def test_null_guard_fails_loudly():
+    col = pa.array(["a", None, "b"])
+    with pytest.raises(ValueError, match="null"):
+        fnv1a_64_arrow(col)
+    with pytest.raises(ValueError, match="null"):
+        ascii_class_counts(col)
+    # non-null columns keep working
+    assert fnv1a_64_arrow(pa.array(["a", "b"])).shape == (2,)
+
+
+def test_parquet_ts_bounds_tz_aware_returns_none(tmp_path):
+    import pyarrow.parquet as pq
+
+    from longqc_ray.pipelines.util import parquet_ts_bounds
+
+    t = pa.table({
+        "ts": pa.array(
+            pd.to_datetime(["2024-01-01 00:00:00", "2024-06-01 12:00:00"], utc=True)
+        ),
+        "x": pa.array([1, 2]),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    # documented contract: None → caller falls back to the aggregate
+    assert parquet_ts_bounds(str(tmp_path), "events", "ts") is None
+    # naive timestamps still resolve from the footer
+    t2 = pa.table({
+        "ts": pa.array(pd.to_datetime(["2024-01-01", "2024-06-01"])),
+    })
+    d2 = tmp_path / "naive"
+    d2.mkdir()
+    pq.write_table(t2, str(d2 / "events.parquet"))
+    b = parquet_ts_bounds(str(d2), "events", "ts")
+    assert b is not None and b[0] < b[1]
+
+
+def test_simhash_popcount_vectorized():
+    # the unpackbits popcount the simhash verify uses, vs bin().count
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 2**63, size=257, dtype=np.int64).view(np.uint64)
+    got = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+    exp = np.array([bin(int(v)).count("1") for v in x])
+    assert np.array_equal(got, exp)
+
+
+def test_lineage_hash_scheme_versioned(tmp_path, ray_session, tiny_fixture_dir):
+    from longqc_ray.sources.lineage import (
+        HASH_SCHEME,
+        completed_units,
+        manifest_path,
+        run_filter_resumable,
+    )
+
+    clips = os.path.join(tiny_fixture_dir, "clips")
+    out = str(tmp_path / "out")
+    run_filter_resumable(clips, out, shards_per_unit=1, max_units=1)
+    with open(manifest_path(out)) as f:
+        rec = json.loads(f.readline())
+    assert rec["hash_scheme"] == HASH_SCHEME
+
+    # cross-version resume: a unit recorded under the OLD scheme (or
+    # none at all) is still skipped — the written parquet is valid
+    # regardless of which hash kernel stamped it
+    out2 = str(tmp_path / "out2")
+    os.makedirs(out2)
+    with open(manifest_path(out2), "a") as f:
+        f.write(json.dumps({
+            "unit": "unit-00000", "files": [], "rows_in": 0, "rows_out": 0,
+            "drop_reasons": {}, "content_hash_xor": 123,
+            "hash_scheme": "crc32x2-v1", "wall_s": 0.0,
+        }) + "\n")
+    assert "unit-00000" in completed_units(out2)
+    res = run_filter_resumable(clips, out2, shards_per_unit=1)
+    assert res["units_skipped"] == 1 and res["units_run"] == 3
+
+
+def test_grouped_quantile_partitioned_int_sums_native(ray_session):
+    import ray.data as rd
+
+    from longqc_ray.functions.stats import grouped_quantile_disc
+
+    big = 2**53  # above float64 exact-integer range
+    t = pa.table({
+        "k": pa.array(["a"] * 3 + ["b"] * 3),
+        "v": pa.array([big + 1, big + 3, 1, 5, 6, 7], pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    # force the partitioned (high-cardinality) path: its gstats sums
+    # must stay in the NATIVE integer domain (a float() would round
+    # 2*big+5 to an even number)
+    qres, gstats = grouped_quantile_disc(
+        ds, "k", "v", [0.5], with_stats=True, max_dense_groups=0
+    )
+    n_a, s_a = gstats["a"]
+    assert isinstance(s_a, int) and s_a == 2 * big + 5  # exact, no float detour
+    # dense vs partitioned gstats agree on values within float-exact
+    # range (the dense histogram itself is float-edged by design)
+    t2 = pa.table({
+        "k": pa.array(["a"] * 3 + ["b"] * 3),
+        "v": pa.array([10, 30, 1, 5, 6, 7], pa.int64()),
+    })
+    ds2 = rd.from_arrow(t2)
+    _, gd = grouped_quantile_disc(ds2, "k", "v", [0.5], with_stats=True)
+    _, gp = grouped_quantile_disc(
+        ds2, "k", "v", [0.5], with_stats=True, max_dense_groups=0
+    )
+    assert {k: (int(n), int(s)) for k, (n, s) in gd.items()} == {
+        k: (int(n), int(s)) for k, (n, s) in gp.items()
+    }
+
+
+def test_minhash_distributed_verify_equals_driver(ray_session, monkeypatch):
+    """Forced-low-cap end-to-end run of the DISTRIBUTED candidate
+    verify (pairs stay a Dataset; co-grouped estimate + in-partition
+    exact Jaccard) — bit-equal to the driver path on a planted
+    corpus with real candidate pressure."""
+    import ray.data as rd
+
+    from longqc_ray.kernels.wordmodel import make_text
+    from longqc_ray.pipelines.dedup import minhash_near_dups
+
+    rng = np.random.default_rng(11)
+    ids, texts = [], []
+    nid = 0
+    for b in range(40):
+        t = make_text(rng, "en", 300)
+        ids.append(nid)
+        texts.append(t)
+        nid += 1
+        if b % 4 == 0:  # near-dup
+            w = t.split(" ")
+            w[0] = "changedword"
+            ids.append(nid)
+            texts.append(" ".join(w))
+            nid += 1
+        if b % 6 == 0:  # exact dup
+            ids.append(nid)
+            texts.append(t)
+            nid += 1
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    drv = minhash_near_dups(rd.from_arrow(tbl), tau=0.8)
+    monkeypatch.setenv("LONGQC_CAP_MINHASH_VERIFY_DRIVER", "0")
+    dst = minhash_near_dups(rd.from_arrow(tbl), tau=0.8)
+
+    def canon(df):
+        return df.sort_values(["a", "b"], kind="stable").reset_index(drop=True)
+
+    a, b = canon(drv), canon(dst)
+    assert len(a) > 0  # the corpus must exercise the verify for real
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_scale_cap_resolution(monkeypatch):
+    from longqc_ray.pipelines.util import scale_cap
+
+    monkeypatch.delenv("LONGQC_CAP_FOO", raising=False)
+    monkeypatch.delenv("LONGQC_FORCE_SCALE_PATHS", raising=False)
+    assert scale_cap("FOO", 123) == 123
+    monkeypatch.setenv("LONGQC_FORCE_SCALE_PATHS", "1")
+    assert scale_cap("FOO", 123) == 0
+    monkeypatch.setenv("LONGQC_CAP_FOO", "7")  # per-cap pin wins
+    assert scale_cap("FOO", 123) == 7
