@@ -82,15 +82,28 @@ def _clip_row(doc_id: int, text: str) -> tuple[str, bytes, int, int, str, str]:
     return (f"doc-clip-{doc_id:012d}", payload, sr, dur, codec, transcript)
 
 
-def clips_from_documents(sf_dir: str, cache_root: str = "/tmp/longqc_derived") -> str:
+def clips_from_documents(sf_dir: str, cache_root: str | None = None) -> str:
     """Materialize (once, cached) the derived clips table for a driver
-    sf dir; returns the clips directory (sharded parquet)."""
+    sf dir; returns the clips directory (sharded parquet).
+
+    Root resolution + the multi-node shared-storage contract live in
+    ``util.scratch_root`` (env LONGQC_DERIVED_ROOT /
+    LONGQC_SCRATCH_ROOT; the /tmp default is single-node only — every
+    reader of the cache assumes it can see this directory). Publish is
+    build-into-tmp + marker-last + rename, same discipline as the ANN
+    layouts: the ``_DONE`` marker is the commit point, a marker-less
+    directory is a crashed publish and gets rebuilt."""
+    from .util import scratch_root
+
+    if cache_root is None:
+        cache_root = scratch_root("DERIVED", "/tmp/longqc_derived")
     key = hashlib.md5(f"{sf_dir}:v3".encode()).hexdigest()[:12]
     out_dir = os.path.join(cache_root, f"clips-{key}")
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(cache_root, exist_ok=True)
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
     docs = table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_clips(batch: pa.Table) -> pa.Table:
@@ -105,9 +118,17 @@ def clips_from_documents(sf_dir: str, cache_root: str = "/tmp/longqc_derived") -
         )
 
     ds = docs.map_batches(to_clips, batch_format="pyarrow", batch_size=256)
-    ds.write_parquet(out_dir)
-    with open(marker, "w") as f:
+    ds.write_parquet(tmp_dir)
+    with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
         f.write("ok\n")
+    import shutil
+
+    if os.path.isdir(out_dir) and not os.path.exists(marker):
+        shutil.rmtree(out_dir, ignore_errors=True)  # crashed publish
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:  # another builder won the race
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
 
 

@@ -161,7 +161,12 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 # cached per (table file identity, params) fingerprint with a
 # build-then-atomic-rename so concurrent builders can't interleave.
 
-_LAYOUT_ROOT = "/tmp/longqc_ann"
+# Layout root: resolved per call via util.scratch_root (env
+# LONGQC_ANN_LAYOUT_ROOT / LONGQC_SCRATCH_ROOT; /tmp default is
+# single-node only — on a cluster this MUST be shared storage, since
+# every worker's pruned partition read assumes it can see the layout).
+_LAYOUT_ROOT_DEFAULT = "/tmp/longqc_ann"
+_LAYOUT_MARKER = "_LAYOUT_OK"
 
 
 def _emb_fingerprint(sf_dir: str, tag: str) -> str:
@@ -174,20 +179,38 @@ def _emb_fingerprint(sf_dir: str, tag: str) -> str:
     return hashlib.md5(key.encode()).hexdigest()[:16]
 
 
+def _layout_complete(d: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(d, _LAYOUT_MARKER))
+
+
 def _ensure_layout(sf_dir: str, tag: str, build) -> str:
     """Idempotent cached layout build: ``build(tmp_dir)`` writes the
-    partitioned parquet (+ any sidecar files) into a temp dir which is
-    atomically renamed into place; a loser of the rename race just
-    uses the winner's layout."""
+    partitioned parquet (+ any sidecar files) into a temp dir; a
+    ``_LAYOUT_OK`` marker is written LAST (inside the temp dir, before
+    the rename), so completeness is the marker — a directory without
+    it (crashed publish on storage without atomic rename) is a corpse
+    and gets rebuilt, never trusted. The rename is atomic on POSIX
+    shared filesystems; a loser of the rename race just uses the
+    winner's layout. Root resolution (and the multi-node shared-
+    storage contract) lives in ``util.scratch_root``."""
     import os
     import shutil
 
-    final = os.path.join(_LAYOUT_ROOT, _emb_fingerprint(sf_dir, tag))
-    if os.path.isdir(final):
+    from .util import scratch_root
+
+    root = scratch_root("ANN_LAYOUT", _LAYOUT_ROOT_DEFAULT)
+    final = os.path.join(root, _emb_fingerprint(sf_dir, tag))
+    if _layout_complete(final):
         return final
-    os.makedirs(_LAYOUT_ROOT, exist_ok=True)
+    os.makedirs(root, exist_ok=True)
     tmp = f"{final}.tmp.{os.getpid()}"
     build(tmp)
+    with open(os.path.join(tmp, _LAYOUT_MARKER), "w") as f:
+        f.write(f"{tag}\n")
+    if os.path.isdir(final) and not _layout_complete(final):
+        shutil.rmtree(final, ignore_errors=True)
     try:
         os.rename(tmp, final)
     except OSError:  # another builder won the race

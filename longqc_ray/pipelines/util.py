@@ -70,6 +70,30 @@ def scale_cap(name: str, default: int) -> int:
     return default
 
 
+def scratch_root(kind: str, default: str) -> str:
+    """Resolve the root directory for a build-once shared artifact
+    family (ANN hive layouts, derived-clips cache). Priority:
+    ``LONGQC_<KIND>_ROOT`` (pin one family), ``LONGQC_SCRATCH_ROOT``
+    (one shared root, family subdirs), else the node-local default.
+
+    MULTI-NODE CONTRACT: these artifacts are written by whichever node
+    builds them and then READ BY EVERY WORKER (pruned partition reads,
+    clip-cache reads), so on a real cluster the root MUST point at
+    storage all nodes see (NFS/Lustre/fuse-mounted object store); the
+    ``/tmp`` defaults are only correct single-node. Publishing uses
+    build-into-tmp + marker-last + rename: atomic on POSIX shared
+    filesystems; an object store without atomic rename needs its own
+    publish step (write marker object last, treat marker as the commit
+    point — the marker check below already encodes that discipline)."""
+    v = os.environ.get(f"LONGQC_{kind}_ROOT")
+    if v:
+        return v
+    shared = os.environ.get("LONGQC_SCRATCH_ROOT")
+    if shared:
+        return os.path.join(shared, kind.lower())
+    return default
+
+
 def _path_bytes(path: str) -> int:
     if os.path.isdir(path):
         import glob

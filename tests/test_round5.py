@@ -265,3 +265,37 @@ def test_scale_cap_resolution(monkeypatch):
     assert scale_cap("FOO", 123) == 0
     monkeypatch.setenv("LONGQC_CAP_FOO", "7")  # per-cap pin wins
     assert scale_cap("FOO", 123) == 7
+
+
+def test_shared_storage_roots_env_and_marker(ray_session, monkeypatch, tmp_path):
+    """ANN layouts + derived-clips cache build under an env-configured
+    (shared-storage) root with marker-last publish; a marker-less
+    directory (crashed publish) is rebuilt, not trusted."""
+    import longqc_ray.pipelines.similarity as sim
+    from longqc_ray.pipelines.multimodal import clips_from_documents
+    from longqc_ray.pipelines.util import scratch_root
+
+    assert scratch_root("ANN_LAYOUT", "/dflt") == "/dflt"
+    monkeypatch.setenv("LONGQC_SCRATCH_ROOT", "/shared")
+    assert scratch_root("ANN_LAYOUT", "/dflt") == "/shared/ann_layout"
+    monkeypatch.setenv("LONGQC_ANN_LAYOUT_ROOT", str(tmp_path / "ann"))
+    assert scratch_root("ANN_LAYOUT", "/dflt") == str(tmp_path / "ann")
+
+    out = sim.ann_lsh("/root/testdata/sf0.001")
+    assert len(out) > 0
+    dirs = [p for p in (tmp_path / "ann").iterdir() if p.is_dir()]
+    assert dirs and all((d / "_LAYOUT_OK").exists() for d in dirs)
+
+    # corpse: strip the marker → the layout must be rebuilt
+    victim = dirs[0]
+    (victim / "_LAYOUT_OK").unlink()
+    out2 = sim.ann_lsh("/root/testdata/sf0.001")
+    assert (victim / "_LAYOUT_OK").exists()
+    assert sorted(map(tuple, out.to_numpy())) == sorted(map(tuple, out2.to_numpy()))
+
+    # derived clips: same discipline under its own env root
+    monkeypatch.setenv("LONGQC_DERIVED_ROOT", str(tmp_path / "derived"))
+    d = clips_from_documents("/root/testdata/sf0.001")
+    assert d.startswith(str(tmp_path / "derived"))
+    assert os.path.exists(os.path.join(d, "_DONE"))
+    assert any(f.endswith(".parquet") for f in os.listdir(d))
