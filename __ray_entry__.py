@@ -161,34 +161,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_stats": text_analysis.token_stats,
         "quality_scores": text_analysis.quality_scores,
-        "salient_terms_per_source": text_analysis.salient_terms_per_source,  # exact-ratio tf-idf
-        "pii_scrub_docs": text_analysis.pii_scrub_docs,
+        "pii_scrub_docs": text_analysis.pii_scrub_docs,  # RE2-vectorized r5
         "fuzzy_span_docs": text_analysis.fuzzy_span_docs,  # lq_adapt.py:10-78 analogue
-        # --- modified in round 3/4 — kept in the externally-checked
+        # --- modified in round 5 — kept in the externally-checked
         # window for at least one round after the change (ADVICE r3):
-        # deterministic_sample (md5→FNV r3), doc_corpus_stats (fused agg
-        # r3), control/sample_*_join (crossover r3 + FNV part-hash r4),
-        # nation_revenue (footer-count r3) ---
+        # toxicity_docs (whole-column RE2 r5), ngram_jaccard_pairs
+        # (minhash verify crossover r5), user_gap_profile (tz-aware
+        # ts-bounds guard r5); deterministic_sample stays (sampling
+        # module touched r5) ---
+        "toxicity_docs": text_analysis.toxicity_docs,  # vectorized r5
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # distributed-verify crossover r5
+        "user_gap_profile": relational.user_gap_profile,  # ts-bounds guard r5
         "deterministic_sample": relational.deterministic_sample,  # O1
-        "doc_corpus_stats": relational.doc_corpus_stats,  # A1
-        "control_anti_join": relational.control_anti_join,  # J1
-        "sample_semi_join": relational.sample_semi_join,  # J2
         "nation_revenue": relational.nation_revenue,  # broadcast join
         # ---------------- position 51+ below this line ----------------
         # (every entry here is either green in at least TWO rounds with
         # its code path untouched since, or gated by pytest pins, so
-        # losing a driver slot costs no information)
-        "stratified_sample_docs": relational.stratified_sample_docs,  # green r2+r3, sampling untouched in r4
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # green r2+r3, untouched
+        # losing a driver slot costs no information; rotated out r5:
+        # salient_terms_per_source / doc_corpus_stats /
+        # control_anti_join / sample_semi_join — all green r3+r4,
+        # untouched this round)
+        "salient_terms_per_source": text_analysis.salient_terms_per_source,  # exact-ratio tf-idf, green r3+r4
+        "doc_corpus_stats": relational.doc_corpus_stats,  # A1, green r3+r4
+        "control_anti_join": relational.control_anti_join,  # J1, green r3+r4
+        "sample_semi_join": relational.sample_semi_join,  # J2, green r3+r4
+        "stratified_sample_docs": relational.stratified_sample_docs,  # green r2-r4, sampling kernels untouched for it
         "embedding_near_dups": similarity.embedding_near_dups,  # green r2+r3, untouched
         "ann_topk": similarity.ann_topk,  # green r1-r3, untouched
-        "toxicity_docs": text_analysis.toxicity_docs,  # green r1-r3, untouched
         "repetition_docs": text_analysis.repetition_docs,  # green r1-r3, untouched
         "doc_fingerprints": doc_fingerprints_md5,  # md5 fingerprint (SQL-twinned; green in r2)
         "cohort_union": relational.cohort_union,  # O3 (SQL-twinned; green in r1+r2)
         "doc_quality_flags": relational.doc_quality_flags,  # A6/A7 (green in r1+r2)
         "source_lang_profile": relational.source_lang_profile,  # A13 combiner (green in r1+r2)
-        "user_gap_profile": relational.user_gap_profile,  # M11 gaps (green in r1+r2)
         "user_occupancy": relational.user_occupancy,  # A15 occupancy (green in r1+r2)
         "pricing_summary": relational.pricing_summary,  # grouped agg (green in r1+r2)
         # --- engine-defined models (gate = pytest determinism/recall pins) ---

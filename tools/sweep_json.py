@@ -28,6 +28,8 @@ def main():
     sqls = set(entrymod.oracle_sql())
     doc = {
         "sf_dir": sf_dir,
+        "forced_scale_paths": os.environ.get("LONGQC_FORCE_SCALE_PATHS", "0")
+        not in ("", "0"),
         "wall_s": round(time.time() - t0, 1),
         "n_queries": len(results),
         "n_sql_backed": sum(1 for k in results if k in sqls),
