@@ -14,11 +14,19 @@ needs the full ladder, so it is built here as first-class operators:
 
 Scale notes: signatures are fixed-width (64×u64 / 1×u64) so the
 shuffle moves ~KB per row, never the text; LSH buckets are capped
-(hot-bucket cap, the deterministic COVT analogue, esterr.c:85-100);
-pair verification re-reads only candidate docs (pruned is_in read).
-Union-find runs on the driver over verified pairs only — at 10^12
-rows this would be the standard iterated label-propagation groupby,
-documented in the docstring of ``_connected_components``.
+(hot-bucket cap, the deterministic COVT analogue, esterr.c:85-100).
+Candidate VERIFY has two engines behind one crossover
+(``VERIFY_DRIVER_CAP`` raw pairs): below it, pairs collect and texts
+are re-read only for near-threshold docs (pruned is_in); above it,
+``_verify_pairs_distributed`` keeps pairs a Dataset end-to-end —
+co-grouped signature joins for the estimate prefilter, a semi-join
+for shingle sets, in-partition vectorized exact Jaccard (the scale
+twin of the reference's streaming overlap pipeline,
+lqmap.c:752-856). Components likewise: driver union-find below
+``LP_MIN_PAIRS`` verified pairs, distributed min-label propagation +
+pointer jumping above. Every engine pair is pinned bit-equal in
+tests and oracle-swept with the caps forced to 0
+(CHECK_SWEEP_r05_scale.json).
 """
 
 from __future__ import annotations

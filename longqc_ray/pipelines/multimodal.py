@@ -46,14 +46,33 @@ def _clip_row(doc_id: int, text: str) -> tuple[str, bytes, int, int, str, str]:
     """One deterministic clip row derived from a documents row."""
     from ..kernels.wordmodel import make_gibberish, make_repetitive, make_text
 
+    # planted exact-payload duplicates (~1/40 of clips): re-run the
+    # synthesis of the clip 3 ids below and keep our own clip_id. The
+    # payload never depends on ``text`` (only on the src-seeded rng /
+    # sr / codec / dur), so the bytes are identical to the src row's —
+    # fingerprint dedup has real positives at EVERY scale
+    # (audio_fingerprint_dedup returned 0 rows at the driver SFs
+    # before). clip_id stays unique, so the flagship's clip_id dedup
+    # and keep counts are untouched.
+    if doc_id % 40 == 3 and doc_id >= 3:
+        _, payload, sr, dur, codec, transcript = _clip_row(doc_id - 3, text)
+        return (f"doc-clip-{doc_id:012d}", payload, sr, dur, codec, transcript)
+    # TWO independent rng streams: audio params + synthesis on ``rng``
+    # (seeded by doc_id only), transcript text on ``trng``. make_text
+    # consumes draws proportional to the TEXT length, so a shared
+    # stream made the payload bytes depend on len(text) — which broke
+    # the planted-duplicate identity above (the dup re-synthesis runs
+    # with a different text). With split streams the payload is a pure
+    # function of (doc_id, defect class).
     rng = np.random.default_rng(doc_id * 2_654_435_761 + 42)
+    trng = np.random.default_rng(doc_id * 3_266_489_917 + 101)
     defect = _DEFECTS.get(doc_id % 20, "clean")
     sr = int(rng.choice([8000, 16000, 22050]))
     codec = "mulaw" if rng.random() < 0.3 else "pcm_s16le"
     dur = int(np.clip(rng.gamma(2.0, 600.0), 400, 8000))
     snr = float(rng.uniform(15.0, 35.0))
     n_chars = max(len(text), 80)
-    transcript = make_text(rng, "en", n_chars)
+    transcript = make_text(trng, "en", n_chars)
     if defect == "too_short":
         dur = int(rng.integers(40, 200))
     elif defect == "too_long":
@@ -61,11 +80,11 @@ def _clip_row(doc_id: int, text: str) -> tuple[str, bytes, int, int, str, str]:
     elif defect == "low_snr":
         snr = float(rng.uniform(-5.0, 0.0))
     elif defect == "wrong_lang":
-        transcript = make_text(rng, ["de", "fr", "ja"][doc_id % 3], n_chars)
+        transcript = make_text(trng, ["de", "fr", "ja"][doc_id % 3], n_chars)
     elif defect == "gibberish":
-        transcript = make_gibberish(rng, n_chars)
+        transcript = make_gibberish(trng, n_chars)
     elif defect == "repetitive":
-        transcript = make_repetitive(rng, "en", n_chars)
+        transcript = make_repetitive(trng, "en", n_chars)
     elif defect == "pii":
         snip = PII_SNIPPETS[doc_id % len(PII_SNIPPETS)].format(i=doc_id, p4=f"{doc_id % 10000:04d}")
         transcript = f"{transcript} {snip}"
@@ -97,7 +116,7 @@ def clips_from_documents(sf_dir: str, cache_root: str | None = None) -> str:
 
     if cache_root is None:
         cache_root = scratch_root("DERIVED", "/tmp/longqc_derived")
-    key = hashlib.md5(f"{sf_dir}:v3".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}:v4".encode()).hexdigest()[:12]  # v4: planted payload dups
     out_dir = os.path.join(cache_root, f"clips-{key}")
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):

@@ -20,6 +20,8 @@ integers — so the driver's value-hash matches bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -161,6 +163,28 @@ def _footer_rows(sf_dir: str, name: str, col: str) -> int | None:
     return None if st is None else st[2]
 
 
+def _typed_empty_guard(
+    sf_dir: str, name: str, columns: list[str],
+    extra: list[tuple[str, pa.DataType]] = (),
+) -> pa.Table | None:
+    """Typed-empty early return for 0-row single-file inputs. Ray
+    cannot carry a schema through a zero-ROW dataset boundary —
+    ``iter_batches`` yields no batches, so ``to_pandas`` loses every
+    column no matter how carefully the pipeline anchors its blocks —
+    so Dataset-returning JOIN queries answer a 0-row table with a
+    typed empty Arrow table instead (matching the oracle's typed empty
+    result), exactly like the aggregate family's guards. ``columns``
+    keep their parquet types; ``extra`` appends computed columns."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path) or pq.read_metadata(path).num_rows != 0:
+        return None
+    sch = pq.read_schema(path)
+    fields = [(c, sch.field(c).type) for c in columns] + list(extra)
+    return pa.schema(fields).empty_table()
+
+
 def _table_parts(sf_dir: str, name: str, col: str, rows_per_part: int = 250_000) -> int:
     """Data-scaled ``__part`` count for one driver table (util.scaled_parts
     over the footer row count — metadata only). Light vectorized
@@ -185,6 +209,9 @@ def control_anti_join(sf_dir: str) -> rd.Dataset:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table({"doc_id": pa.array(ids[ids % 101 == 0], pa.int64())})
 
+    empty = _typed_empty_guard(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    if empty is not None:
+        return empty
     key_ds = table(sf_dir, "documents", columns=["doc_id"]).map_batches(
         controls, batch_format="pyarrow"
     )
@@ -226,6 +253,12 @@ def sample_semi_join(sf_dir: str) -> rd.Dataset:
         u = t.column("user_id").to_numpy(zero_copy_only=False)
         return pa.table({"user_id": pa.array(np.unique(u[u % 7 == 0]), pa.int64())})
 
+    import pyarrow as pa_
+    empty = _typed_empty_guard(
+        sf_dir, "events", ["event_id", "user_id"], extra=[("value_cents", pa_.int64())]
+    )
+    if empty is not None:
+        return empty
     key_ds = table(sf_dir, "events", columns=["user_id"]).map_batches(
         sampled, batch_format="pyarrow"
     )
@@ -574,7 +607,13 @@ def order_revenue_join(sf_dir: str) -> pd.DataFrame:
     from .util import hash_join
 
     joined = hash_join(li2, orders, "l_orderkey", "o_orderkey",
-                       n_parts=_table_parts(sf_dir, "lineitem", "l_orderkey", rows_per_part=25_000))
+                       n_parts=_table_parts(sf_dir, "lineitem", "l_orderkey", rows_per_part=25_000),
+                       # projection schema (empty partitions: Ray can't
+                       # infer a row-less map output — see hash_join)
+                       l_schema=pa.schema([
+                           ("l_orderkey", li.schema().base_schema.field("l_orderkey").type),
+                           ("disc_price_c", pa.int64()),
+                       ]))
     # distinct order count per priority: two-stage (priority, orderkey)
     # grouped sums, then per-priority rollup (same shape as occupancy)
     per_order = grouped_sums(joined, ["o_orderpriority", "l_orderkey"], ["disc_price_c"])
@@ -738,6 +777,12 @@ def purchase_click_asof(sf_dir: str) -> rd.Dataset:
     two reads through the generic two-dataset ``asof_join``."""
     from .util import _part_hash, asof_merge_tagged
 
+    empty = _typed_empty_guard(
+        sf_dir, "events", ["event_id", "user_id"],
+        extra=[("click_event_id", pa.int64()), ("lag_us", pa.int64())],
+    )
+    if empty is not None:
+        return empty
     ds = table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
     n_parts = _table_parts(sf_dir, "events", "user_id")
 
@@ -763,12 +808,28 @@ def purchase_click_asof(sf_dir: str) -> rd.Dataset:
         })
 
     both = ds.map_batches(tag_both, batch_format="pyarrow")
+    # empty-input schema anchor: the tagged superset schema derives
+    # from the (footer-known) events schema, so a 0-row partition set
+    # keeps the output schema instead of collapsing to zero blocks
+    sch = ds.schema().base_schema
+    _types = {
+        "event_id": sch.field("event_id").type,
+        "click_event_id": sch.field("event_id").type,
+        "user_id": sch.field("user_id").type,
+        "ts": sch.field("ts").type,
+        "click_ts": sch.field("ts").type,
+        "__part": pa.int64(),
+        "__side": pa.string(),
+    }
     j = asof_merge_tagged(
         both,
         l_cols=["event_id", "user_id", "ts"],
         r_cols=["click_event_id", "user_id", "click_ts"],
         by="user_id", left_on="ts", right_on="click_ts",
         int_cols=["event_id", "click_event_id"],
+        anchor_empty=pa.schema(
+            [(n, _types[n]) for n in sorted(_types)]
+        ).empty_table(),
     )
 
     # lag computed per batch; the result stays a Dataset (one row per

@@ -285,6 +285,24 @@ def _part_hash(t: pa.Table, key: str, n_parts: int) -> np.ndarray:
     return (h % np.uint64(n_parts)).astype(np.int64)
 
 
+def _schema_of(ds: rd.Dataset) -> pa.Schema:
+    """Arrow schema of a dataset, robust to ZERO-ROW pipelines: Ray's
+    ``schema()`` infers via ``limit(1)``, so a dataset whose blocks all
+    have 0 rows (a map over an empty partition — schema-carrying
+    blocks DO exist) comes back None. Fall back to reading the block
+    schemas directly; only genuinely row-less datasets take this
+    branch, so the extra execution is over empty blocks (trivial)."""
+    import ray
+
+    sch = ds.schema()
+    if sch is not None:
+        return sch.base_schema
+    for b in ray.get(ds.to_arrow_refs()):
+        if b.num_columns:
+            return b.schema
+    raise ValueError("dataset has no schema (zero blocks and no columns)")
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -292,6 +310,8 @@ def hash_join(
     right_key: str,
     n_parts: int = 64,
     post=None,
+    l_schema: pa.Schema | None = None,
+    r_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Large×large inner hash join via co-grouping (Ray Data 2.49 has
     no native join): tag each side, union, hash-partition on the key
@@ -311,8 +331,14 @@ def hash_join(
     columns present)."""
     import pyarrow as pa_  # local alias; pa already imported module-level
 
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    # ``l_schema``/``r_schema``: a side whose rows were all filtered
+    # away upstream is UNRECOVERABLE from Ray (empty UDF-output blocks
+    # are serialized column-less), so a caller that projects before
+    # joining passes the projection schema it just built; with both
+    # schemas known the join keeps its output schema on empty input
+    # (the _anchor_schema block below)
+    l_schema = l_schema if l_schema is not None else _schema_of(left)
+    r_schema = r_schema if r_schema is not None else _schema_of(right)
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     overlap = (set(l_cols) & set(r_cols)) - {left_key, right_key}
@@ -366,7 +392,44 @@ def hash_join(
         # downstream pipeline one whole all-to-all
         return post(out) if post is not None else out
 
-    return both.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
+    out_ds = both.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
+    return _anchor_schema(out_ds, _tagged_empty(l_schema, r_schema, l_cols), merge_part)
+
+
+def _tagged_empty(l_schema: pa.Schema, r_schema: pa.Schema, l_cols: list[str]) -> pa.Table:
+    """Zero-row table with the tagged-union superset schema (sorted
+    columns + __part/__side), for driving a merge fn once on the
+    driver to learn its OUTPUT schema."""
+    fields: dict[str, pa.DataType] = {}
+    for sch in (l_schema, r_schema):
+        for f in sch:
+            fields.setdefault(f.name, f.type)
+    fields["__part"] = pa.int64()
+    fields["__side"] = pa.string()
+    return pa.schema([(n, fields[n]) for n in sorted(fields)]).empty_table()
+
+
+def _anchor_schema(out: rd.Dataset, sup_empty: pa.Table, merge_fn) -> rd.Dataset:
+    """Union a zero-row SCHEMA ANCHOR block onto a co-group output.
+
+    Ray drops zero-row blocks, so a join whose input is empty (or
+    whose every partition joins to nothing) yields a ZERO-block
+    dataset — ``schema()`` → None and every downstream column access
+    KeyErrors. Empty partitions are routine at 100 TB (the same
+    contract ``table()`` enforces at the read), so the join family
+    anchors its output with one empty block of the exact output
+    schema, learned by running the per-partition merge fn once on an
+    empty superset table driver-side (no dataset execution — the
+    input schemas were already fetched). If the merge fn cannot run
+    on an empty table (exotic ``post``), the anchor is skipped and
+    behavior is unchanged."""
+    try:
+        anchor = merge_fn(sup_empty)
+    except Exception:
+        return out
+    if anchor.num_rows != 0:  # a post that fabricates rows: no anchor
+        return out
+    return out.union(rd.from_arrow(anchor))
 
 
 def local_topk(
@@ -436,8 +499,15 @@ def asof_merge_tagged(
     left_on: str,
     right_on: str,
     int_cols: list[str] | None = None,
+    anchor_empty: pa.Table | None = None,
 ) -> rd.Dataset:
     """Partitioned backward as-of merge over a pre-tagged union.
+
+    ``anchor_empty`` (a zero-row superset table, see ``_tagged_empty``)
+    opts in to the empty-input schema anchor — callers that already
+    hold both side schemas (``asof_join``) pass it so a zero-row input
+    keeps its output schema instead of collapsing to a schema-less
+    zero-block dataset.
 
     ``both`` must carry ``__part`` (bounded hash of ``by``) and
     ``__side`` ('l'/'r') columns plus the null-padded superset of both
@@ -490,7 +560,10 @@ def asof_merge_tagged(
         data.update({c: g.column(c).take(ri) for c in out_r})
         return pa.table({c: data[c] for c in out_cols})
 
-    return both.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
+    out_ds = both.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
+    if anchor_empty is not None:
+        return _anchor_schema(out_ds, anchor_empty, merge_part)
+    return out_ds
 
 
 def asof_join(
@@ -514,8 +587,8 @@ def asof_join(
     merge is exact; only projected columns shuffle, and ``n_parts``
     scales with the cluster exactly like ``hash_join``.
     """
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    l_schema = _schema_of(left)
+    r_schema = _schema_of(right)
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     overlap = (set(l_cols) & set(r_cols)) - {by}
@@ -549,7 +622,10 @@ def asof_join(
     both = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow")
     )
-    return asof_merge_tagged(both, l_cols, r_cols, by, left_on, right_on, int_cols)
+    return asof_merge_tagged(
+        both, l_cols, r_cols, by, left_on, right_on, int_cols,
+        anchor_empty=_tagged_empty(l_schema, r_schema, l_cols),
+    )
 
 
 def preagg_sum(keys: list[str], sum_cols: list[str]):
@@ -651,7 +727,7 @@ def hash_anti_semi_join(
     entirely in Arrow — the pandas route would widen the null-padded
     int columns to float64 (corrupting left ints ≥ 2^53 and breaking
     legitimately-nullable int columns on the way back)."""
-    l_schema = left.schema().base_schema
+    l_schema = _schema_of(left)
     l_cols = list(l_schema.names)
 
     def tag_left(t: pa.Table) -> pa.Table:
@@ -689,7 +765,8 @@ def hash_anti_semi_join(
         out = l_rows.filter(member if semi else pc.invert(member))
         return out.select(l_cols)
 
-    return both.groupby("__part").map_groups(per_part, batch_format="pyarrow")
+    out_ds = both.groupby("__part").map_groups(per_part, batch_format="pyarrow")
+    return _anchor_schema(out_ds, _tagged_empty(l_schema, l_schema, l_cols), per_part)
 
 
 def hash_grouped_sum(
