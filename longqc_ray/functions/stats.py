@@ -210,12 +210,25 @@ def nxx_exact_local(values: np.ndarray, frac: float = 0.5) -> float:
 GQ_DENSE_MAX_GROUPS = 10_000
 
 
+def _np_lerp(vlo: np.ndarray, vhi: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """numpy's ``_lerp`` exactly (the t >= 0.5 branch flips to
+    ``b - diff*(1-t)`` for symmetry/stability), so the "cont" quantile
+    method below is BIT-EQUAL to ``np.quantile(..., method='linear')``
+    — pinned in tests."""
+    vlo = np.asarray(vlo, dtype=np.float64)
+    vhi = np.asarray(vhi, dtype=np.float64)
+    t = np.asarray(t, dtype=np.float64)
+    diff = vhi - vlo
+    return np.where(t >= 0.5, vhi - diff * (1.0 - t), vlo + diff * t)
+
+
 def _grouped_quantile_partitioned(
     stats: rd.Dataset,
     key: str,
     col: str,
     qs: list[float],
     n_parts: int = 64,
+    method: str = "disc",
 ) -> tuple[dict, dict]:
     """High-cardinality fallback: hash-partition by ``key`` (co-group),
     then per partition ONE factorize + lexsort answers every group's
@@ -255,8 +268,20 @@ def _grouped_quantile_partitioned(
             "s": pa.array(sums),
         }
         for j, q in enumerate(qs_arr):
-            r = np.clip(np.ceil(q * counts).astype(np.int64) - 1, 0, counts - 1)
-            data[f"q{j}"] = pa.array(v2[starts + r])
+            if method == "cont":
+                # all rows of a group are in this partition, so the
+                # linear-interpolated quantile is exact here: two
+                # order statistics + numpy's own lerp
+                h = q * (counts - 1).astype(np.float64)
+                lo = np.floor(h).astype(np.int64)
+                hi = np.minimum(lo + 1, counts - 1)
+                data[f"q{j}"] = pa.array(
+                    _np_lerp(v2[starts + lo], v2[starts + hi], h - lo),
+                    pa.float64(),
+                )
+            else:
+                r = np.clip(np.ceil(q * counts).astype(np.int64) - 1, 0, counts - 1)
+                data[f"q{j}"] = pa.array(v2[starts + r])
         return pa.table(data)
 
     rows = (
@@ -287,6 +312,7 @@ def grouped_quantile_disc(
     n_bins: int = 1024,
     with_stats: bool = False,
     max_dense_groups: int = GQ_DENSE_MAX_GROUPS,
+    method: str = "disc",
 ) -> dict | tuple[dict, dict]:
     """Per-GROUP exact discrete quantiles, same scale shape as
     ``quantile_disc`` (A2/A13 grouped): materialize the narrow
@@ -303,7 +329,14 @@ def grouped_quantile_disc(
     {group_value: [quantile per q]}; with ``with_stats`` also a second
     dict {group_value: (count, sum)} from the same fused per-group
     aggregate, so callers needing count/mean alongside the quantiles
-    (e.g. the A13 binned profile) pay no extra pass."""
+    (e.g. the A13 binned profile) pay no extra pass.
+
+    ``method="disc"`` (default) returns exact discrete order
+    statistics at rank ceil(q*n)-1 (DuckDB ``quantile_disc``);
+    ``method="cont"`` returns linear-interpolated quantiles BIT-EQUAL
+    to ``np.quantile(..., method='linear')`` — it fetches the two
+    bracketing order statistics through the same refinement collect
+    and applies numpy's own lerp (``_np_lerp``)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import AggregateFn, Count, Max, Min, Sum
 
@@ -314,7 +347,7 @@ def grouped_quantile_disc(
     from ..pipelines.util import scale_cap
 
     if len(g) > scale_cap("GQ_DENSE_MAX_GROUPS", max_dense_groups):
-        out, gstats = _grouped_quantile_partitioned(stats, key, col, qs)
+        out, gstats = _grouped_quantile_partitioned(stats, key, col, qs, method=method)
         return (out, gstats) if with_stats else out
     keys = g[key].tolist()
     n_keys = len(keys)
@@ -371,19 +404,29 @@ def grouped_quantile_disc(
     )
     mat = _mat(stats.aggregate(agg)["gq_hist"])
 
-    # (group, q) -> target rank -> crossing bin; batch ALL refinement
-    # intervals into one filtered collect
+    # (group, q) -> target rank(s) -> crossing bin(s); batch ALL
+    # refinement intervals into one filtered collect. "disc" needs one
+    # rank per (group, q); "cont" needs the two bracketing order
+    # statistics lo=floor(h), hi=min(lo+1, n-1) at h = q*(n-1), plus
+    # the interpolation weight t = h - lo.
     cum = np.cumsum(mat, axis=1)
     need: dict[int, set[int]] = {}
-    ranks: dict[tuple[int, int], int] = {}
+    ranks: dict[tuple[int, int], tuple[int, int, float]] = {}
     for i in range(n_keys):
         if flat[i]:
             continue
         for j, q in enumerate(qs):
-            r = min(max(int(np.ceil(q * ns[i])) - 1, 0), int(ns[i]) - 1)
-            b = int(np.searchsorted(cum[i], r + 1))
-            ranks[(i, j)] = r
-            need.setdefault(i, set()).add(b)
+            if method == "cont":
+                h = q * (int(ns[i]) - 1)
+                lo = int(np.floor(h))
+                hi = min(lo + 1, int(ns[i]) - 1)
+                ranks[(i, j)] = (lo, hi, float(h - lo))
+            else:
+                r = min(max(int(np.ceil(q * ns[i])) - 1, 0), int(ns[i]) - 1)
+                ranks[(i, j)] = (r, r, 0.0)
+            for r in set(ranks[(i, j)][:2]):
+                b = int(np.searchsorted(cum[i], r + 1))
+                need.setdefault(i, set()).add(b)
 
     intervals = [
         (keys[i], float(edges[i][b]), float(edges[i][b + 1]), i, b)
@@ -412,11 +455,17 @@ def grouped_quantile_disc(
         if flat[i]:
             out[k] = [float(los[i])] * len(qs)
             continue
-        vals = []
-        for j in range(len(qs)):
-            r = ranks[(i, j)]
+        def _at(r: int) -> float:
             b = int(np.searchsorted(cum[i], r + 1))
             below = int(cum[i][b - 1]) if b > 0 else 0
-            vals.append(float(bin_vals[(i, b)][r - below]))
+            return float(bin_vals[(i, b)][r - below])
+
+        vals = []
+        for j in range(len(qs)):
+            lo, hi, t = ranks[(i, j)]
+            if method == "cont":
+                vals.append(float(_np_lerp(_at(lo), _at(hi), t)))
+            else:
+                vals.append(_at(lo))
         out[k] = vals
     return _done(out)

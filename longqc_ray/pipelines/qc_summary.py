@@ -104,35 +104,60 @@ def coverage_scalars(
     return out
 
 
+_BINNED_COLS = ("dur_bin", "n", "keep_frac", "snr_q25",
+                "snr_median", "snr_q75", "snr_mean")
+
+
 def binned_quality_stats(labeled: rd.Dataset, bin_ms: int = DUR_BIN_MS):
-    """Per-duration-bin QC stats (A13/A14): count, mean/min/max snr,
-    quartiles of snr_db via per-bin numpy (map_groups). Arrow-native
-    per-group kernel — the pandas block-format conversion this stage
-    paid per group bought nothing (the math is numpy either way)."""
+    """Per-duration-bin QC stats (A13/A14): count, keep fraction, snr
+    mean and quartiles. The quartiles are ``grouped_quantile_disc(...,
+    method="cont")`` — the histogram-refinement grouped quantile (a
+    fixed count-matrix aggregate + one bounded collect), bit-equal to
+    ``np.quantile(..., 'linear')`` — and keep/count/sum ride map-side
+    combined sum aggregates. The previous shape (``groupby(dur_bin)
+    .map_groups``) loaded each bin WHOLE into one task — with ~6
+    duration bins that is 1/6 of the corpus per task at any scale, the
+    same A13 scale killer relational.length_bin_profile already
+    eliminated. snr_mean is now a blockwise Sum/Count (vs np.mean's
+    pairwise summation): <=1 ulp-scale drift, nothing pins it."""
+    from ..functions.stats import grouped_quantile_disc
+    from .util import grouped_sums
 
     def add_bin(t: pa.Table) -> pa.Table:
         b = pc.cast(pc.floor(pc.divide(pc.cast(t.column("dur_ms"), pa.float64()), bin_ms)), pa.int64())
-        return t.append_column("dur_bin", b)
-
-    ds = labeled.select_columns(["dur_ms", "snr_db", "keep"]).map_batches(
-        add_bin, batch_format="pyarrow"
-    )
-
-    def per_bin(g: pa.Table) -> pa.Table:
-        snr = g.column("snr_db").to_numpy(zero_copy_only=False)
-        keep = g.column("keep").to_numpy(zero_copy_only=False)
-        q = np.quantile(snr, [0.25, 0.5, 0.75])
         return pa.table({
-            "dur_bin": pa.array([g.column("dur_bin")[0].as_py()], pa.int64()),
-            "n": pa.array([g.num_rows], pa.int64()),
-            "keep_frac": pa.array([float(keep.mean())], pa.float64()),
-            "snr_q25": pa.array([q[0]], pa.float64()),
-            "snr_median": pa.array([q[1]], pa.float64()),
-            "snr_q75": pa.array([q[2]], pa.float64()),
-            "snr_mean": pa.array([float(snr.mean())], pa.float64()),
+            "dur_bin": b,
+            "snr_db": t.column("snr_db"),
+            "keep_i": pc.cast(t.column("keep"), pa.int64()),
         })
 
-    return ds.groupby("dur_bin").map_groups(per_bin, batch_format="pyarrow").to_pandas()
+    # ONE execution of the upstream (scored) pipeline: materialize the
+    # narrow 3-column projection, then both aggregates read from it
+    narrow = labeled.select_columns(["dur_ms", "snr_db", "keep"]).map_batches(
+        add_bin, batch_format="pyarrow"
+    ).materialize()
+
+    import pandas as pd
+
+    qres, gstats = grouped_quantile_disc(
+        narrow, "dur_bin", "snr_db", [0.25, 0.5, 0.75],
+        with_stats=True, method="cont",
+    )
+    if not qres:
+        return pd.DataFrame({c: [] for c in _BINNED_COLS})
+    keeps = grouped_sums(narrow.select_columns(["dur_bin", "keep_i"]),
+                         ["dur_bin"], ["keep_i"])
+    kmap = dict(zip(keeps["dur_bin"], keeps["keep_i_total"]))
+    bins = sorted(qres)
+    return pd.DataFrame({
+        "dur_bin": np.asarray(bins, dtype=np.int64),
+        "n": np.asarray([gstats[b][0] for b in bins], dtype=np.int64),
+        "keep_frac": [float(kmap[b]) / gstats[b][0] for b in bins],
+        "snr_q25": [qres[b][0] for b in bins],
+        "snr_median": [qres[b][1] for b in bins],
+        "snr_q75": [qres[b][2] for b in bins],
+        "snr_mean": [float(gstats[b][1]) / gstats[b][0] for b in bins],
+    })
 
 
 def qc_summary(

@@ -352,3 +352,69 @@ def test_derived_clips_planted_payload_dups(ray_session, monkeypatch, tmp_path):
     out = audio_fingerprint_dedup("/root/testdata/sf0.001").to_pandas()
     assert len(out) > 0
     assert (out["n_copies"] >= 2).all()
+
+
+def test_grouped_quantile_cont_bit_equal_np_quantile(ray_session):
+    """method="cont" (both dense and partitioned paths) is BIT-EQUAL
+    to np.quantile(..., 'linear') per group — including a 1-element
+    group and q=0/1 endpoints — because the refinement fetches the two
+    bracketing order statistics and applies numpy's own lerp."""
+    import ray.data as rd
+
+    from longqc_ray.functions.stats import grouped_quantile_disc
+
+    rng = np.random.default_rng(7)
+    k = np.concatenate([rng.integers(0, 9, 5000), [99]]).astype(np.int64)
+    v = np.concatenate([rng.normal(10, 4, 5000), [3.25]])
+    ds = rd.from_arrow(pa.table({"k": k, "v": v}))
+    qs = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+    dense = grouped_quantile_disc(ds, "k", "v", qs, method="cont")
+    part = grouped_quantile_disc(ds, "k", "v", qs, method="cont",
+                                 max_dense_groups=0)
+    assert sorted(dense) == sorted(part) == sorted(set(k.tolist()))
+    for key in sorted(dense):
+        exp = np.quantile(v[k == key], qs)
+        assert np.array_equal(np.asarray(dense[key]), exp)
+        assert np.array_equal(np.asarray(part[key]), exp)
+
+
+def test_binned_quality_stats_matches_literal(ray_session, tiny_fixture_dir):
+    """The A13 rewrite (grouped cont-quantile + map-side sums, no
+    whole-bin map_groups) reproduces the literal per-bin np.quantile /
+    mean recompute: quartiles and keep_frac bit-equal, snr_mean to
+    float-summation-order tolerance."""
+    import ray.data as rd
+
+    from longqc_ray.pipelines.qc_summary import DUR_BIN_MS, binned_quality_stats
+    from longqc_ray.pipelines.quality_filter import label_clips
+
+    labeled = label_clips(
+        rd.read_parquet(os.path.join(tiny_fixture_dir, "clips")))
+    got = binned_quality_stats(labeled).sort_values("dur_bin").reset_index(drop=True)
+    ref = labeled.select_columns(["dur_ms", "snr_db", "keep"]).to_pandas()
+    ref["dur_bin"] = np.floor(
+        ref["dur_ms"].astype(np.float64) / DUR_BIN_MS).astype(np.int64)
+    assert len(got) == ref["dur_bin"].nunique() > 3
+    for b, g in ref.groupby("dur_bin"):
+        row = got[got["dur_bin"] == b].iloc[0]
+        snr = g["snr_db"].to_numpy()
+        q = np.quantile(snr, [0.25, 0.5, 0.75])
+        assert int(row["n"]) == len(g)
+        assert row["keep_frac"] == g["keep"].to_numpy().mean()
+        assert (row["snr_q25"], row["snr_median"], row["snr_q75"]) == tuple(q)
+        assert abs(row["snr_mean"] - snr.mean()) < 1e-9
+
+
+def test_binned_quality_stats_empty_input(ray_session, tiny_fixture_dir):
+    """0-row labeled input returns a typed empty frame with the full
+    column set (Ray can't carry schema through a 0-row boundary; the
+    guard answers from the quantile dict instead)."""
+    import ray.data as rd
+
+    from longqc_ray.pipelines.qc_summary import _BINNED_COLS, binned_quality_stats
+    from longqc_ray.pipelines.quality_filter import label_clips
+
+    labeled = label_clips(
+        rd.read_parquet(os.path.join(tiny_fixture_dir, "clips"))).limit(0)
+    out = binned_quality_stats(labeled)
+    assert len(out) == 0 and list(out.columns) == list(_BINNED_COLS)
