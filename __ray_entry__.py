@@ -138,7 +138,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": relational.weighted_sample_docs,  # Efraimidis-Spirakis A-Res
         "order_revenue_join": relational.order_revenue_join,    # large×large co-group join
         "windowed_event_stats": relational.windowed_event_stats,  # §2.9 tumbling window
-        "hopping_window_stats": relational.hopping_window_stats,  # §2.9 overlapping windows
         "purchase_click_asof": relational.purchase_click_asof,    # as-of join
         "event_window_range_join": relational.event_window_range_join,  # range join
         "user_rolling_value": relational.user_rolling_value,      # per-key rolling window
@@ -149,7 +148,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": relational.top_events_per_user,  # distributed top-k per key
         "user_value_lag": relational.user_value_lag,            # LAG window fn
         "funnel_conversion": relational.funnel_conversion,      # staged min-ts funnel
-        "corr_quantity_price": relational.corr_quantity_price,  # exact distributed Pearson
         "event_props_extract": relational.event_props_extract,  # JSON field extract + agg
         "event_value_quantiles_by_type": relational.event_value_quantiles_by_type,  # grouped quantile_disc
         "parts_never_bulk_ordered": relational.parts_never_bulk_ordered,  # shuffled anti join (J1 scale path)
@@ -167,11 +165,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window for at least one round after the change (ADVICE r3):
         # toxicity_docs (whole-column RE2 r5), ngram_jaccard_pairs
         # (minhash verify crossover r5), user_gap_profile (tz-aware
-        # ts-bounds guard r5); deterministic_sample stays (sampling
-        # module touched r5) ---
+        # ts-bounds guard r5), control_anti_join / sample_semi_join
+        # (typed-empty guard + scale_cap crossover r5);
+        # deterministic_sample stays (sampling module touched r5) ---
         "toxicity_docs": text_analysis.toxicity_docs,  # vectorized r5
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # distributed-verify crossover r5
         "user_gap_profile": relational.user_gap_profile,  # ts-bounds guard r5
+        "control_anti_join": relational.control_anti_join,  # J1, typed-empty guard r5
+        "sample_semi_join": relational.sample_semi_join,  # J2, typed-empty guard r5
         "deterministic_sample": relational.deterministic_sample,  # O1
         "nation_revenue": relational.nation_revenue,  # broadcast join
         # ---------------- position 51+ below this line ----------------
@@ -179,12 +180,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its code path untouched since, or gated by pytest pins, so
         # losing a driver slot costs no information; rotated out r5:
         # salient_terms_per_source / doc_corpus_stats /
-        # control_anti_join / sample_semi_join — all green r3+r4,
-        # untouched this round)
+        # hopping_window_stats / corr_quantity_price — all green r3+r4,
+        # their specific code paths untouched this round)
         "salient_terms_per_source": text_analysis.salient_terms_per_source,  # exact-ratio tf-idf, green r3+r4
         "doc_corpus_stats": relational.doc_corpus_stats,  # A1, green r3+r4
-        "control_anti_join": relational.control_anti_join,  # J1, green r3+r4
-        "sample_semi_join": relational.sample_semi_join,  # J2, green r3+r4
+        "hopping_window_stats": relational.hopping_window_stats,  # §2.9, green r3+r4, window kernels untouched r5
+        "corr_quantity_price": relational.corr_quantity_price,  # Pearson agg, green r3+r4, untouched r5
         "stratified_sample_docs": relational.stratified_sample_docs,  # green r2-r4, sampling kernels untouched for it
         "embedding_near_dups": similarity.embedding_near_dups,  # green r2+r3, untouched
         "ann_topk": similarity.ann_topk,  # green r1-r3, untouched

@@ -313,6 +313,7 @@ def grouped_quantile_disc(
     with_stats: bool = False,
     max_dense_groups: int = GQ_DENSE_MAX_GROUPS,
     method: str = "disc",
+    prematerialized: bool = False,
 ) -> dict | tuple[dict, dict]:
     """Per-GROUP exact discrete quantiles, same scale shape as
     ``quantile_disc`` (A2/A13 grouped): materialize the narrow
@@ -340,7 +341,13 @@ def grouped_quantile_disc(
     import pyarrow.compute as pc
     from ray.data.aggregate import AggregateFn, Count, Max, Min, Sum
 
-    stats = ds.select_columns([key, col]).materialize()
+    # ``prematerialized``: the caller already materialized a narrow
+    # projection containing (key, col) — re-materializing here would
+    # hold a second near-identical object-store copy; the lazy
+    # select_columns re-runs only the (cheap) projection per consumer
+    stats = ds.select_columns([key, col])
+    if not prematerialized:
+        stats = stats.materialize()
     g = stats.groupby(key).aggregate(Min(col), Max(col), Count(), Sum(col)).to_pandas()
     if g.empty:  # empty input: zero groups, zero quantiles
         return ({}, {}) if with_stats else {}

@@ -24,7 +24,14 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
 )
 
-_COMPILED = tuple((name, re.compile(pat), rep) for name, pat, rep in PII_PATTERNS)
+# re.ASCII pins Python's \b/\d to RE2's ASCII semantics: the column
+# kernel (Arrow RE2) and the DuckDB oracle agree with each other by
+# construction, so the per-row twin conforms to them — without the
+# flag a Unicode digit or a non-ASCII word char adjacent to a span
+# (e.g. "123-45-6789é") diverges between the engines.
+_COMPILED = tuple(
+    (name, re.compile(pat, re.ASCII), rep) for name, pat, rep in PII_PATTERNS
+)
 
 
 def scrub_text(text: str) -> tuple[str, int]:

@@ -27,8 +27,14 @@ TOXIC_LEXICON: tuple[str, ...] = (
     "vilethorp",
 )
 
+# re.ASCII pins Python's \b to RE2's byte/ASCII word-boundary
+# semantics: without it a lexicon word abutting a non-ASCII word
+# character (e.g. "gorrafexé") counts 0 under Python (é is \w, no
+# boundary) but 1 under the RE2 column kernel and the DuckDB oracle.
+# The column kernel and the oracle share RE2, so the per-row twin
+# conforms to THEM.
 TOXIC_RE = re.compile(
-    r"\b(" + "|".join(TOXIC_LEXICON) + r")\b", re.IGNORECASE
+    r"\b(" + "|".join(TOXIC_LEXICON) + r")\b", re.IGNORECASE | re.ASCII
 )
 
 

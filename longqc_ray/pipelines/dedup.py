@@ -328,6 +328,13 @@ _EMPTY_VERIFIED = pa.table({
 })
 
 
+# Above this many expected pair-endpoint ids the collected endpoint
+# array stops being broadcastable (same 40 MB int64 budget as
+# FILTER_KEYS_BROADCAST_CAP) and the signature pre-filter switches
+# from a map-side ``is_in`` to an endpoint semi-join.
+SIG_ENDPOINT_BROADCAST_CAP = 5_000_000
+
+
 def _verify_pairs_distributed(
     ds: rd.Dataset,
     sig_ds: rd.Dataset,
@@ -336,16 +343,23 @@ def _verify_pairs_distributed(
     text_col: str,
     tau: float,
     n_parts: int,
+    n_pairs: int | None = None,
 ) -> rd.Dataset:
     """Distributed candidate verify — the scale twin of the driver-side
     estimate+exact pass (the round-4 verdict's last scale-killer; the
     reference's analogous stage is the streaming overlap pipeline,
     lqmap.c:752-856). Pairs stay a Dataset end-to-end:
 
-    1. both MinHash signatures are attached via two bounded hash
-       co-group joins (Acero carries them as fixed-width ``binary`` —
-       512 B/row; Acero rejects list payloads) and the Jaccard
-       ESTIMATE prefilter drops far pairs inside the join partitions;
+    1. the corpus signature set is pre-filtered to PAIR ENDPOINTS
+       (only endpoint ids can match the inner joins below) — map-side
+       ``is_in`` against a broadcast endpoint array when the 2×n_pairs
+       bound fits ``SIG_ENDPOINT_BROADCAST_CAP``, else one endpoint
+       semi-join — so neither signature join ever shuffles
+       corpus-sized payload; both signatures are then attached via two
+       endpoint-bounded hash co-group joins (Acero carries them as
+       fixed-width ``binary`` — 512 B/row; Acero rejects list
+       payloads) and the Jaccard ESTIMATE prefilter drops far pairs
+       inside the join partitions;
     2. shingle SETS are computed once per surviving endpoint — a
        semi-join of the corpus against the endpoint id set (narrow
        int64 shuffle; no driver ``value_set`` broadcast), packed as
@@ -357,10 +371,44 @@ def _verify_pairs_distributed(
        bit-identical to the driver path's ``np.intersect1d``,
        pinned in tests).
 
-    Nothing corpus- or candidate-sized ever collects to the driver;
-    every shuffle moves (int64, int64) pair rows or pair+payload rows
-    bounded by the estimate survivor count."""
-    from .util import hash_anti_semi_join, hash_join
+    Nothing corpus-sized ever collects to the driver, and nothing
+    candidate-sized does either except the ≤40 MB endpoint-id array on
+    the broadcast branch (the semi-join branch above the cap collects
+    nothing); every shuffle moves (int64, int64) pair rows or
+    pair+payload rows bounded by endpoint / estimate-survivor counts."""
+    from .util import hash_anti_semi_join, hash_join, scale_cap
+
+    def endpoint_rows(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "need_id": pa.array(np.unique(np.concatenate([a, b])), pa.int64())
+        })
+
+    # pairs feeds the endpoint pre-filter AND the joins: materialize
+    # once (distinct (int64, int64) rows — bounded)
+    pairs = pairs.materialize()
+
+    cap = scale_cap("SIG_ENDPOINT_BROADCAST", SIG_ENDPOINT_BROADCAST_CAP)
+    if n_pairs is not None and 2 * n_pairs <= cap:
+        need_np = np.unique(
+            pairs.map_batches(endpoint_rows, batch_format="pyarrow")
+            .to_pandas()["need_id"].to_numpy()
+        )
+        need_ids = pa.array(need_np, pa.int64())
+        sig_need = sig_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column(id_col), value_set=need_ids)),
+            batch_format="pyarrow",
+        )
+    else:
+        sig_need = hash_anti_semi_join(
+            sig_ds,
+            pairs.map_batches(endpoint_rows, batch_format="pyarrow"),
+            id_col, "need_id", semi=True, n_parts=n_parts,
+        )
+    # two consumers (sig_a / sig_b) — materialize the endpoint-bounded
+    # filtered set so the corpus scan runs once
+    sig_need = sig_need.materialize()
 
     def pack_sigs(new_id: str, new_col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -372,8 +420,8 @@ def _verify_pairs_distributed(
 
         return fn
 
-    sig_a = sig_ds.map_batches(pack_sigs("__ida", "__siga"), batch_format="pyarrow")
-    sig_b = sig_ds.map_batches(pack_sigs("__idb", "__sigb"), batch_format="pyarrow")
+    sig_a = sig_need.map_batches(pack_sigs("__ida", "__siga"), batch_format="pyarrow")
+    sig_b = sig_need.map_batches(pack_sigs("__idb", "__sigb"), batch_format="pyarrow")
     j = hash_join(
         pairs, sig_a, "a", "__ida", n_parts=n_parts,
         post=lambda t: t.drop_columns(["__ida"]),
@@ -393,14 +441,7 @@ def _verify_pairs_distributed(
     if surv.count() == 0:
         return rd.from_arrow(_EMPTY_VERIFIED)
 
-    def endpoints(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "need_id": pa.array(np.unique(np.concatenate([a, b])), pa.int64())
-        })
-
-    need = surv.map_batches(endpoints, batch_format="pyarrow")
+    need = surv.map_batches(endpoint_rows, batch_format="pyarrow")
     docs_cand = hash_anti_semi_join(
         ds, need, id_col, "need_id", semi=True, n_parts=n_parts
     )
@@ -410,10 +451,13 @@ def _verify_pairs_distributed(
         shs = [_shingle_hashes(x) for x in texts]
         lens = np.array([s.size for s in shs], np.int64)
         flat = np.concatenate(shs) if shs else np.empty(0, np.uint64)
-        offs = np.zeros(len(shs) + 1, dtype=np.int32)
-        offs[1:] = np.cumsum(lens * 8).astype(np.int32)
+        # large_binary (int64 offsets): a batch of long docs can carry
+        # >2 GiB of shingle hashes, where int32 offsets would wrap
+        # silently into corrupt Arrow offsets
+        offs = np.zeros(len(shs) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(lens * 8)
         arr = pa.Array.from_buffers(
-            pa.binary(), len(shs),
+            pa.large_binary(), len(shs),
             [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
         )
         return pa.table({id_col: t.column(id_col), "__sh": arr})
@@ -632,7 +676,7 @@ def minhash_near_dups(
         n_parts = scaled_parts(n_raw, rows_per_part=500_000)
         out = _verify_pairs_distributed(
             ds, sig_ds, _distinct_pairs_ds(raw, n_parts),
-            id_col, text_col, tau, n_parts,
+            id_col, text_col, tau, n_parts, n_pairs=n_raw,
         ).to_pandas()
         if out.empty:
             return empty

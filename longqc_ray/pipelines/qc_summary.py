@@ -141,7 +141,7 @@ def binned_quality_stats(labeled: rd.Dataset, bin_ms: int = DUR_BIN_MS):
 
     qres, gstats = grouped_quantile_disc(
         narrow, "dur_bin", "snr_db", [0.25, 0.5, 0.75],
-        with_stats=True, method="cont",
+        with_stats=True, method="cont", prematerialized=True,
     )
     if not qres:
         return pd.DataFrame({c: [] for c in _BINNED_COLS})

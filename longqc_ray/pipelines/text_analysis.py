@@ -37,7 +37,6 @@ TOKEN_PATTERN = r"[A-Za-z0-9']+"
 STOPWORD_PATTERN = r"\b(the|a|an|of|and|to|in|is|it|for|on|with|as|at|by)\b"
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
-_STOP_RE = re.compile(STOPWORD_PATTERN)
 
 
 # complement of TOKEN_PATTERN's char class — splitting on it yields

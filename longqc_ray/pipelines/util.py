@@ -285,21 +285,25 @@ def _part_hash(t: pa.Table, key: str, n_parts: int) -> np.ndarray:
     return (h % np.uint64(n_parts)).astype(np.int64)
 
 
-def _schema_of(ds: rd.Dataset) -> pa.Schema:
-    """Arrow schema of a dataset, robust to ZERO-ROW pipelines: Ray's
+def _schema_and_ds(ds: rd.Dataset) -> tuple[pa.Schema, rd.Dataset]:
+    """(schema, dataset) robust to ZERO-ROW pipelines: Ray's
     ``schema()`` infers via ``limit(1)``, so a dataset whose blocks all
     have 0 rows (a map over an empty partition — schema-carrying
-    blocks DO exist) comes back None. Fall back to reading the block
-    schemas directly; only genuinely row-less datasets take this
-    branch, so the extra execution is over empty blocks (trivial)."""
+    blocks DO exist) comes back None. The fallback MATERIALIZES the
+    dataset (0 rows — bounded) and reads block schemas from the
+    materialized refs, returning the materialized handle so the caller
+    consumes it WITHOUT re-running the lineage: a zero-row result can
+    still sit atop a corpus-wide scan+filter, which would otherwise
+    execute once for the probe, once here, and once downstream."""
     import ray
 
     sch = ds.schema()
     if sch is not None:
-        return sch.base_schema
+        return sch.base_schema, ds
+    ds = ds.materialize()
     for b in ray.get(ds.to_arrow_refs()):
         if b.num_columns:
-            return b.schema
+            return b.schema, ds
     raise ValueError("dataset has no schema (zero blocks and no columns)")
 
 
@@ -337,8 +341,10 @@ def hash_join(
     # joining passes the projection schema it just built; with both
     # schemas known the join keeps its output schema on empty input
     # (the _anchor_schema block below)
-    l_schema = l_schema if l_schema is not None else _schema_of(left)
-    r_schema = r_schema if r_schema is not None else _schema_of(right)
+    if l_schema is None:
+        l_schema, left = _schema_and_ds(left)
+    if r_schema is None:
+        r_schema, right = _schema_and_ds(right)
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     overlap = (set(l_cols) & set(r_cols)) - {left_key, right_key}
@@ -587,8 +593,8 @@ def asof_join(
     merge is exact; only projected columns shuffle, and ``n_parts``
     scales with the cluster exactly like ``hash_join``.
     """
-    l_schema = _schema_of(left)
-    r_schema = _schema_of(right)
+    l_schema, left = _schema_and_ds(left)
+    r_schema, right = _schema_and_ds(right)
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     overlap = (set(l_cols) & set(r_cols)) - {by}
@@ -727,7 +733,7 @@ def hash_anti_semi_join(
     entirely in Arrow — the pandas route would widen the null-padded
     int columns to float64 (corrupting left ints ≥ 2^53 and breaking
     legitimately-nullable int columns on the way back)."""
-    l_schema = _schema_of(left)
+    l_schema, left = _schema_and_ds(left)
     l_cols = list(l_schema.names)
 
     def tag_left(t: pa.Table) -> pa.Table:

@@ -244,15 +244,20 @@ def test_minhash_distributed_verify_equals_driver(ray_session, monkeypatch):
                     "text": pa.array(texts, pa.string())})
 
     drv = minhash_near_dups(rd.from_arrow(tbl), tau=0.8)
+    # distributed verify, broadcast endpoint pre-filter for the sigs
     monkeypatch.setenv("LONGQC_CAP_MINHASH_VERIFY_DRIVER", "0")
     dst = minhash_near_dups(rd.from_arrow(tbl), tau=0.8)
+    # distributed verify, endpoint SEMI-JOIN pre-filter (above-cap twin)
+    monkeypatch.setenv("LONGQC_CAP_SIG_ENDPOINT_BROADCAST", "0")
+    dsj = minhash_near_dups(rd.from_arrow(tbl), tau=0.8)
 
     def canon(df):
         return df.sort_values(["a", "b"], kind="stable").reset_index(drop=True)
 
-    a, b = canon(drv), canon(dst)
+    a, b, c = canon(drv), canon(dst), canon(dsj)
     assert len(a) > 0  # the corpus must exercise the verify for real
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+    pd.testing.assert_frame_equal(a, c, check_exact=True)
 
 
 def test_scale_cap_resolution(monkeypatch):
@@ -418,3 +423,74 @@ def test_binned_quality_stats_empty_input(ray_session, tiny_fixture_dir):
         rd.read_parquet(os.path.join(tiny_fixture_dir, "clips"))).limit(0)
     out = binned_quality_stats(labeled)
     assert len(out) == 0 and list(out.columns) == list(_BINNED_COLS)
+
+
+def test_ascii_boundary_semantics_match_re2():
+    """Per-row twins use re.ASCII so Python's \\b/\\d agree with the
+    RE2 column kernels (and the DuckDB oracle) on text where a lexicon
+    word or digit span abuts a NON-ASCII word character — previously
+    'gorrafexé' counted 0 per-row (é is \\w under Unicode re, no
+    boundary) but 1 in the column kernel."""
+    import pyarrow as pa_
+
+    texts = [
+        "gorrafexé and more",          # toxic word + non-ASCII \w char
+        "plain gorrafex here",          # ASCII boundary control
+        "ssn 123-45-6789é trailing",    # SSN + non-ASCII adjacency
+        "ssn 123-45-6789 ok",
+    ]
+    col = pa_.array(texts, pa_.string())
+
+    per_row_tox = [toxic_hits(t) for t in texts]
+    col_tox = toxic_hits_column(col).tolist()
+    assert per_row_tox == col_tox == [1, 1, 0, 0]
+
+    col_scrub, col_n = scrub_column(col)
+    for i, t in enumerate(texts):
+        s, n = scrub_text(t)
+        assert s == col_scrub[i].as_py()
+        assert n == int(col_n[i])
+
+
+def test_ts_queries_tz_aware_end_to_end(ray_session, tmp_path):
+    """tz-aware ts columns work END TO END (not just the footer-stats
+    guard): the ADVICE-r4 scenario — timestamp[us, tz=UTC] events —
+    must route through the aggregate fallback and produce the same
+    values as the naive twin (same instants)."""
+    import pyarrow.parquet as pq
+
+    import longqc_ray.pipelines.relational as rel
+    from longqc_ray.pipelines.util import parquet_ts_bounds
+
+    src = "/root/testdata/sf0.001"
+    t = pq.read_table(os.path.join(src, "events.parquet"))
+    idx = t.schema.get_field_index("ts")
+    t2 = t.set_column(
+        idx, pa.field("ts", pa.timestamp("us", tz="UTC")),
+        t.column("ts").cast(pa.timestamp("us", tz="UTC")),
+    )
+    d = str(tmp_path)
+    pq.write_table(t2, os.path.join(d, "events.parquet"))
+    for aux in os.listdir(src):
+        if aux != "events.parquet":
+            os.symlink(os.path.join(src, aux), os.path.join(d, aux))
+
+    # footer stats are unusable for tz-aware → documented None fallback
+    assert parquet_ts_bounds(d, "events", "ts") is None
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime64"):
+                df = df.assign(
+                    **{c: pd.to_datetime(df[c], utc=True).dt.tz_localize(None)})
+        return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+    for name in ("user_gap_profile", "user_activity_intervals",
+                 "event_window_range_join"):
+        fn = getattr(rel, name)
+        a, b = fn(src), fn(d)
+        a = a.to_pandas() if hasattr(a, "to_pandas") else a
+        b = b.to_pandas() if hasattr(b, "to_pandas") else b
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(canon(a), canon(b), check_dtype=False)
