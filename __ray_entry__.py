@@ -21,7 +21,7 @@ from typing import Any
 
 from longqc_ray.kernels.pii import PII_PATTERNS
 from longqc_ray.kernels.text import BPE_ISH_RE
-from longqc_ray.kernels.toxicity import TOXIC_LEXICON
+from longqc_ray.kernels.toxicity import TOXIC_RE2_PATTERN
 from longqc_ray.pipelines.text_analysis import STOPWORD_PATTERN, TOKEN_PATTERN
 
 SF001 = "/root/testdata/sf0.001"
@@ -175,14 +175,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_semi_join": relational.sample_semi_join,  # J2, typed-empty guard r5
         "deterministic_sample": relational.deterministic_sample,  # O1
         "nation_revenue": relational.nation_revenue,  # broadcast join
+        # slot 50 — the r5 rotation freed one net slot, so this stays
+        # in-window (it was listed as rotated out, but only 49 entries
+        # preceded the marker; the marker now sits at the true boundary)
+        "salient_terms_per_source": text_analysis.salient_terms_per_source,  # exact-ratio tf-idf, green r3+r4
         # ---------------- position 51+ below this line ----------------
         # (every entry here is either green in at least TWO rounds with
         # its code path untouched since, or gated by pytest pins, so
         # losing a driver slot costs no information; rotated out r5:
-        # salient_terms_per_source / doc_corpus_stats /
-        # hopping_window_stats / corr_quantity_price — all green r3+r4,
-        # their specific code paths untouched this round)
-        "salient_terms_per_source": text_analysis.salient_terms_per_source,  # exact-ratio tf-idf, green r3+r4
+        # doc_corpus_stats / hopping_window_stats / corr_quantity_price
+        # — all green r3+r4, their specific code paths untouched this
+        # round)
         "doc_corpus_stats": relational.doc_corpus_stats,  # A1, green r3+r4
         "hopping_window_stats": relational.hopping_window_stats,  # §2.9, green r3+r4, window kernels untouched r5
         "corr_quantity_price": relational.corr_quantity_price,  # Pearson agg, green r3+r4, untouched r5
@@ -217,12 +220,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # SQL twins. Shared pattern strings are interpolated from the kernel
-# modules (PII_PATTERNS, TOXIC_LEXICON, TOKEN_PATTERN) — RE2-compatible
+# modules (PII_PATTERNS, TOXIC_RE2_PATTERN, TOKEN_PATTERN) — RE2-compatible
 # by construction, so Python `re` and DuckDB agree.
 _EMAIL = PII_PATTERNS[0][1]
 _SSN = PII_PATTERNS[1][1]
 _PHONE = PII_PATTERNS[2][1]
-_TOX = r"\b(" + "|".join(TOXIC_LEXICON) + r")\b"
+# the engine's exact pattern: explicit [cC] classes, no case-fold
+# flag, so Python re / Arrow RE2 / DuckDB RE2 match byte-identically
+_TOX = TOXIC_RE2_PATTERN
 _TOK = TOKEN_PATTERN.replace("'", "''")
 _STOP = STOPWORD_PATTERN
 
@@ -999,7 +1004,7 @@ def oracle_sql() -> dict[str, str]:
         "toxicity_docs": f"""
             SELECT doc_id, n_toxic, n_toxic > 0 AS toxic FROM (
                 SELECT doc_id,
-                       CAST(length(regexp_extract_all(lower(text), '{_TOX}')) AS BIGINT) AS n_toxic
+                       CAST(length(regexp_extract_all(text, '{_TOX}')) AS BIGINT) AS n_toxic
                 FROM documents)
         """,
         # fuzzy span matching: min windowed Levenshtein vs the probe,

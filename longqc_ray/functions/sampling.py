@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from ..kernels.text import _fnv1a_64_np, fnv1a_64, fnv1a_64_strs  # noqa: F401
+from ..kernels.text import fnv1a_64_strs
 
 
 def hash_priority(keys: list[str]) -> np.ndarray:

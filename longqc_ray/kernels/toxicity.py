@@ -27,25 +27,32 @@ TOXIC_LEXICON: tuple[str, ...] = (
     "vilethorp",
 )
 
-# re.ASCII pins Python's \b to RE2's byte/ASCII word-boundary
-# semantics: without it a lexicon word abutting a non-ASCII word
-# character (e.g. "gorrafexé") counts 0 under Python (é is \w, no
-# boundary) but 1 under the RE2 column kernel and the DuckDB oracle.
-# The column kernel and the oracle share RE2, so the per-row twin
-# conforms to THEM.
-TOXIC_RE = re.compile(
-    r"\b(" + "|".join(TOXIC_LEXICON) + r")\b", re.IGNORECASE | re.ASCII
+def _nocase_ascii(word: str) -> str:
+    """ASCII-only case-insensitive spelling: [bB][lL]... classes.
+
+    Engine case-folding flags diverge on Unicode (RE2 ``(?i)`` and
+    DuckDB ``lower()`` simple-fold U+212A KELVIN SIGN -> k and
+    U+017F LONG S -> s; Python ``re.IGNORECASE|re.ASCII`` does not),
+    so the shared pattern spells the fold out and uses NO flag —
+    byte-identical matches under Python re, Arrow RE2 and DuckDB RE2.
+    """
+    return "".join(f"[{c}{c.upper()}]" if c.isalpha() else re.escape(c)
+                   for c in word)
+
+
+# One pattern string for all three engines. \b stays ASCII on every
+# engine via re.ASCII on the Python side (RE2's \b is ASCII-only), so
+# a lexicon word abutting a non-ASCII word character (e.g.
+# "gorrafexé") counts identically everywhere.
+TOXIC_PATTERN = (
+    r"\b(?:" + "|".join(_nocase_ascii(w) for w in TOXIC_LEXICON) + r")\b"
 )
+TOXIC_RE = re.compile(TOXIC_PATTERN, re.ASCII)
+TOXIC_RE2_PATTERN = TOXIC_PATTERN  # RE2-compatible verbatim
 
 
 def toxic_hits(text: str) -> int:
     return len(TOXIC_RE.findall(text))
-
-
-# RE2 spelling of TOXIC_RE for Arrow's count_substring_regex (inline
-# (?i) instead of re.IGNORECASE; the pattern body is RE2-compatible —
-# plain alternation + \b, same as the DuckDB oracle's regexp spec).
-TOXIC_RE2_PATTERN = r"(?i)\b(" + "|".join(TOXIC_LEXICON) + r")\b"
 
 
 def toxic_hits_column(col):

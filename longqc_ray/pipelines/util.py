@@ -399,10 +399,10 @@ def hash_join(
         return post(out) if post is not None else out
 
     out_ds = both.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
-    return _anchor_schema(out_ds, _tagged_empty(l_schema, r_schema, l_cols), merge_part)
+    return _anchor_schema(out_ds, _tagged_empty(l_schema, r_schema), merge_part)
 
 
-def _tagged_empty(l_schema: pa.Schema, r_schema: pa.Schema, l_cols: list[str]) -> pa.Table:
+def _tagged_empty(l_schema: pa.Schema, r_schema: pa.Schema) -> pa.Table:
     """Zero-row table with the tagged-union superset schema (sorted
     columns + __part/__side), for driving a merge fn once on the
     driver to learn its OUTPUT schema."""
@@ -630,7 +630,7 @@ def asof_join(
     )
     return asof_merge_tagged(
         both, l_cols, r_cols, by, left_on, right_on, int_cols,
-        anchor_empty=_tagged_empty(l_schema, r_schema, l_cols),
+        anchor_empty=_tagged_empty(l_schema, r_schema),
     )
 
 
@@ -772,7 +772,7 @@ def hash_anti_semi_join(
         return out.select(l_cols)
 
     out_ds = both.groupby("__part").map_groups(per_part, batch_format="pyarrow")
-    return _anchor_schema(out_ds, _tagged_empty(l_schema, l_schema, l_cols), per_part)
+    return _anchor_schema(out_ds, _tagged_empty(l_schema, l_schema), per_part)
 
 
 def hash_grouped_sum(

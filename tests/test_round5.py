@@ -73,6 +73,31 @@ def test_toxic_hits_column_equals_per_row():
     assert got.tolist() == [toxic_hits(t) for t in texts]
 
 
+def test_toxic_unicode_casefold_parity():
+    # Engine case-fold flags diverge on these (RE2 (?i) / DuckDB
+    # lower() simple-fold KELVIN SIGN and LONG S into ASCII; Python
+    # re.IGNORECASE|re.ASCII does not). The shared pattern spells the
+    # fold as [cC] classes, so all engines must agree: no match.
+    texts = [
+        "drubnicKle",   # KELVIN SIGN for k
+        "blaſturk",     # LONG S for s
+        "gorrafexé",    # non-ASCII word char abutting — \b is ASCII
+        "DRUBNICKLE plain",  # plain ASCII upper still matches
+    ]
+    per_row = [toxic_hits(t) for t in texts]
+    col = toxic_hits_column(pa.array(texts)).tolist()
+    assert per_row == col == [0, 0, 1, 1]
+    import duckdb
+
+    from longqc_ray.kernels.toxicity import TOXIC_RE2_PATTERN
+
+    sql = duckdb.sql(
+        "SELECT length(regexp_extract_all(t, ?)) FROM (SELECT unnest(?) AS t)",
+        params=[TOXIC_RE2_PATTERN, texts],
+    ).fetchall()
+    assert [r[0] for r in sql] == per_row
+
+
 def test_hash_priority_vectorized_bit_equal():
     from longqc_ray.functions.sampling import hash_priority
 
