@@ -214,3 +214,22 @@ def test_window_rms_profile_runs(tiny_fixture_dir):
     ok = df[df["n_windows"] > 0]
     assert len(ok) > 0
     assert (ok["max_window_rms"] >= ok["mean_window_rms"]).all()
+
+
+def test_snr_row_twins_bit_equal_at_subcap_lengths():
+    """The equal-length group batching in compute_features feeds
+    _snr_db_rows/_active_frac_rows matrices of ANY length >= frame_len
+    (not just the analysis cap) — pin bit-equality to the per-row
+    kernels at several sub-cap lengths, odd ones included."""
+    from longqc_ray.kernels.audio import active_frame_frac, estimate_snr_db
+    from longqc_ray.stages.features import _active_frac_rows, _snr_db_rows
+
+    rng = np.random.default_rng(7)
+    for length in (1024, 3200, 4097, 6400, 8192):
+        mat = (rng.standard_normal((5, length)) * 0.2).astype(np.float32)
+        mat[2] *= 0.0  # silent row: noise<=0 branch
+        snr_b = _snr_db_rows(mat, 8)
+        frac_b = _active_frac_rows(mat, 1024, 0.01)
+        for j in range(mat.shape[0]):
+            assert snr_b[j] == estimate_snr_db(mat[j], 8192, 8)
+            assert frac_b[j] == active_frame_frac(mat[j], 1024, 0.01, 8192)
