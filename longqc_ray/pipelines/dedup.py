@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from .util import table
+from .util import concat_blocks, table
 
 MERSENNE_P = (1 << 61) - 1
 N_PERM = 64
@@ -53,10 +53,15 @@ HAMMING_MAX = 3
 # ---------------------------------------------------------------- shingles
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct hashed char k-gram shingles (uint64) of a lowercased text."""
+    """Distinct hashed char k-gram shingles (uint64) of a lowercased text.
+
+    Texts shorter than ``k`` bytes have NO shingles — an EMPTY array,
+    matching the SQL twin (``range(1, length-k+2)`` is empty), so two
+    distinct short docs verify at Jaccard 0, never 1. (A previous
+    sentinel ``{0}`` made every pair of short docs an exact dup.)"""
     b = np.frombuffer(text.lower().encode("utf-8", "replace"), dtype=np.uint8)
     if b.size < k:
-        return np.zeros(1, dtype=np.uint64)
+        return np.empty(0, dtype=np.uint64)
     win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
     h = np.full(win.shape[0], np.uint64(0xCBF29CE484222325), dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -76,6 +81,12 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     multiply-shift hash a*x+b mod 2^64 (natural uint64 wraparound —
     the standard fast min-wise family in practice)."""
     sh = shingles[:2048]  # per-row work cap (COVT analogue)
+    if sh.size == 0:
+        # shingle-less (sub-k) text: constant sentinel signature. Such
+        # docs may LSH-bucket together, but the verify stage sees their
+        # true EMPTY shingle sets → Jaccard 0 → no pair emitted (every
+        # jaccard kernel defines union==0 as 0.0), matching the SQL twin.
+        return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
     with np.errstate(over="ignore"):
         vals = _PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]
     return vals.min(axis=1)
@@ -157,6 +168,12 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
     out = hash_grouped_agg(
         ds.map_batches(fp, batch_format="pyarrow", batch_size=4096),
         keys=["fp", "fp2"], mins=("doc_id",), count_alias="n_copies",
+        # empty corpus → zero groups → zero-block dataset; the anchor
+        # keeps the columns so the astype/select below never KeyError
+        anchor_schema=pa.schema([
+            ("fp", pa.int64()), ("fp2", pa.int64()),
+            ("doc_id", pa.int64()), ("n_copies", pa.int64()),
+        ]),
     ).to_pandas()
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["n_copies"] = out["n_copies"].astype(np.int64)
@@ -578,6 +595,13 @@ def connected_components_lp(pairs: rd.Dataset, max_iters: int = 64) -> rd.Datase
         })
 
     edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    # partition count follows the GRAPH size (this operator exists for
+    # graphs too big for the driver — a fixed 8 would make each
+    # per-partition join task hold |E|/8 rows); count() on the
+    # materialized edges is metadata-only
+    from .util import scaled_parts
+
+    n_parts = scaled_parts(edges.count())
     def to_arrow(t: pa.Table) -> pa.Table:
         return t  # identity pass pins Arrow block type for union()
 
@@ -586,7 +610,7 @@ def connected_components_lp(pairs: rd.Dataset, max_iters: int = 64) -> rd.Datase
     labels = (
         hash_grouped_agg(
             pairs.map_batches(seed, batch_format="pyarrow"),
-            keys=["node"], mins=("label",), n_parts=8,
+            keys=["node"], mins=("label",), n_parts=n_parts,
         )
         .map_batches(to_arrow, batch_format="pyarrow")
         .materialize()
@@ -601,7 +625,7 @@ def connected_components_lp(pairs: rd.Dataset, max_iters: int = 64) -> rd.Datase
                 lambda t: pa.table({"src_l": t.column("node"), "l": t.column("label")}),
                 batch_format="pyarrow",
             ),
-            "src", "src_l", n_parts=8,
+            "src", "src_l", n_parts=n_parts,
         ).map_batches(
             lambda t: pa.table({"node": t.column("dst"), "label": t.column("l")}),
             batch_format="pyarrow",
@@ -616,7 +640,7 @@ def connected_components_lp(pairs: rd.Dataset, max_iters: int = 64) -> rd.Datase
                 lambda t: pa.table({"n2": t.column("node"), "l2": t.column("label")}),
                 batch_format="pyarrow",
             ),
-            "l1", "n2", n_parts=8,
+            "l1", "n2", n_parts=n_parts,
         ).map_batches(
             lambda t: pa.table({"node": t.column("v"), "label": t.column("l2")}),
             batch_format="pyarrow",
@@ -624,7 +648,7 @@ def connected_components_lp(pairs: rd.Dataset, max_iters: int = 64) -> rd.Datase
         labels = (
             hash_grouped_agg(
                 labels.union(neigh).union(jump),
-                keys=["node"], mins=("label",), n_parts=8,
+                keys=["node"], mins=("label",), n_parts=n_parts,
             )
             .map_batches(to_arrow, batch_format="pyarrow")
             .materialize()
@@ -693,7 +717,7 @@ def minhash_near_dups(
     # gather+mean over all pairs, and only near-threshold survivors
     # pay the exact set intersection. Sigs come from the materialized
     # sig dataset (Arrow refs, no pandas object stacking).
-    sig_tbl = pa.concat_tables(
+    sig_tbl = concat_blocks(
         ray.get(
             sig_ds.map_batches(
                 lambda t: t.filter(pc.is_in(t.column(id_col), value_set=cand_ids)),
@@ -735,7 +759,7 @@ def minhash_near_dups(
             ),
         })
 
-    sh_tbl = pa.concat_tables(
+    sh_tbl = concat_blocks(
         ray.get(ds.map_batches(fetch_shingles, batch_format="pyarrow").to_arrow_refs())
     )
     sh = {
@@ -867,10 +891,14 @@ def simhash_docs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
 
-def simhash_near_dups(sf_dir: str, hamming_max: int = HAMMING_MAX) -> pd.DataFrame:
-    """Near-dup pairs by SimHash: banded pigeonhole buckets (any pair
-    within Hamming ≤ 3 shares at least one of 4 16-bit bands), then
-    exact Hamming verify inside buckets."""
+def _simhash_pairs_ds(sf_dir: str, hamming_max: int = HAMMING_MAX) -> rd.Dataset:
+    """Verified SimHash near-dup pairs as a DATASET — banded pigeonhole
+    buckets (any pair within Hamming ≤ 3 shares at least one of 4
+    16-bit bands), exact Hamming verify inside bucket partitions, then
+    a distributed pair-distinct (a pair found by several bands dedupes
+    in a hash co-group, never on the driver). ``dup_components`` feeds
+    this straight into label propagation above the crossover, so the
+    pair graph never materializes driver-side on the scale path."""
     sh = simhash_docs(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -918,19 +946,49 @@ def simhash_near_dups(sf_dir: str, hamming_max: int = HAMMING_MAX) -> pd.DataFra
             "hamming": pa.array(hm, pa.int64()),
         })
 
-    pairs = (
+    raw = (
         sh.map_batches(explode, batch_format="pyarrow")
         .map_batches(_add_bucket_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(pairs_of_part, batch_format="pyarrow")
-        .to_pandas()
     )
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).view(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                b * np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+        return t.append_column(
+            "__pp", pa.array((h % np.uint64(N_BUCKET_PARTS)).astype(np.int64), pa.int64())
+        )
+
+    def distinct(g: pa.Table) -> pa.Table:
+        # every copy of a pair carries the SAME hamming (it is a
+        # function of the pair), so min() just picks that value
+        out = g.group_by(["a", "b"]).aggregate([("hamming", "min")])
+        return out.select(["a", "b", "hamming_min"]).rename_columns(
+            ["a", "b", "hamming"]
+        )
+
+    return (
+        raw.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+
+def simhash_near_dups(sf_dir: str, hamming_max: int = HAMMING_MAX) -> pd.DataFrame:
+    """Near-dup pairs by SimHash (small-result collect of
+    ``_simhash_pairs_ds`` — pairs arrive already distinct)."""
+    pairs = _simhash_pairs_ds(sf_dir, hamming_max).to_pandas()
     if pairs.empty:
         return pd.DataFrame({
             "a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
             "hamming": np.empty(0, np.int64),
         })
-    return pairs.drop_duplicates(ignore_index=True)
+    return pairs[["a", "b", "hamming"]]
 
 
 def ngram_jaccard_pairs(sf_dir: str, tau: float = JACCARD_TAU) -> pd.DataFrame:
@@ -955,21 +1013,27 @@ def dup_components(sf_dir: str, lp_min_pairs: int = LP_MIN_PAIRS) -> rd.Dataset:
     label propagation pays a FIXED ~4-6 shuffle rounds regardless of
     graph size (measured 26.8 s on a few-hundred-edge graph where
     union-find takes milliseconds). Above it, the pair frame no longer
-    belongs on the driver and ``connected_components_lp`` takes over;
-    both engines' outputs are pinned equal in tests."""
-    pairs = simhash_near_dups(sf_dir)
-    if pairs.empty:
+    belongs on the driver and ``connected_components_lp`` takes over —
+    fed the pair DATASET directly (the crossover decision needs only
+    ``count()`` on the materialized pairs, so above the cap the graph
+    never touches the driver); both engines' outputs are pinned equal
+    in tests."""
+    from .util import scale_cap
+
+    pairs_ds = _simhash_pairs_ds(sf_dir).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return rd.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "label": pa.array([], pa.int64()),
         }))
-    from .util import scale_cap
-
-    if len(pairs) >= scale_cap("LP_MIN_PAIRS", lp_min_pairs):
-        return connected_components_lp(rd.from_arrow(pa.table({
-            "a": pa.array(pairs["a"].to_numpy(), pa.int64()),
-            "b": pa.array(pairs["b"].to_numpy(), pa.int64()),
-        })))
+    if n_pairs >= scale_cap("LP_MIN_PAIRS", lp_min_pairs):
+        return connected_components_lp(
+            pairs_ds.map_batches(
+                lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+            )
+        )
+    pairs = pairs_ds.to_pandas()
     comp = _connected_components(pairs[["a", "b"]])
     nodes = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
     labels = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))

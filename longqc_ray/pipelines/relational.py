@@ -826,7 +826,6 @@ def purchase_click_asof(sf_dir: str) -> rd.Dataset:
         l_cols=["event_id", "user_id", "ts"],
         r_cols=["click_event_id", "user_id", "click_ts"],
         by="user_id", left_on="ts", right_on="click_ts",
-        int_cols=["event_id", "click_event_id"],
         anchor_empty=pa.schema(
             [(n, _types[n]) for n in sorted(_types)]
         ).empty_table(),

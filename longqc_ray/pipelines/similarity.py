@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .util import table
+from .util import concat_blocks, table
 
 TOP_K = 5
 N_QUERIES = 10
@@ -52,7 +52,7 @@ def _collect_where(sf_dir: str, pred) -> pa.Table:
         lambda t: t.filter(pred(t.column("vec_id"))), batch_format="pyarrow"
     )
     refs = ds.to_arrow_refs()
-    return pa.concat_tables([ray.get(r) for r in refs])
+    return concat_blocks([ray.get(r) for r in refs])
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -778,7 +778,7 @@ def embedding_near_dups_lsh(
 
     # exact-cosine verify over a pruned re-read of candidate ids only
     need = pa.array(np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])), pa.int64())
-    tbl = pa.concat_tables(ray.get(
+    tbl = concat_blocks(ray.get(
         ds.map_batches(
             lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=need)),
             batch_format="pyarrow",

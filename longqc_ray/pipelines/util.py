@@ -119,8 +119,25 @@ def table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if not os.path.isdir(path) and pq.read_metadata(path).num_rows == 0:
-        schema = pq.read_schema(path)
+    first_file = path
+    all_empty = False
+    if os.path.isdir(path):
+        import glob
+
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        # cheap short-circuit: any non-empty file already yields blocks
+        # that carry the schema; only an ALL-empty directory loses it.
+        # Footer reads stop at the first non-empty file, so the common
+        # path costs one footer.
+        if files:
+            first_file = files[0]
+            all_empty = all(pq.read_metadata(f).num_rows == 0 for f in files)
+    else:
+        all_empty = pq.read_metadata(path).num_rows == 0
+    if all_empty:
+        schema = pq.read_schema(first_file)
         if columns:
             schema = pa.schema([schema.field(c) for c in columns])
         return rd.from_arrow(schema.empty_table())
@@ -274,6 +291,16 @@ def _part_hash(t: pa.Table, key: str, n_parts: int) -> np.ndarray:
 
     col = t.column(key)
     if pa.types.is_integer(col.type):
+        # null-safe: to_numpy on a nullable int column detours through
+        # float64+NaN, silently corrupting keys >= 2^53 and casting
+        # NaN undefined. Fill nulls with 0 first (null keys co-partition
+        # with 0; join correctness is unaffected — null keys never
+        # match inside the per-partition Acero join anyway) so the
+        # conversion stays in the integer domain.
+        if col.null_count:
+            import pyarrow.compute as pc_
+
+            col = pc_.fill_null(col, 0)
         k = col.to_numpy(zero_copy_only=False).astype(np.int64)
         with np.errstate(over="ignore"):
             h = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
@@ -283,6 +310,34 @@ def _part_hash(t: pa.Table, key: str, n_parts: int) -> np.ndarray:
     else:
         h = fnv1a_64_strs([str(v) for v in col.to_pylist()])
     return (h % np.uint64(n_parts)).astype(np.int64)
+
+
+def concat_blocks(blocks: list[pa.Table]) -> pa.Table:
+    """``pa.concat_tables`` robust to Ray's zero-COLUMN empty blocks
+    (the ``table()`` zero-row contract: a block whose rows all filter
+    out is serialized column-less, and one such block next to real
+    blocks makes ``concat_tables`` raise a schema mismatch). Drops
+    column-less blocks; raises a CLEAR error when every block is empty
+    — the callers' candidate ids come from the same table they
+    re-read, so an all-empty collect is an invariant violation, not a
+    valid result."""
+    keep = [b for b in blocks if b.num_columns]
+    if not keep:
+        raise ValueError(
+            "filtered collect returned no rows in any block — candidate "
+            "ids absent from their source table"
+        )
+    return pa.concat_tables(keep)
+
+
+def add_part_column(t: pa.Table, keys: list[str], n_parts: int) -> pa.Table:
+    """Append ``__part`` = xor-combined per-key partition id — the one
+    shared spelling for final_sum / hash_grouped_sum / hash_grouped_agg
+    (a partition-scheme fix must land in exactly one place)."""
+    h = _part_hash(t, keys[0], n_parts)
+    for k in keys[1:]:
+        h = h ^ _part_hash(t, k, n_parts)
+    return t.append_column("__part", pa.array(h % n_parts, pa.int64()))
 
 
 def _schema_and_ds(ds: rd.Dataset) -> tuple[pa.Schema, rd.Dataset]:
@@ -347,7 +402,19 @@ def hash_join(
         r_schema, right = _schema_and_ds(right)
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
-    overlap = (set(l_cols) & set(r_cols)) - {left_key, right_key}
+    # key existence first, so a typo'd key reports as a key error,
+    # not as a column overlap
+    if left_key not in l_cols:
+        raise KeyError(f"partition key column {left_key!r} not in {l_cols}")
+    if right_key not in r_cols:
+        raise KeyError(f"partition key column {right_key!r} not in {r_cols}")
+    # a shared name is only legal when it IS the join key on BOTH
+    # sides: subtracting {left_key, right_key} would also excuse e.g.
+    # a right-side payload column named like the LEFT key, which then
+    # dies later inside the per-partition Acero join with an opaque
+    # duplicate-field error instead of this upfront ValueError
+    allowed = {left_key} if left_key == right_key else set()
+    overlap = (set(l_cols) & set(r_cols)) - allowed
     if overlap:
         raise ValueError(f"overlapping non-key columns: {overlap}")
     # union needs one schema: superset with nulls for the other side
@@ -504,7 +571,6 @@ def asof_merge_tagged(
     by: str,
     left_on: str,
     right_on: str,
-    int_cols: list[str] | None = None,
     anchor_empty: pa.Table | None = None,
 ) -> rd.Dataset:
     """Partitioned backward as-of merge over a pre-tagged union.
@@ -530,9 +596,9 @@ def asof_merge_tagged(
     trick) gives every left row its latest right row with
     right_on ≤ left_on. Ties among equal right times resolve to the
     LAST in input order — bit-identical to the stable-sorted
-    ``merge_asof`` it replaced (oracle-checked). ``int_cols`` is kept
-    for API compatibility; types now survive untouched via Arrow
-    ``take``. Blocks stay Arrow for downstream operators."""
+    ``merge_asof`` it replaced (oracle-checked); types survive
+    untouched via Arrow ``take``. Blocks stay Arrow for downstream
+    operators."""
     import pandas as pd
 
     out_r = [c for c in r_cols if c != by]
@@ -604,14 +670,6 @@ def asof_join(
         "l": [(n, r_schema.field(n).type) for n in r_cols if n != by],
         "r": [(n, l_schema.field(n).type) for n in l_cols if n != by],
     }
-    # integer columns become float64 in the unioned pandas frame
-    # (null-padding from the other side); restore after the inner merge
-    int_cols = [
-        n for n in set(l_cols + r_cols)
-        if n != by
-        and pa.types.is_integer((l_schema if n in l_cols else r_schema).field(n).type)
-    ]
-
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
             h = _part_hash(t, by, n_parts)
@@ -629,7 +687,7 @@ def asof_join(
         right.map_batches(tag("r"), batch_format="pyarrow")
     )
     return asof_merge_tagged(
-        both, l_cols, r_cols, by, left_on, right_on, int_cols,
+        both, l_cols, r_cols, by, left_on, right_on,
         anchor_empty=_tagged_empty(l_schema, r_schema),
     )
 
@@ -675,10 +733,7 @@ def final_sum(
     total_cols = [f"{c}_total" for c in sum_cols] + ["n_total"]
 
     def add_part(t: pa.Table) -> pa.Table:
-        h = _part_hash(t, keys[0], n_parts)
-        for k in keys[1:]:
-            h = h ^ _part_hash(t, k, n_parts)
-        return t.append_column("__part", pa.array(h % n_parts, pa.int64()))
+        return add_part_column(t, list(keys), n_parts)
 
     def agg_part(g: pa.Table) -> pa.Table:
         out = g.group_by(keys).aggregate([(c, "sum") for c in part_cols])
@@ -790,10 +845,7 @@ def hash_grouped_sum(
     partials), so the shuffle moves ~distinct-keys-per-block rows."""
 
     def add_part(t: pa.Table) -> pa.Table:
-        h = _part_hash(t, keys[0], n_parts)
-        for k in keys[1:]:
-            h = h ^ _part_hash(t, k, n_parts)
-        return t.append_column("__part", pa.array(h % n_parts, pa.int64()))
+        return add_part_column(t, list(keys), n_parts)
 
     def agg_part(g: pa.Table) -> pa.Table:
         out = g.group_by(keys).aggregate([(val_col, "sum")])
@@ -815,6 +867,7 @@ def hash_grouped_agg(
     sums: tuple[str, ...] = (),
     count_alias: str | None = None,
     n_parts: int = 16,
+    anchor_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Grouped MIN / SUM / COUNT via the bounded hash co-group — the
     multi-aggregate sibling of ``hash_grouped_sum`` for the dedup
@@ -827,7 +880,13 @@ def hash_grouped_agg(
 
     ``mins``/``sums`` take column names (output keeps the name) or a
     {column: output_alias} dict — required when one column is both
-    min'd and summed."""
+    min'd and summed.
+
+    ``anchor_schema``: zero groups yield a zero-BLOCK dataset (Ray
+    drops empty blocks — the ``table()`` contract), so ``to_pandas``
+    on an empty corpus loses the columns; callers that know their
+    output schema pass it here and get one typed empty anchor block
+    unioned on, exactly like the join family's ``_anchor_schema``."""
     mins = dict(mins) if isinstance(mins, dict) else {c: c for c in mins}
     sums = dict(sums) if isinstance(sums, dict) else {c: c for c in sums}
     out_names = (
@@ -851,10 +910,7 @@ def hash_grouped_agg(
         return out.select(sel).rename_columns(out_names)
 
     def add_part(t: pa.Table) -> pa.Table:
-        h = _part_hash(t, keys[0], n_parts)
-        for k in keys[1:]:
-            h = h ^ _part_hash(t, k, n_parts)
-        return t.append_column("__part", pa.array(h % n_parts, pa.int64()))
+        return add_part_column(t, list(keys), n_parts)
 
     def agg_part(g: pa.Table) -> pa.Table:
         aggs = [(a, "min") for a in mins.values()] + [
@@ -870,9 +926,12 @@ def hash_grouped_agg(
         )
         return out.select(sel).rename_columns(out_names)
 
-    return (
+    out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(agg_part, batch_format="pyarrow")
     )
+    if anchor_schema is not None:
+        out = out.union(rd.from_arrow(anchor_schema.empty_table()))
+    return out

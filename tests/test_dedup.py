@@ -174,3 +174,31 @@ def test_chunk_dedup_planted(tmp_path):
     assert df.loc[11, "clean_text"] == u2 and int(df.loc[11, "n_removed"]) == 1
     assert df.loc[12, "clean_text"] == u3 + " tail words"
     assert int(df.loc[12, "n_chunks"]) == 2 and int(df.loc[12, "n_removed"]) == 0
+
+
+def test_short_texts_are_not_near_dups():
+    """Texts shorter than k=5 have NO shingles (matching the SQL twin,
+    where range(1, length-3) is empty) — two distinct short docs must
+    NOT verify as Jaccard-1.0 duplicates. A previous sentinel shingle
+    set {0} made 'cat' and 'dog' exact near-dups."""
+    import numpy as np
+
+    from longqc_ray.pipelines.dedup import (
+        _shingle_hashes,
+        exact_jaccard,
+        minhash_signature,
+        minhash_signature_batch,
+    )
+
+    assert _shingle_hashes("cat").size == 0
+    assert exact_jaccard("cat", "dog") == 0.0
+    # identical short docs too: union of empty sets is 0 -> defined 0.0
+    # (exact duplicates are dedup_exact's job, not the shingle family's)
+    assert exact_jaccard("cat", "cat") == 0.0
+    # the signature path must not crash on shingle-less docs, and the
+    # sentinel must be constant (they may bucket together; the verify
+    # stage rejects them via the empty sets above)
+    sigs = minhash_signature_batch(["cat", "dog", "a much longer document body"])
+    assert np.array_equal(sigs[0], sigs[1])
+    assert not np.array_equal(sigs[0], sigs[2])
+    assert np.array_equal(sigs[0], minhash_signature(np.empty(0, np.uint64)))
