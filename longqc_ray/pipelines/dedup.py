@@ -891,14 +891,15 @@ def simhash_docs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
 
-def _simhash_pairs_ds(sf_dir: str, hamming_max: int = HAMMING_MAX) -> rd.Dataset:
-    """Verified SimHash near-dup pairs as a DATASET — banded pigeonhole
+def _simhash_pairs_raw(sf_dir: str, hamming_max: int = HAMMING_MAX) -> rd.Dataset:
+    """Verified SimHash near-dup pairs as a DATASET (RAW: a pair found
+    by several bands appears once per band) — banded pigeonhole
     buckets (any pair within Hamming ≤ 3 shares at least one of 4
-    16-bit bands), exact Hamming verify inside bucket partitions, then
-    a distributed pair-distinct (a pair found by several bands dedupes
-    in a hash co-group, never on the driver). ``dup_components`` feeds
-    this straight into label propagation above the crossover, so the
-    pair graph never materializes driver-side on the scale path."""
+    16-bit bands), exact Hamming verify inside bucket partitions.
+    Dedupe crosses over on the pair count: driver ``drop_duplicates``
+    below the cap (band copies are ≤ 4×, trivial at small scale),
+    ``_simhash_distinct_ds`` above it, so the pair graph never
+    materializes driver-side on the scale path."""
     sh = simhash_docs(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -946,12 +947,17 @@ def _simhash_pairs_ds(sf_dir: str, hamming_max: int = HAMMING_MAX) -> rd.Dataset
             "hamming": pa.array(hm, pa.int64()),
         })
 
-    raw = (
+    return (
         sh.map_batches(explode, batch_format="pyarrow")
         .map_batches(_add_bucket_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(pairs_of_part, batch_format="pyarrow")
     )
+
+
+def _simhash_distinct_ds(raw: rd.Dataset) -> rd.Dataset:
+    """Distributed distinct over raw (band-duplicated) simhash pairs:
+    hash co-group on the pair, one Arrow group_by per partition."""
 
     def add_pair_part(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False).view(np.uint64)
@@ -979,10 +985,21 @@ def _simhash_pairs_ds(sf_dir: str, hamming_max: int = HAMMING_MAX) -> rd.Dataset
     )
 
 
+SIMHASH_PAIRS_DRIVER_CAP = 200_000  # raw pairs; crossover to the distributed distinct
+
+
 def simhash_near_dups(sf_dir: str, hamming_max: int = HAMMING_MAX) -> pd.DataFrame:
-    """Near-dup pairs by SimHash (small-result collect of
-    ``_simhash_pairs_ds`` — pairs arrive already distinct)."""
-    pairs = _simhash_pairs_ds(sf_dir, hamming_max).to_pandas()
+    """Near-dup pairs by SimHash. Below the raw-pair cap the band
+    dedupe is a driver ``drop_duplicates`` (microseconds at bench
+    scale); above it the distributed distinct runs first and only the
+    distinct pairs collect."""
+    from .util import scale_cap
+
+    raw = _simhash_pairs_raw(sf_dir, hamming_max).materialize()
+    if raw.count() >= scale_cap("SIMHASH_PAIRS_DRIVER", SIMHASH_PAIRS_DRIVER_CAP):
+        pairs = _simhash_distinct_ds(raw).to_pandas()
+    else:
+        pairs = raw.to_pandas().drop_duplicates(ignore_index=True)
     if pairs.empty:
         return pd.DataFrame({
             "a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
@@ -1020,20 +1037,23 @@ def dup_components(sf_dir: str, lp_min_pairs: int = LP_MIN_PAIRS) -> rd.Dataset:
     in tests."""
     from .util import scale_cap
 
-    pairs_ds = _simhash_pairs_ds(sf_dir).materialize()
-    n_pairs = pairs_ds.count()
-    if n_pairs == 0:
+    raw = _simhash_pairs_raw(sf_dir).materialize()
+    n_raw = raw.count()
+    if n_raw == 0:
         return rd.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "label": pa.array([], pa.int64()),
         }))
-    if n_pairs >= scale_cap("LP_MIN_PAIRS", lp_min_pairs):
+    # raw count (≥ distinct count, ≤ 4× it) decides the engine WITHOUT
+    # collecting: above the cap, the distributed distinct feeds label
+    # propagation directly and the graph never touches the driver
+    if n_raw >= scale_cap("LP_MIN_PAIRS", lp_min_pairs):
         return connected_components_lp(
-            pairs_ds.map_batches(
+            _simhash_distinct_ds(raw).map_batches(
                 lambda t: t.select(["a", "b"]), batch_format="pyarrow"
             )
         )
-    pairs = pairs_ds.to_pandas()
+    pairs = raw.to_pandas().drop_duplicates(ignore_index=True)
     comp = _connected_components(pairs[["a", "b"]])
     nodes = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
     labels = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
