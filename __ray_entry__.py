@@ -134,11 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.shipping_priority,      # Q3-shape 3-join pipeline
         "returned_item_revenue": relational.returned_item_revenue,  # Q10-shape, names after top-k
         "user_sessions": relational.user_sessions,              # J3/M12
-        "top_docs": relational.top_docs,  # O4/O7 — local_topk tail changed in r4
         "weighted_sample_docs": relational.weighted_sample_docs,  # Efraimidis-Spirakis A-Res
-        "order_revenue_join": relational.order_revenue_join,    # large×large co-group join
-        "windowed_event_stats": relational.windowed_event_stats,  # §2.9 tumbling window
-        "purchase_click_asof": relational.purchase_click_asof,    # as-of join
         "event_window_range_join": relational.event_window_range_join,  # range join
         "user_rolling_value": relational.user_rolling_value,      # per-key rolling window
         "value_quantiles": relational.value_quantiles,            # distributed quantile_disc
@@ -175,27 +171,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_semi_join": relational.sample_semi_join,  # J2, typed-empty guard r5
         "deterministic_sample": relational.deterministic_sample,  # O1
         "nation_revenue": relational.nation_revenue,  # broadcast join
-        # slot 50 — the r5 rotation freed one net slot, so this stays
-        # in-window (it was listed as rotated out, but only 49 entries
-        # preceded the marker; the marker now sits at the true boundary)
         "salient_terms_per_source": text_analysis.salient_terms_per_source,  # exact-ratio tf-idf, green r3+r4
+        # --- rotated IN by the r5 empty-corpus hardening pass: each of
+        # these four had its function body touched (ann_topk now routes
+        # through _exact_rerank; the other three gained ensure_columns /
+        # safe-denominator guards), so they take the last window slots;
+        # rotated OUT to make room: top_docs / order_revenue_join /
+        # windowed_event_stats / purchase_click_asof — green r3+r4,
+        # their code paths untouched by the hardening pass ---
+        "ann_topk": similarity.ann_topk,  # unified onto _exact_rerank r5
+        "corr_quantity_price": relational.corr_quantity_price,  # Pearson agg, ensure_columns r5
+        "stratified_sample_docs": relational.stratified_sample_docs,  # ensure_columns r5
+        "doc_quality_flags": relational.doc_quality_flags,  # A6/A7, safe-denominator r5
         # ---------------- position 51+ below this line ----------------
         # (every entry here is either green in at least TWO rounds with
         # its code path untouched since, or gated by pytest pins, so
-        # losing a driver slot costs no information; rotated out r5:
-        # doc_corpus_stats / hopping_window_stats / corr_quantity_price
-        # — all green r3+r4, their specific code paths untouched this
-        # round)
+        # losing a driver slot costs no information)
+        "top_docs": relational.top_docs,  # O4/O7, green r3+r4, untouched by the r5 hardening
+        "order_revenue_join": relational.order_revenue_join,  # co-group join, green r3+r4, untouched
+        "windowed_event_stats": relational.windowed_event_stats,  # §2.9 tumbling window, green r3+r4, untouched
+        "purchase_click_asof": relational.purchase_click_asof,  # as-of join, green r3+r4, untouched
         "doc_corpus_stats": relational.doc_corpus_stats,  # A1, green r3+r4
         "hopping_window_stats": relational.hopping_window_stats,  # §2.9, green r3+r4, window kernels untouched r5
-        "corr_quantity_price": relational.corr_quantity_price,  # Pearson agg, green r3+r4, untouched r5
-        "stratified_sample_docs": relational.stratified_sample_docs,  # green r2-r4, sampling kernels untouched for it
         "embedding_near_dups": similarity.embedding_near_dups,  # green r2+r3, untouched
-        "ann_topk": similarity.ann_topk,  # green r1-r3, untouched
         "repetition_docs": text_analysis.repetition_docs,  # green r1-r3, untouched
         "doc_fingerprints": doc_fingerprints_md5,  # md5 fingerprint (SQL-twinned; green in r2)
         "cohort_union": relational.cohort_union,  # O3 (SQL-twinned; green in r1+r2)
-        "doc_quality_flags": relational.doc_quality_flags,  # A6/A7 (green in r1+r2)
         "source_lang_profile": relational.source_lang_profile,  # A13 combiner (green in r1+r2)
         "user_occupancy": relational.user_occupancy,  # A15 occupancy (green in r1+r2)
         "pricing_summary": relational.pricing_summary,  # grouped agg (green in r1+r2)

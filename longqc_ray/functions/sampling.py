@@ -72,6 +72,12 @@ def bottomk_sample(
         return out.append_column("__prio", pa.array(prio[np.sort(sel)], pa.uint64()))
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    if not parts.shape[1]:
+        # zero input rows anywhere: Ray loses the schema through the
+        # empty collect, so the typed columns are unrecoverable here —
+        # return a zero-column table; callers that can see their input
+        # is empty should branch before calling (qc_summary does)
+        return pa.table({})
     parts = parts.sort_values(["__prio", key_col], kind="stable").head(n)
     return pa.Table.from_pandas(parts.drop(columns="__prio"), preserve_index=False)
 

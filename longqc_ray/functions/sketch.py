@@ -115,6 +115,9 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = DEFAULT_P) -> float:
     parts = ds.select_columns([col]).map_batches(
         partial, batch_format="pyarrow", batch_size=65536
     ).to_pandas()
+    from ..pipelines.util import ensure_columns
+
+    parts = ensure_columns(parts, {"regs": object})  # 0-row input: no partials
     merged = np.zeros(1 << p, dtype=np.uint8)
     for b in parts["regs"]:
         merged = hll_merge(merged, np.frombuffer(b, dtype=np.uint8))
@@ -148,6 +151,9 @@ def approx_distinct_grouped(
     parts = ds.select_columns([key, col]).map_batches(
         partial, batch_format="pyarrow", batch_size=65536
     ).to_pandas()
+    from ..pipelines.util import ensure_columns
+
+    parts = ensure_columns(parts, {key: object, "regs": object})
     out: dict = {}
     for kval, grp in parts.groupby(key, sort=True):
         merged = np.zeros(1 << p, dtype=np.uint8)

@@ -175,6 +175,12 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
             ("doc_id", pa.int64()), ("n_copies", pa.int64()),
         ]),
     ).to_pandas()
+    from .util import ensure_columns
+
+    # the anchor keeps Dataset-level schema, but Ray's to_pandas still
+    # yields a column-less frame for an all-zero-row dataset
+    out = ensure_columns(out, {"fp": np.int64, "fp2": np.int64,
+                               "doc_id": np.int64, "n_copies": np.int64})
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["n_copies"] = out["n_copies"].astype(np.int64)
     return out[["doc_id", "n_copies"]]

@@ -138,6 +138,16 @@ def clips_from_documents(sf_dir: str, cache_root: str | None = None) -> str:
 
     ds = docs.map_batches(to_clips, batch_format="pyarrow", batch_size=256)
     ds.write_parquet(tmp_dir)
+    # empty documents: write_parquet of zero rows creates NO files (and
+    # possibly no directory), so publish one typed-empty clips file —
+    # readers then see the schema instead of a missing/blank cache dir
+    os.makedirs(tmp_dir, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp_dir)):
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            CLIPS_SCHEMA.empty_table(), os.path.join(tmp_dir, "part-empty.parquet")
+        )
     with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
         f.write("ok\n")
     import shutil

@@ -201,6 +201,11 @@ def qc_summary(
         Sum("keep_i", alias_name="n_keep"),
         Sum("silent_i", alias_name="n_silent"),
     )
+    # 0-clip corpus: Sum/Mean/Max over zero rows aggregate to None —
+    # coalesce to 0 so the report still assembles; the n == 0 branch
+    # below then emits the coverage_estimation ERROR, mirroring the
+    # reference's empty-input dummy path (lq_coverage.py:570-586)
+    agg = {k: (0 if v is None else v) for k, v in agg.items()}
     n = int(agg["n"])
     # drop-reason histogram (grouped count — the wide step)
     hist = {
@@ -214,14 +219,21 @@ def qc_summary(
     dur_n50 = nxx(ds, "dur_ms", 0.5)
 
     # gamma fit on durations from moment aggregates (no collect)
-    shape, scale = gamma_fit_moments(
-        n, float(agg["total_dur_ms"]), float(agg["sum_log_dur"])
+    shape, scale = (
+        gamma_fit_moments(n, float(agg["total_dur_ms"]), float(agg["sum_log_dur"]))
+        if n else (float("nan"), float("nan"))
     )
 
     # mixture fits on a bounded deterministic sample (reference fits on
     # its <=10k read sample)
-    sample = bottomk_sample(ds, "clip_id", n_fit_sample)
-    snr_sample = sample.column("snr_db").to_numpy(zero_copy_only=False)
+    if n:
+        sample = bottomk_sample(ds, "clip_id", n_fit_sample)
+        snr_sample = sample.column("snr_db").to_numpy(zero_copy_only=False)
+    else:
+        # 0-clip corpus: Ray drops the schema through the empty
+        # map_batches, so sampling can't return typed columns — the
+        # fits get an empty array and take their dummy paths
+        snr_sample = np.empty(0, np.float64)
     g = gmm2_fit(snr_sample)
     ln = lognorm_normal_em(snr_sample[snr_sample > 0], seed=g)
 

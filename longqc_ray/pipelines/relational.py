@@ -71,6 +71,8 @@ def doc_n50(sf_dir: str) -> pa.Table:
     ds = table(sf_dir, "documents", columns=["n_chars"])
     v = nxx(ds, "n_chars", frac=0.5,
             prior_stats=parquet_column_stats(sf_dir, "documents", "n_chars"))
+    if v != v:  # 0-row corpus → NULL, matching the SQL aggregate
+        return pa.table({"n50": pa.nulls(1, pa.int64())})
     return pa.table({"n50": pa.array([int(v)], pa.int64())})
 
 
@@ -91,13 +93,19 @@ def doc_quality_flags(sf_dir: str) -> pa.Table:
             "n_nonen": pa.array([int((lang != "en").sum())], pa.int64()),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    from .util import ensure_columns
+
+    parts = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas(),
+        {"n": np.int64, "n_short": np.int64, "n_long": np.int64, "n_nonen": np.int64},
+    )
     n = int(parts["n"].sum())
+    safe_n = n if n else 1  # 0-doc corpus: fractions of nothing are 0
     return pa.table({
         "n_docs": pa.array([n], pa.int64()),
-        "frac_short": pa.array([parts["n_short"].sum() / n], pa.float64()),
-        "frac_long": pa.array([parts["n_long"].sum() / n], pa.float64()),
-        "frac_nonen": pa.array([parts["n_nonen"].sum() / n], pa.float64()),
+        "frac_short": pa.array([parts["n_short"].sum() / safe_n], pa.float64()),
+        "frac_long": pa.array([parts["n_long"].sum() / safe_n], pa.float64()),
+        "frac_nonen": pa.array([parts["n_nonen"].sum() / safe_n], pa.float64()),
     })
 
 
@@ -304,10 +312,13 @@ def _grouped_parts(
     at 10^12 rows, so they pass the Dataset straight through)."""
 
     def add_part(t: pa.Table) -> pa.Table:
-        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-        with np.errstate(over="ignore"):
-            h = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
-        return t.append_column("__part", pa.array(h.astype(np.int64), pa.int64()))
+        # shared helper, NOT an inline hash: _part_hash carries the
+        # null-safety (nullable int → float64+NaN detour) and string-key
+        # support a partition scheme needs exactly once, in one place
+        from .util import _part_hash
+
+        h = _part_hash(t, key, n_parts)
+        return t.append_column("__part", pa.array(h, pa.int64()))
 
     def run(g):
         if batch_format == "pandas":
@@ -421,8 +432,12 @@ def top_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def cohort_union(sf_dir: str) -> rd.Dataset:
-    """Cohort split + union (O3: short/normal split at 500 bp,
-    longQC.py:409-415): two filtered sub-pipelines re-joined."""
+    """Cohort split + union (O3 shape — the reference's short/normal
+    cohort split, longQC.py:409-415, re-targeted to this corpus): the
+    graft splits documents at 250 chars into 'short'/'long' cohorts as
+    two filtered sub-pipelines re-joined. The SQL twin pins the same
+    250/'long' values — do not 'fix' them toward the reference's
+    500/'normal' without changing both sides."""
     ds = table(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def tag(which: str):
@@ -462,7 +477,12 @@ def deterministic_sample(sf_dir: str) -> pd.DataFrame:
             "prio": pa.array(prio[order], pa.uint64()),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    from .util import ensure_columns
+
+    parts = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas(),
+        {"doc_id": np.int64, "prio": np.uint64},
+    )
     parts = parts.sort_values(["prio", "doc_id"], kind="stable").head(n)
     return parts[["doc_id"]].reset_index(drop=True)
 
@@ -568,7 +588,13 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
         def add_nation(batch: pa.Table) -> pa.Table:
             ck_s, nk_s = ray.get(side_ref)
             ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ck_s, ck)  # FK integrity: every key present
+            pos = np.searchsorted(ck_s, ck)
+            # FK integrity must be CHECKED, not assumed: a missing key
+            # would otherwise read a neighboring customer's nation
+            # (silently wrong revenue attribution) or index past the end
+            pos = np.minimum(pos, ck_s.size - 1)
+            if not np.array_equal(ck_s[pos], ck):
+                raise ValueError("o_custkey missing from customer (FK violation)")
             price_c = cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
             return pa.table({
                 "nk": pa.array(nk_s[pos].astype(np.int64), pa.int64()),
@@ -947,6 +973,11 @@ def value_quantiles(sf_dir: str) -> pa.Table:
         batch_size=65536,
     )
     vals = quantile_disc(rows, "price_c", _QUANTILE_QS)
+    if any(v != v for v in vals):  # 0-row input → NULL quantiles
+        return pa.table({
+            "q": pa.array(_QUANTILE_QS, pa.float64()),
+            "price_cents": pa.nulls(len(_QUANTILE_QS), pa.int64()),
+        })
     return pa.table({
         "q": pa.array(_QUANTILE_QS, pa.float64()),
         "price_cents": pa.array([int(v) for v in vals], pa.int64()),
@@ -1009,7 +1040,12 @@ def stratified_sample_docs(sf_dir: str, k: int = STRATA_K) -> pd.DataFrame:
             "prio": pa.array(prio[sel], pa.uint64()),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    from .util import ensure_columns
+
+    parts = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas(),
+        {"doc_id": np.int64, "lang": object, "prio": np.uint64},
+    )
     parts = parts.sort_values(["lang", "prio", "doc_id"], kind="stable")
     out = parts.groupby("lang", sort=True).head(k).reset_index(drop=True)
     out["rn"] = (out.groupby("lang").cumcount() + 1).astype(np.int64)
@@ -1147,7 +1183,13 @@ def funnel_conversion(sf_dir: str) -> pa.Table:
         return pd.DataFrame({"stage": list(FUNNEL_STAGES), "n_users": counts})
 
     # collect is safe here: the partials are n_parts × n_stages rows
-    parts = _grouped_parts(ds, "user_id", per_part, n_parts=_table_parts(sf_dir, "events", "user_id")).to_pandas()
+    from .util import ensure_columns
+
+    parts = ensure_columns(
+        _grouped_parts(ds, "user_id", per_part,
+                       n_parts=_table_parts(sf_dir, "events", "user_id")).to_pandas(),
+        {"stage": object, "n_users": np.int64},
+    )
     totals = parts.groupby("stage", sort=False)["n_users"].sum()
     return pa.table({
         "stage": pa.array(list(FUNNEL_STAGES), pa.string()),
@@ -1212,7 +1254,13 @@ def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
                ["n", "sx", "sy", "sxx", "syy", "sxy"]},
         })
 
-    parts = ds.map_batches(moments, batch_format="pyarrow", batch_size=16384).to_pandas()
+    from .util import ensure_columns
+
+    parts = ensure_columns(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=16384).to_pandas(),
+        {"l_returnflag": object, "n": np.int64, "sx": np.int64, "sy": np.int64,
+         "sxx": np.int64, "syy": np.int64, "sxy": np.int64},
+    )
     # Python-int merge: totals (Σy² ≈ 6e19 at sf0.1) exceed int64.
     merged = parts.astype({c: object for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]})
     tot = merged.groupby("l_returnflag", sort=True).sum()
@@ -1371,8 +1419,15 @@ def parts_never_bulk_ordered(sf_dir: str) -> pd.DataFrame:
         return t.filter(pa.array(q >= BULK_QTY)).select(["l_partkey"])
 
     bulk = li.map_batches(bulk_keys, batch_format="pyarrow")
-    out = hash_anti_semi_join(part, bulk, "p_partkey", "l_partkey",
-                              n_parts=_table_parts(sf_dir, "part", "p_partkey", rows_per_part=25_000)).to_pandas()
+    from .util import ensure_columns
+
+    out = ensure_columns(
+        hash_anti_semi_join(
+            part, bulk, "p_partkey", "l_partkey",
+            n_parts=_table_parts(sf_dir, "part", "p_partkey", rows_per_part=25_000),
+        ).to_pandas(),
+        {"p_partkey": np.int64, "p_name": object},
+    )
     return out.sort_values("p_partkey", kind="stable").reset_index(drop=True)
 
 
@@ -1453,9 +1508,11 @@ def shipping_priority(
     if n_cust > scale_cap("SEG_BROADCAST", broadcast_cap):
         o_f = hash_anti_semi_join(o_proj, seg_keys_ds, "o_custkey", "ck", semi=True)
     else:
-        keys = pa.concat_tables(
-            ray.get(seg_keys_ds.to_arrow_refs())
-        ).column("ck").combine_chunks()
+        blocks = [b for b in ray.get(seg_keys_ds.to_arrow_refs()) if b.num_columns]
+        keys = (
+            pa.concat_tables(blocks).column("ck").combine_chunks()
+            if blocks else pa.array([], pa.int64())  # 0-row customer table
+        )
         keys_ref = ray.put(keys)
 
         def keep_seg(batch: pa.Table) -> pa.Table:
@@ -1500,6 +1557,11 @@ def shipping_priority(
         o_f.map_batches(lambda t: t.drop_columns(["o_custkey"]), batch_format="pyarrow"),
         "l_orderkey", "o_orderkey", post=per_order,
         n_parts=_table_parts(sf_dir, "lineitem", "l_orderkey", rows_per_part=25_000),
+        # post-UDF inputs are zero-BLOCK on a 0-row table; the explicit
+        # projection schemas keep the join answerable (empty contract)
+        l_schema=pa.schema([("l_orderkey", pa.int64()), ("rev_cc", pa.int64())]),
+        r_schema=pa.schema([("o_orderkey", pa.int64()), ("o_date_s", pa.int64()),
+                            ("o_orderpriority", pa.string())]),
     )
 
     top = local_topk(
@@ -1554,6 +1616,7 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     partials = hash_join(
         l_proj, o_proj, "l_orderkey", "o_orderkey", post=cust_partials,
         n_parts=_table_parts(sf_dir, "lineitem", "l_orderkey", rows_per_part=25_000),
+        l_schema=pa.schema([("l_orderkey", pa.int64()), ("rev_cc", pa.int64())]),
     )
     # branch on the ACTUAL partial row count (one narrow row per
     # (join partition, customer) — up to n_parts × n_cust, so customer
@@ -1564,7 +1627,11 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     if partials.count() <= scale_cap("Q10_DRIVER", Q10_DRIVER_CAP):
         # narrow partials collect straight to the driver — no second
         # all-to-all at all
-        pdf = partials.to_pandas()
+        from .util import ensure_columns
+
+        pdf = ensure_columns(partials.to_pandas(),
+                             {"o_custkey": np.int64, "rev_cc_partial": np.int64,
+                              "n_partial": np.int64})
         per = (
             pdf.groupby("o_custkey", sort=False)["rev_cc_partial"].sum()
             .rename("revenue_cc").reset_index()
@@ -1582,14 +1649,22 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     top["revenue_cc"] = top["revenue_cc"].astype(np.int64)
 
     # name attach AFTER top-k: k-row pruned read, tiny driver merge
+    from .util import ensure_columns
+
     winners = pa.array(top["o_custkey"].to_numpy(), pa.int64())
-    cust = table(
-        sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]
-    ).map_batches(
-        lambda t: t.filter(pc.is_in(t.column("c_custkey"), value_set=winners)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    nation = table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = ensure_columns(
+        table(
+            sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]
+        ).map_batches(
+            lambda t: t.filter(pc.is_in(t.column("c_custkey"), value_set=winners)),
+            batch_format="pyarrow",
+        ).to_pandas(),
+        {"c_custkey": np.int64, "c_name": object, "c_nationkey": np.int64},
+    )
+    nation = ensure_columns(
+        table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas(),
+        {"n_nationkey": np.int64, "n_name": object},
+    )
     out = top.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
         nation, left_on="c_nationkey", right_on="n_nationkey"
     )
@@ -1679,7 +1754,12 @@ def weighted_sample_docs(sf_dir: str, k: int = WEIGHTED_K) -> pd.DataFrame:
             "key": pa.array(key[top], pa.float64()),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    from .util import ensure_columns
+
+    parts = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        {"doc_id": np.int64, "n_chars": np.int64, "key": np.float64},
+    )
     parts = parts.sort_values(["key", "doc_id"], ascending=[False, True], kind="stable")
     out = parts.head(k).reset_index(drop=True)
     return out[["doc_id", "n_chars"]].astype(np.int64)

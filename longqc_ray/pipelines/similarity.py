@@ -45,14 +45,30 @@ def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _collect_where(sf_dir: str, pred) -> pa.Table:
-    """Small-side collect: vectorized filter per batch, then concat."""
-    import pyarrow.compute as pc  # noqa: F401
+    """Small-side collect: vectorized filter per batch, then concat.
+    An ALL-empty result is legitimate here (an empty embeddings table
+    is a routine empty partition, and a predicate may match nothing),
+    so it returns a typed empty table from the parquet schema rather
+    than routing through ``concat_blocks``' invariant error."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
 
     ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
         lambda t: t.filter(pred(t.column("vec_id"))), batch_format="pyarrow"
     )
-    refs = ds.to_arrow_refs()
-    return concat_blocks([ray.get(r) for r in refs])
+    blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_columns]
+    if blocks:
+        return pa.concat_tables(blocks)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    f = path if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )[0]
+    sch = pq.read_schema(f)
+    return pa.schema(
+        [(c, sch.field(c).type) for c in ("vec_id", "embedding")]
+    ).empty_table()
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -64,49 +80,15 @@ def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
 
 def ann_topk(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES) -> pd.DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank), self excluded,
-    ties broken by neighbor_id ascending."""
+    ties broken by neighbor_id ascending. The brute-force baseline is
+    just ``_exact_rerank`` over the FULL table (same per-batch GEMM +
+    local top-k + tiny driver merge the LSH/IVF paths use after their
+    candidate pruning — one kernel, not two drifting copies)."""
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
-    q_ref = ray.put((q_ids, q_mat))
-
-    ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    def local_topk(batch: pa.Table) -> pa.Table:
-        qi, qm = ray.get(q_ref)
-        ids, m = _emb_matrix(batch)
-        sims = qm @ m.T  # (n_q, n_batch) — one GEMM per block
-        out_q, out_n, out_c = [], [], []
-        for row in range(qi.size):
-            s = sims[row]
-            mask = ids != qi[row]
-            cand = np.nonzero(mask)[0]
-            if cand.size == 0:
-                continue
-            kk = min(k, cand.size)
-            top = cand[np.argpartition(-s[cand], kk - 1)[:kk]]
-            out_q.append(np.full(kk, qi[row], dtype=np.int64))
-            out_n.append(ids[top])
-            out_c.append(s[top])
-        if not out_q:
-            return pa.table({
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64()),
-            })
-        return pa.table({
-            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-            "cos": pa.array(np.concatenate(out_c), pa.float64()),
-        })
-
-    parts = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
-    # tiny driver merge: global top-k per query with deterministic ties
-    parts = parts.sort_values(
-        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True], kind="stable"
+    return _exact_rerank(
+        table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        q_ids, q_mat, k,
     )
-    out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    out["rank"] = out["rank"].astype(np.int64)
-    return out[["query_id", "neighbor_id", "rank"]]
 
 
 # ---------------------------------------------------------------- LSH path
@@ -170,12 +152,27 @@ _LAYOUT_MARKER = "_LAYOUT_OK"
 
 
 def _emb_fingerprint(sf_dir: str, tag: str) -> str:
+    """Cache key for the built ANN layouts. For a DIRECTORY table the
+    per-file (name, mtime, size) triples are hashed — a part file
+    rewritten in place does not bump the parent dir's mtime/size, so a
+    dir-level stat would silently serve a layout built from the OLD
+    corpus."""
+    import glob
     import hashlib
     import os
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(path)
-    key = f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}:{tag}"
+    if os.path.isdir(path):
+        parts = []
+        for f in sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        ):
+            st = os.stat(f)
+            parts.append(f"{os.path.relpath(f, path)}:{st.st_mtime_ns}:{st.st_size}")
+        key = f"{os.path.abspath(path)}:{';'.join(parts)}:{tag}"
+    else:
+        st = os.stat(path)
+        key = f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}:{tag}"
     return hashlib.md5(key.encode()).hexdigest()[:16]
 
 
@@ -318,6 +315,22 @@ def _exact_rerank(
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def _embeddings_empty(sf_dir: str) -> bool:
+    """Footer-only check for a 0-row embeddings table (single file or
+    directory of part files) — the ANN/cluster queries answer it with
+    their typed empties instead of building layouts over nothing."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    files = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    return all(pq.read_metadata(f).num_rows == 0 for f in files)
+
+
 def ann_lsh(
     sf_dir: str,
     k: int = TOP_K,
@@ -334,6 +347,8 @@ def ann_lsh(
     ``layout="stream"`` keeps the one-pass filter variant (full scan,
     per-batch bucket filter) for layouts that can't be materialized;
     both return identical rows (asserted in tests)."""
+    if _embeddings_empty(sf_dir):
+        return _EMPTY_TOPK.copy()
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
     d = q_mat.shape[1]
     planes = _hyperplanes(d)
@@ -365,7 +380,24 @@ def ann_lsh(
 
 IVF_CENTROIDS = 16
 IVF_PROBE = 4
-_IVF_TRAIN_STRIDE = 2  # every 2nd vector trains the coarse quantizer
+_IVF_TRAIN_STRIDE = 2  # FLOOR: every 2nd vector trains the coarse quantizer
+_IVF_TRAIN_MAX = 200_000  # cap on driver-collected training vectors
+
+
+def _ivf_train_stride(sf_dir: str) -> int:
+    """Training stride (every stride-th vec_id trains the quantizer),
+    scaled so the driver-side training collect stays under
+    ``_IVF_TRAIN_MAX`` vectors at any corpus size — a FIXED stride of 2
+    would collect half of a 10^9-row table onto the driver. At every
+    oracle-checked SF (≤ ~50k embeddings) this resolves to the floor
+    value 2 that the static SQL twin embeds, so engine and oracle train
+    on the identical sample. Footer row count only; no data read."""
+    from .util import parquet_column_stats
+
+    st = parquet_column_stats(sf_dir, "embeddings", "vec_id")
+    if not st:
+        return _IVF_TRAIN_STRIDE
+    return max(_IVF_TRAIN_STRIDE, -(-int(st[2]) // _IVF_TRAIN_MAX))
 
 
 def _kmeans_cosine(m: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
@@ -387,9 +419,10 @@ def _kmeans_cosine(m: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
 
 
 def _train_codebook(sf_dir: str, n_centroids: int) -> np.ndarray:
+    stride = _ivf_train_stride(sf_dir)
     train_tbl = _collect_where(
         sf_dir,
-        lambda col: pa.array(col.to_numpy(zero_copy_only=False) % _IVF_TRAIN_STRIDE == 0),
+        lambda col: pa.array(col.to_numpy(zero_copy_only=False) % stride == 0),
     )
     _, train_m = _emb_matrix(train_tbl)
     return _kmeans_cosine(train_m, n_centroids)
@@ -417,7 +450,7 @@ def _ivf_layout(sf_dir: str, n_centroids: int) -> str:
         np.save(os.path.join(tmp_dir, "codebook.npy"), cent)
 
     return _ensure_layout(
-        sf_dir, f"ivf:{n_centroids}:{_IVF_TRAIN_STRIDE}", build
+        sf_dir, f"ivf:{n_centroids}:{_ivf_train_stride(sf_dir)}", build
     )
 
 
@@ -441,6 +474,8 @@ def ann_ivf(
     assigned and filtered per batch). Identical rows either way
     (asserted in tests); recall vs brute force is pinned in
     tests/test_similarity.py."""
+    if _embeddings_empty(sf_dir):
+        return _EMPTY_TOPK.copy()
     import os
 
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
@@ -521,9 +556,16 @@ def embedding_clusters(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataF
     then every batch does one GEMM to assign its rows. Output:
     (vec_id, cluster, cos_to_centroid). Cluster quality vs planted
     labels is pinned in tests/test_similarity.py."""
+    if _embeddings_empty(sf_dir):
+        return pd.DataFrame({
+            "vec_id": np.empty(0, np.int64),
+            "cluster": np.empty(0, np.int64),
+            "cos_to_centroid": np.empty(0, np.float64),
+        })
+    stride = _ivf_train_stride(sf_dir)
     train_tbl = _collect_where(
         sf_dir,
-        lambda col: pa.array(col.to_numpy(zero_copy_only=False) % _IVF_TRAIN_STRIDE == 0),
+        lambda col: pa.array(col.to_numpy(zero_copy_only=False) % stride == 0),
     )
     _, train_m = _emb_matrix(train_tbl)
     cent_ref = ray.put(_kmeans_cosine(train_m, n_clusters))

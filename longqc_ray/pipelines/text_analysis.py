@@ -337,7 +337,12 @@ def pack_docs(
 
     from ray.data.aggregate import Sum
 
-    sums = narrow.groupby("rng").aggregate(Sum("n_tokens", alias_name="s")).to_pandas()
+    from .util import ensure_columns
+
+    sums = ensure_columns(
+        narrow.groupby("rng").aggregate(Sum("n_tokens", alias_name="s")).to_pandas(),
+        {"rng": np.int64, "s": np.int64},
+    )
     sums = sums.sort_values("rng").reset_index(drop=True)
     rng_ids = sums["rng"].to_numpy().astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(sums["s"].to_numpy())[:-1]]).astype(np.int64)
@@ -400,6 +405,9 @@ def vocab_top_tokens(sf_dir: str, k: int = VOCAB_TOP_K) -> pd.DataFrame:
         ),
         ["n", "token"], [True, False], k,
     ).to_pandas()
+    from .util import ensure_columns
+
+    out = ensure_columns(out, {"token": object, "n": np.int64})
     out["n"] = out["n"].astype(np.int64)
     return out.reset_index(drop=True)[["token", "n"]]
 
@@ -454,7 +462,12 @@ def contamination_docs(
         flat = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
         return pa.table({"h": pa.array(flat.view(np.int64), pa.int64())})
 
-    bench = ds.map_batches(bench_hashes, batch_format="pyarrow").to_pandas()
+    from .util import ensure_columns
+
+    bench = ensure_columns(
+        ds.map_batches(bench_hashes, batch_format="pyarrow").to_pandas(),
+        {"h": np.int64},
+    )
     bench_sorted = np.unique(bench["h"].to_numpy().view(np.uint64))
     bref = ray.put(bench_sorted)
 
@@ -539,7 +552,9 @@ def chunk_dedup_docs(
         partials, batch_format="pyarrow", batch_size=None
     ).materialize()
     if parts.count() <= CHUNK_PARTIALS_DRIVER_CAP:
-        merged = parts.to_pandas()
+        from .util import ensure_columns
+
+        merged = ensure_columns(parts.to_pandas(), {"h": np.int64, "nd": np.int64})
         totals = merged.groupby("h", sort=False)["nd"].sum()
         freq_h = totals.index.to_numpy()[totals.to_numpy() >= min_docs]
     else:
@@ -673,7 +688,9 @@ def bigram_collocations(
     big = counts.map_batches(bigrams, batch_format="pyarrow")
 
     if uni_ds.count() <= scale_cap("BIGRAM_BROADCAST", broadcast_cap):
-        uni = uni_ds.to_pandas()
+        from .util import ensure_columns
+
+        uni = ensure_columns(uni_ds.to_pandas(), {"w1": object, "n": np.int64})
         uc = dict(zip(uni["w1"], uni["n"].astype(np.int64)))
         ucref = ray.put(uc)
 
@@ -718,11 +735,13 @@ def bigram_collocations(
 
         lifted = j2.map_batches(lift_joined, batch_format="pyarrow")
 
-    from .util import local_topk
+    from .util import ensure_columns, local_topk
 
     out = local_topk(
         lifted, ["lift", "w1", "w2"], [True, False, False], k
     ).to_pandas()
+    out = ensure_columns(out, {"w1": object, "w2": object,
+                               "n_ab": np.int64, "lift": np.float64})
     out["n_ab"] = out["n_ab"].astype(np.int64)
     return out.reset_index(drop=True)[["w1", "w2", "n_ab", "lift"]]
 

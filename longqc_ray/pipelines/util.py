@@ -114,8 +114,11 @@ def table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
     columns — every column access downstream KeyErrors). Empty
     PARTITIONS are routine at scale, so when the footer says 0 rows
     this returns a one-block, zero-row dataset carrying the correct
-    (pruned) arrow schema instead: UDFs see one empty batch and the
-    schema propagates."""
+    (pruned) arrow schema instead. NOTE the limit of this guard
+    (verified on the pinned Ray): ``map_batches`` SKIPS 0-row blocks —
+    UDFs never see the empty batch — so the schema survives only until
+    the first UDF boundary; driver collects after a map must reattach
+    their columns via ``ensure_columns`` (or a typed-empty guard)."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -310,6 +313,21 @@ def _part_hash(t: pa.Table, key: str, n_parts: int) -> np.ndarray:
     else:
         h = fnv1a_64_strs([str(v) for v in col.to_pylist()])
     return (h % np.uint64(n_parts)).astype(np.int64)
+
+
+def ensure_columns(df, spec: dict[str, object]):
+    """Reattach expected columns to a ZERO-ROW driver collect. Ray
+    cannot carry a schema through a 0-row ``to_pandas`` boundary
+    (``iter_batches`` yields nothing), so any query that collects
+    partials or results may receive a column-less frame when its
+    input — or a filter — leaves zero rows. ``spec`` maps column name
+    → numpy/pandas dtype. Frames that kept their columns pass through
+    untouched."""
+    if df.shape[1]:
+        return df
+    import pandas as pd
+
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in spec.items()})
 
 
 def concat_blocks(blocks: list[pa.Table]) -> pa.Table:

@@ -519,3 +519,36 @@ def test_ts_queries_tz_aware_end_to_end(ray_session, tmp_path):
         b = b.to_pandas() if hasattr(b, "to_pandas") else b
         assert len(a) > 0
         pd.testing.assert_frame_equal(canon(a), canon(b), check_dtype=False)
+
+
+def test_empty_corpus_full_registry(tmp_path, ray_session, monkeypatch):
+    """EVERY registered query answers a fully 0-row corpus without
+    crashing (0-row tables are routine partitions at 100 TB — a
+    straggler shard, an all-filtered bucket, a fresh day partition).
+    Ray loses block schemas through empty UDF boundaries
+    (``map_batches`` skips 0-row blocks), so each driver collect
+    reattaches its columns via ``util.ensure_columns`` or a typed-empty
+    guard; this pins the whole registry against that contract."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from tools.check_oracle import to_pandas
+
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        pq.write_table(pq.read_table(f"{src}/{t}.parquet").slice(0, 0),
+                       str(tmp_path / f"{t}.parquet"))
+    # keep derived/ANN caches for the empty corpus inside the test dir
+    monkeypatch.setenv("LONGQC_DERIVED_ROOT", str(tmp_path / "derived"))
+    monkeypatch.setenv("LONGQC_ANN_LAYOUT_ROOT", str(tmp_path / "ann"))
+
+    # one-row summaries are legitimate on an empty corpus; everything
+    # else must come back empty (never an exception, never junk rows)
+    summary_rows = {"doc_n50": 1, "doc_corpus_stats": 1, "doc_quality_flags": 1,
+                    "approx_distinct_users": 1, "value_quantiles": 5,
+                    "funnel_conversion": 3, "qc_report": 1,
+                    "file_footer_profile": 10, "file_attributes": 10}
+    for name, fn in entrymod.queries().items():
+        df = to_pandas(fn(str(tmp_path)))
+        assert len(df) == summary_rows.get(name, 0), name
