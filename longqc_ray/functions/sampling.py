@@ -74,10 +74,17 @@ def bottomk_sample(
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
     if not parts.shape[1]:
         # zero input rows anywhere: Ray loses the schema through the
-        # empty collect, so the typed columns are unrecoverable here —
-        # return a zero-column table; callers that can see their input
-        # is empty should branch before calling (qc_summary does)
-        return pa.table({})
+        # empty map_batches boundary, so the collected frame comes back
+        # column-less. The INPUT dataset's schema is exactly the output
+        # contract (bottom-k keeps input columns; __prio was dropped),
+        # and fetching it over a 0-row plan is cheap — so recover the
+        # typed empty here instead of pushing a pre-branch onto every
+        # caller. pa.table({}) only if even the input schema is gone.
+        try:
+            sch = ds.schema()
+            return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+        except Exception:
+            return pa.table({})
     parts = parts.sort_values(["__prio", key_col], kind="stable").head(n)
     return pa.Table.from_pandas(parts.drop(columns="__prio"), preserve_index=False)
 

@@ -201,11 +201,21 @@ def qc_summary(
         Sum("keep_i", alias_name="n_keep"),
         Sum("silent_i", alias_name="n_silent"),
     )
-    # 0-clip corpus: Sum/Mean/Max over zero rows aggregate to None —
-    # coalesce to 0 so the report still assembles; the n == 0 branch
-    # below then emits the coverage_estimation ERROR, mirroring the
-    # reference's empty-input dummy path (lq_coverage.py:570-586)
-    agg = {k: (0 if v is None else v) for k, v in agg.items()}
+    # 0-clip corpus: Sum/Mean/Max over zero rows aggregate to None per
+    # alias — and a dataset that materializes to ZERO blocks makes
+    # Dataset.aggregate return None outright (Ray 2.49: take(1) of the
+    # grouped result is empty). Coalesce BOTH shapes to zeros so the
+    # report still assembles; the n == 0 branch below then emits the
+    # coverage_estimation ERROR, mirroring the reference's empty-input
+    # dummy path (lq_coverage.py:570-586)
+    agg = agg or {}
+    agg = {
+        k: (0 if agg.get(k) is None else agg[k])
+        for k in ("n", "total_dur_ms", "longest_ms", "shortest_ms",
+                  "mean_dur_ms", "sum_log_dur", "mean_snr_db",
+                  "mean_active_frac", "mean_masked_frac",
+                  "total_pii_spans", "n_keep", "n_silent")
+    }
     n = int(agg["n"])
     # drop-reason histogram (grouped count — the wide step)
     hist = {

@@ -100,12 +100,21 @@ def doc_quality_flags(sf_dir: str) -> pa.Table:
         {"n": np.int64, "n_short": np.int64, "n_long": np.int64, "n_nonen": np.int64},
     )
     n = int(parts["n"].sum())
-    safe_n = n if n else 1  # 0-doc corpus: fractions of nothing are 0
+    if n == 0:
+        # NULL fractions, matching the SQL twin (sum()/count(*) over
+        # zero rows is NULL in DuckDB) — the convention doc_n50 and
+        # value_quantiles use for their 0-row answers
+        return pa.table({
+            "n_docs": pa.array([0], pa.int64()),
+            "frac_short": pa.nulls(1, pa.float64()),
+            "frac_long": pa.nulls(1, pa.float64()),
+            "frac_nonen": pa.nulls(1, pa.float64()),
+        })
     return pa.table({
         "n_docs": pa.array([n], pa.int64()),
-        "frac_short": pa.array([parts["n_short"].sum() / safe_n], pa.float64()),
-        "frac_long": pa.array([parts["n_long"].sum() / safe_n], pa.float64()),
-        "frac_nonen": pa.array([parts["n_nonen"].sum() / safe_n], pa.float64()),
+        "frac_short": pa.array([parts["n_short"].sum() / n], pa.float64()),
+        "frac_long": pa.array([parts["n_long"].sum() / n], pa.float64()),
+        "frac_nonen": pa.array([parts["n_nonen"].sum() / n], pa.float64()),
     })
 
 

@@ -50,10 +50,9 @@ def _collect_where(sf_dir: str, pred) -> pa.Table:
     is a routine empty partition, and a predicate may match nothing),
     so it returns a typed empty table from the parquet schema rather
     than routing through ``concat_blocks``' invariant error."""
-    import glob
-    import os
-
     import pyarrow.parquet as pq
+
+    from .util import table_files
 
     ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
         lambda t: t.filter(pred(t.column("vec_id"))), batch_format="pyarrow"
@@ -61,11 +60,7 @@ def _collect_where(sf_dir: str, pred) -> pa.Table:
     blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_columns]
     if blocks:
         return pa.concat_tables(blocks)
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    f = path if os.path.isfile(path) else sorted(
-        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    )[0]
-    sch = pq.read_schema(f)
+    sch = pq.read_schema(table_files(sf_dir, "embeddings")[0])
     return pa.schema(
         [(c, sch.field(c).type) for c in ("vec_id", "embedding")]
     ).empty_table()
@@ -105,17 +100,11 @@ def _embedding_dim(sf_dir: str, default: int = 64) -> int:
     the first non-empty file. Replaces a ``limit(1)`` probe pipeline
     whose full Ray execution cost ~1 s of fixed overhead per query
     regardless of scale (the schema/footer read is O(1) at any SF)."""
-    import glob
-    import os
-
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    files = (
-        [path] if os.path.isfile(path)
-        else sorted(glob.glob(os.path.join(path, "*.parquet")))
-    )
-    for f in files:
+    from .util import table_files
+
+    for f in table_files(sf_dir, "embeddings"):
         typ = pq.read_schema(f).field("embedding").type
         if pa.types.is_fixed_size_list(typ):
             return typ.list_size
@@ -157,22 +146,17 @@ def _emb_fingerprint(sf_dir: str, tag: str) -> str:
     rewritten in place does not bump the parent dir's mtime/size, so a
     dir-level stat would silently serve a layout built from the OLD
     corpus."""
-    import glob
     import hashlib
     import os
 
+    from .util import table_files
+
     path = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.isdir(path):
-        parts = []
-        for f in sorted(
-            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        ):
-            st = os.stat(f)
-            parts.append(f"{os.path.relpath(f, path)}:{st.st_mtime_ns}:{st.st_size}")
-        key = f"{os.path.abspath(path)}:{';'.join(parts)}:{tag}"
-    else:
-        st = os.stat(path)
-        key = f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}:{tag}"
+    parts = []
+    for f in table_files(sf_dir, "embeddings"):
+        st = os.stat(f)
+        parts.append(f"{os.path.relpath(f, path)}:{st.st_mtime_ns}:{st.st_size}")
+    key = f"{os.path.abspath(path)}:{';'.join(parts)}:{tag}"
     return hashlib.md5(key.encode()).hexdigest()[:16]
 
 
@@ -315,20 +299,14 @@ def _exact_rerank(
     return out[["query_id", "neighbor_id", "rank"]]
 
 
-def _embeddings_empty(sf_dir: str) -> bool:
-    """Footer-only check for a 0-row embeddings table (single file or
-    directory of part files) — the ANN/cluster queries answer it with
-    their typed empties instead of building layouts over nothing."""
-    import glob
-    import os
+def _embeddings_rows(sf_dir: str) -> int:
+    """Footer-only row count of the embeddings table — ONE metadata
+    pass serves both the 0-row short-circuit (ANN/cluster queries
+    answer with their typed empties instead of building layouts over
+    nothing) and the size-scaled IVF training stride."""
+    from .util import table_row_count
 
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    files = [path] if os.path.isfile(path) else sorted(
-        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    )
-    return all(pq.read_metadata(f).num_rows == 0 for f in files)
+    return table_row_count(sf_dir, "embeddings")
 
 
 def ann_lsh(
@@ -347,7 +325,7 @@ def ann_lsh(
     ``layout="stream"`` keeps the one-pass filter variant (full scan,
     per-batch bucket filter) for layouts that can't be materialized;
     both return identical rows (asserted in tests)."""
-    if _embeddings_empty(sf_dir):
+    if _embeddings_rows(sf_dir) == 0:
         return _EMPTY_TOPK.copy()
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
     d = q_mat.shape[1]
@@ -384,20 +362,20 @@ _IVF_TRAIN_STRIDE = 2  # FLOOR: every 2nd vector trains the coarse quantizer
 _IVF_TRAIN_MAX = 200_000  # cap on driver-collected training vectors
 
 
-def _ivf_train_stride(sf_dir: str) -> int:
+def _ivf_train_stride(n_rows: int) -> int:
     """Training stride (every stride-th vec_id trains the quantizer),
     scaled so the driver-side training collect stays under
     ``_IVF_TRAIN_MAX`` vectors at any corpus size — a FIXED stride of 2
     would collect half of a 10^9-row table onto the driver. At every
     oracle-checked SF (≤ ~50k embeddings) this resolves to the floor
     value 2 that the static SQL twin embeds, so engine and oracle train
-    on the identical sample. Footer row count only; no data read."""
-    from .util import parquet_column_stats
-
-    st = parquet_column_stats(sf_dir, "embeddings", "vec_id")
-    if not st:
-        return _IVF_TRAIN_STRIDE
-    return max(_IVF_TRAIN_STRIDE, -(-int(st[2]) // _IVF_TRAIN_MAX))
+    on the identical sample. ``n_rows`` comes from the footer row count
+    (``_embeddings_rows``) — NOT from column min/max statistics, which
+    a writer may omit; losing the bound on a stats-less 10^9-row table
+    would collect 5e8 vectors onto the driver, the exact failure this
+    scaling exists to prevent. Callers compute the count once and pass
+    it to every stage that needs the stride."""
+    return max(_IVF_TRAIN_STRIDE, -(-n_rows // _IVF_TRAIN_MAX))
 
 
 def _kmeans_cosine(m: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
@@ -418,8 +396,7 @@ def _kmeans_cosine(m: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
     return cent
 
 
-def _train_codebook(sf_dir: str, n_centroids: int) -> np.ndarray:
-    stride = _ivf_train_stride(sf_dir)
+def _train_codebook(sf_dir: str, n_centroids: int, stride: int) -> np.ndarray:
     train_tbl = _collect_where(
         sf_dir,
         lambda col: pa.array(col.to_numpy(zero_copy_only=False) % stride == 0),
@@ -428,14 +405,14 @@ def _train_codebook(sf_dir: str, n_centroids: int) -> np.ndarray:
     return _kmeans_cosine(train_m, n_centroids)
 
 
-def _ivf_layout(sf_dir: str, n_centroids: int) -> str:
+def _ivf_layout(sf_dir: str, n_centroids: int, stride: int) -> str:
     """Hive-partitioned embeddings layout keyed by IVF cell, with the
     trained codebook stored beside it (codebook.npy) so queries never
     retrain."""
     import os
 
     def build(tmp_dir: str) -> None:
-        cent = _train_codebook(sf_dir, n_centroids)
+        cent = _train_codebook(sf_dir, n_centroids, stride)
         cent_ref = ray.put(cent)
         ds = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -449,9 +426,7 @@ def _ivf_layout(sf_dir: str, n_centroids: int) -> str:
         )
         np.save(os.path.join(tmp_dir, "codebook.npy"), cent)
 
-    return _ensure_layout(
-        sf_dir, f"ivf:{n_centroids}:{_ivf_train_stride(sf_dir)}", build
-    )
+    return _ensure_layout(sf_dir, f"ivf:{n_centroids}:{stride}", build)
 
 
 def ann_ivf(
@@ -474,17 +449,19 @@ def ann_ivf(
     assigned and filtered per batch). Identical rows either way
     (asserted in tests); recall vs brute force is pinned in
     tests/test_similarity.py."""
-    if _embeddings_empty(sf_dir):
+    n_rows = _embeddings_rows(sf_dir)  # ONE footer pass: empty check + stride
+    if n_rows == 0:
         return _EMPTY_TOPK.copy()
     import os
 
+    stride = _ivf_train_stride(n_rows)
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
 
     if layout == "pruned":
-        root = _ivf_layout(sf_dir, n_centroids)
+        root = _ivf_layout(sf_dir, n_centroids, stride)
         cent = np.load(os.path.join(root, "codebook.npy"))
     else:
-        cent = _train_codebook(sf_dir, n_centroids)
+        cent = _train_codebook(sf_dir, n_centroids, stride)
 
     # per-query probe list: n_probe nearest centroids; the union of all
     # queries' probed cells defines the partitions (or rows) searched.
@@ -556,13 +533,14 @@ def embedding_clusters(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataF
     then every batch does one GEMM to assign its rows. Output:
     (vec_id, cluster, cos_to_centroid). Cluster quality vs planted
     labels is pinned in tests/test_similarity.py."""
-    if _embeddings_empty(sf_dir):
+    n_rows = _embeddings_rows(sf_dir)  # ONE footer pass: empty check + stride
+    if n_rows == 0:
         return pd.DataFrame({
             "vec_id": np.empty(0, np.int64),
             "cluster": np.empty(0, np.int64),
             "cos_to_centroid": np.empty(0, np.float64),
         })
-    stride = _ivf_train_stride(sf_dir)
+    stride = _ivf_train_stride(n_rows)
     train_tbl = _collect_where(
         sf_dir,
         lambda col: pa.array(col.to_numpy(zero_copy_only=False) % stride == 0),

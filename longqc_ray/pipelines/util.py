@@ -105,6 +105,36 @@ def _path_bytes(path: str) -> int:
     return os.path.getsize(path)
 
 
+def table_files(sf_dir: str, name: str) -> list[str]:
+    """Sorted parquet part files of one driver table — the ONE place
+    that knows a table is either a single ``<name>.parquet`` file or a
+    directory of part files (recursive: hive-partitioned layouts
+    nest). Every footer/stat/fingerprint pass goes through this so the
+    two shapes can't drift between callers (a flat ``*.parquet`` glob
+    here vs a recursive one there silently mis-counts nested
+    layouts)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        import glob
+
+        return sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    return [path]
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a table from parquet FOOTERS only — always
+    available (unlike column min/max statistics, which a writer may
+    omit), so size-scaled driver decisions (training strides, empty
+    short-circuits, crossover caps) never silently lose their bound
+    the way a ``parquet_column_stats``-based count does on a
+    stats-less file."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in table_files(sf_dir, name))
+
+
 def table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     """Column-pruned parquet read of one driver table.
 
@@ -122,23 +152,13 @@ def table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    first_file = path
-    all_empty = False
-    if os.path.isdir(path):
-        import glob
-
-        files = sorted(
-            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        )
-        # cheap short-circuit: any non-empty file already yields blocks
-        # that carry the schema; only an ALL-empty directory loses it.
-        # Footer reads stop at the first non-empty file, so the common
-        # path costs one footer.
-        if files:
-            first_file = files[0]
-            all_empty = all(pq.read_metadata(f).num_rows == 0 for f in files)
-    else:
-        all_empty = pq.read_metadata(path).num_rows == 0
+    files = table_files(sf_dir, name)
+    first_file = files[0] if files else path
+    # cheap short-circuit: any non-empty file already yields blocks
+    # that carry the schema; only an ALL-empty table loses it.
+    all_empty = bool(files) and all(
+        pq.read_metadata(f).num_rows == 0 for f in files
+    )
     if all_empty:
         schema = pq.read_schema(first_file)
         if columns:
@@ -162,12 +182,9 @@ def parquet_column_stats(
     case). Returns None when any row group lacks exact stats — callers
     must fall back to the aggregate pass. Only trustworthy for numeric
     columns (string footer min/max may be truncated)."""
-    import glob
-
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    files = table_files(sf_dir, name)
     lo: float | None = None
     hi: float | None = None
     n = 0
@@ -194,12 +211,9 @@ def parquet_ts_bounds(sf_dir: str, name: str, col: str) -> tuple[int, int] | Non
     ``parquet_column_stats`` — saves queries needing only global time
     bounds one whole Min/Max aggregate execution). None when any row
     group lacks exact stats; callers fall back to the aggregate."""
-    import glob
-
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    files = table_files(sf_dir, name)
     lo = hi = None
     for f in files:
         md = pq.read_metadata(f)

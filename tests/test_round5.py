@@ -552,3 +552,71 @@ def test_empty_corpus_full_registry(tmp_path, ray_session, monkeypatch):
     for name, fn in entrymod.queries().items():
         df = to_pandas(fn(str(tmp_path)))
         assert len(df) == summary_rows.get(name, 0), name
+
+
+def test_ivf_train_stride_bound_and_footer_count(tmp_path):
+    """The IVF training stride derives from the FOOTER row count (always
+    present), never from column min/max statistics (a writer may omit
+    them) — losing the bound on a stats-less 10^9-row table would
+    collect half the corpus onto the driver. Pins: the pure stride
+    formula honors both the floor and the driver cap, and
+    ``table_row_count`` counts a STATISTICS-FREE nested directory
+    layout correctly (the shape where the old column-stats path fell
+    back to the unbounded floor)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from longqc_ray.pipelines.similarity import (
+        _IVF_TRAIN_MAX, _IVF_TRAIN_STRIDE, _ivf_train_stride)
+    from longqc_ray.pipelines.util import table_files, table_row_count
+
+    # stride formula: floor below the cap, ceil(n / cap) above it
+    assert _ivf_train_stride(0) == _IVF_TRAIN_STRIDE
+    assert _ivf_train_stride(_IVF_TRAIN_MAX) == _IVF_TRAIN_STRIDE
+    assert _ivf_train_stride(10**9) == -(-10**9 // _IVF_TRAIN_MAX)
+    assert 10**9 / _ivf_train_stride(10**9) <= _IVF_TRAIN_MAX
+
+    # nested dir table, statistics disabled: row count still exact
+    root = tmp_path / "embeddings.parquet"
+    (root / "bucket=3").mkdir(parents=True)
+    t = pa.table({"vec_id": pa.array(range(7), pa.int64())})
+    pq.write_table(t, str(root / "part-0.parquet"), write_statistics=False)
+    pq.write_table(t.slice(0, 4), str(root / "bucket=3" / "part-1.parquet"),
+                   write_statistics=False)
+    assert len(table_files(str(tmp_path), "embeddings")) == 2
+    assert table_row_count(str(tmp_path), "embeddings") == 11
+
+
+def test_doc_quality_flags_empty_null_parity(tmp_path, ray_session):
+    """0-doc corpus: fractions are NULL (sum()/count(*) over zero rows
+    is NULL in the SQL twin), not 0.0 — same convention as doc_n50 /
+    value_quantiles."""
+    import pyarrow.parquet as pq
+
+    from longqc_ray.pipelines.relational import doc_quality_flags
+
+    src = "/root/testdata/sf0.001"
+    pq.write_table(pq.read_table(f"{src}/documents.parquet").slice(0, 0),
+                   str(tmp_path / "documents.parquet"))
+    out = doc_quality_flags(str(tmp_path)).to_pandas()
+    assert int(out["n_docs"].iloc[0]) == 0
+    assert out["frac_short"].isna().all()
+    assert out["frac_long"].isna().all()
+    assert out["frac_nonen"].isna().all()
+
+
+def test_bottomk_sample_empty_keeps_schema(ray_session):
+    """bottomk_sample over a 0-row dataset returns a TYPED empty table
+    (recovered from the input dataset's schema) — callers no longer
+    need a pre-branch to avoid a zero-column sentinel."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from longqc_ray.functions.sampling import bottomk_sample
+
+    empty = rd.from_arrow(pa.schema(
+        [("clip_id", pa.string()), ("snr_db", pa.float64())]
+    ).empty_table())
+    out = bottomk_sample(empty, "clip_id", 5)
+    assert out.num_rows == 0
+    assert out.column_names == ["clip_id", "snr_db"]
