@@ -26,6 +26,44 @@ import sys
 import time
 
 
+def host_membw_probe(streams: tuple[int, ...] = (4, 16), secs: float = 1.0) -> dict:
+    """Engine-free memory-bus phase probe (UNTIMED — runs before any
+    measured section). This VM's memory bus swings between phases
+    where 16 concurrent streams deliver anywhere from 0.3× to 3× the
+    total bandwidth of 4 streams (BASELINE.md §3 controls); the
+    flagship's throughput tracks that phase, not code changes. Stamping
+    the phase into every bench JSON makes cross-round comparisons
+    self-attributing: a BENCH_r{N} whose streams16 total is BELOW its
+    streams4 total ran in a degraded anti-scaling phase and its wall
+    times are host-limited, not engine regressions."""
+    import multiprocessing as mp
+
+    def stream(q):
+        import numpy as np
+
+        a = np.empty(2 ** 26, np.uint8)
+        b = np.empty_like(a)
+        np.copyto(b, a)  # fault both buffers' pages before timing
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < secs:
+            np.copyto(b, a)
+            n += 1
+        q.put(n * a.nbytes * 2 / (time.perf_counter() - t0) / 1e9)
+
+    out = {}
+    for nproc in streams:
+        q = mp.Queue()
+        ps = [mp.Process(target=stream, args=(q,)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        vals = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        out[f"streams{nproc}_gbps"] = round(sum(vals), 1)
+    return out
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -221,6 +259,7 @@ def main() -> None:
         # robust statistic under host-load drift — a 16-CPU child in
         # between would contaminate it), 16 last in each repetition
         cpu_counts = (8, 32, 16)
+        bw_before = host_membw_probe()
         secs: dict[int, list[float]] = {n: [] for n in cpu_counts}
         tputs: dict[int, list[float]] = {n: [] for n in cpu_counts}
         for _ in range(reps):
@@ -263,11 +302,20 @@ def main() -> None:
             "scaling_efficiency_8_16": round(med[16] / (2.0 * med[8]), 3),
             "pair_efficiencies_8_32": pair_eff,
             "pair_efficiency_median": round(statistics.median(pair_eff), 3),
+            # host bus phase at start and end of the (long) scaling run
+            # — anti-scaling phases (streams16 < streams4 total) make
+            # any single session's efficiency host-limited, not engine
+            "host_membw_before": bw_before,
+            "host_membw_after": host_membw_probe(),
         }))
         return
 
     # fixture generation (cached) happens before ray starts timing
     _clips_dir(_sf_of(sf_dir))
+
+    # untimed host-phase stamp (before ray exists, so the probe sees
+    # the same bus the measured section will)
+    host_bw = host_membw_probe()
 
     import ray
 
@@ -318,6 +366,7 @@ def main() -> None:
         "rows_in": flag["rows_in"],
         "rows_out": flag["rows_out"],
         "clips_per_sec": flag["clips_per_sec"],
+        "host_membw": host_bw,
     }))
     ray.shutdown()
 
