@@ -155,10 +155,20 @@ def run_flagship(
     pool = max(2, (cpus * 3) // 4 if materialize else (cpus * 5) // 8)
     # untimed warmup: run a 2-shard slice through the full pipeline so
     # Ray worker processes + the scorer actor pool exist before t0 —
-    # process spawn is a per-node fixed cost, not engine throughput
+    # process spawn is a per-node fixed cost, not engine throughput.
+    # The warmup read task takes 0 CPUs: at cpus=4 the materialize-
+    # profile pool (3×1.0) + dedup actor (0.5) leaves only 0.5 CPU, so
+    # a default 1-CPU read task loses a placement race against the
+    # actor pool and the warmup deadlocks (observed 2026-08-19: read
+    # backpressured forever while 3 idle actors hold the ledger). The
+    # timed section is immune — it consumes pre-materialized blocks.
+    import ray.data as rd
+
+    warm = rd.read_parquet(
+        clips[:2], override_num_blocks=2, ray_remote_args={"num_cpus": 0}
+    )
     filter_clips(
-        read_wide_parquet(clips[:2]), config=config, scorer_concurrency=pool,
-        model_refs=refs,
+        warm, config=config, scorer_concurrency=pool, model_refs=refs,
     ).count()
     if repeat > 1:
         # the scaling workload is "repeat× MORE data", not repeat
