@@ -74,7 +74,17 @@ def label_clips(
 
     ``keep_only=True`` drops non-keep rows inside the same fused actor
     stage (used by ``filter_clips``) so no post-actor task stage
-    competes with the pool for cores."""
+    competes with the pool for cores.
+
+    Sizing a FIXED pool (int ``scorer_concurrency``): leave at least
+    1.5 CPUs per node un-pooled when the input is a task-based read
+    (parquet/lance scan). Ray places the pool's actors eagerly and
+    never evicts them, so a pool that fills the node starves the
+    1-CPU read tasks and the pipeline deadlocks at startup (observed
+    at cpus=4 with a 3-actor pool + the 0.5-CPU dedup actor: the read
+    task stayed backpressured forever against 3 idle actors). The
+    autoscaling tuple form starts at ``min_size`` and only grows on
+    backlog, which in practice leaves the read headroom."""
     from ray.data import ActorPoolStrategy
 
     from ..config import extraction_config
