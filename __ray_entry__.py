@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         audio_resample_norm,
         audio_trim_silence,
         audio_vad_profile,
+        container_audit,
         image_features,
         read_derived_clips,
         video_frame_features,
@@ -217,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rms_profile": window_rms_profile,  # O6 random-window sampling
         "qc_binned_summary": qc_binned_summary,
         "qc_report": qc_report,
+        # --- binary-container ingest audit (S1+S3/S4 audio twin, r5) ---
+        "container_audit": container_audit,
     }
 
 

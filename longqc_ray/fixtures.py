@@ -22,7 +22,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .config import DEFAULT_CONFIG, FilterConfig
-from .kernels.audio import mulaw_encode, pcm16_encode
+from .kernels.audio import decode_payload, mulaw_encode, pcm16_encode
+from .kernels.containers import au_encode, wav_encode
 from .kernels.pii import scrub_text
 from .kernels.wordmodel import make_gibberish, make_repetitive, make_text
 
@@ -210,6 +211,50 @@ def generate_clips(
         if defect == "clean":
             clean_pool.append(i)
 
+    # Deterministic container-wrap pass (kernels/containers.py): ~13%
+    # of rows get their raw payload reframed as WAV/AU — decoded PCM
+    # stays bit-identical (pcm16/float32 passthrough, mu-law LUT
+    # round-trip, duplicated-channel downmix), so every planted truth
+    # label survives EXCEPT the explicit hdr_sr_mismatch slice, whose
+    # container header declares a different rate than the sr_hz column
+    # (drop: bad_sr). Decisions hash the clip_id — not the main rng
+    # stream — so the pre-wrap corpus is unchanged and duplicate rows
+    # (same clip_id + payload) wrap identically.
+    import zlib
+
+    for i in range(n_rows):
+        c = codecs[i]
+        if c not in ("pcm_s16le", "mulaw"):
+            continue  # opus_unknown (bad_codec) rows stay raw
+        h = zlib.crc32(f"container:{clip_ids[i]}".encode()) / 2**32
+        if h >= 0.13:
+            continue
+        x = decode_payload(payloads[i], c)
+        sr = srs[i]
+        if h < 0.05:  # plain single-channel wav, same inner codec
+            payloads[i] = wav_encode(x, sr, inner=c if c == "mulaw" else "pcm_s16le")
+            codecs[i] = "wav"
+        elif h < 0.08:  # IEEE-float wav (fmt 3), exact passthrough
+            payloads[i] = wav_encode(x, sr, inner="float32")
+            codecs[i] = "wav"
+        elif h < 0.10:  # stereo with duplicated channels (downmix-exact)
+            payloads[i] = wav_encode(
+                x, sr, inner=c if c == "mulaw" else "pcm_s16le", channels=2
+            )
+            codecs[i] = "wav"
+        elif h < 0.12:  # Sun AU (mu-law or big-endian pcm16)
+            payloads[i] = au_encode(
+                x, sr, inner="mulaw" if c == "mulaw" else "pcm_s16be"
+            )
+            codecs[i] = "au"
+        else:  # header/metadata sample-rate disagreement -> drop (bad_sr)
+            payloads[i] = wav_encode(
+                x, sr, inner="pcm_s16le", header_sr=max(sr, 1) * 2
+            )
+            codecs[i] = "wav"
+            t = truth_rows[i]
+            truth_rows[i] = (t[0], "hdr_sr_mismatch", False, t[3], t[4], t[5])
+
     clips = pa.table(
         {
             "clip_id": pa.array(clip_ids, pa.string()),
@@ -279,7 +324,8 @@ def fixture_dir(profile: str = "tiny", root: str = "/tmp/longqc_fixtures", seed:
     """Cached deterministic fixture; generated on first use."""
     n_rows, n_shards = _FIXTURE_PROFILES[profile]
     # v2: snr_max_samples 65536→8192 changed planted-audio alignment
-    d = os.path.join(root, f"{profile}-{n_rows}-s{seed}-v2")
+    # v3: container-wrap pass (wav/au payloads + hdr_sr_mismatch slice)
+    d = os.path.join(root, f"{profile}-{n_rows}-s{seed}-v3")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)

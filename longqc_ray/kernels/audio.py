@@ -68,6 +68,10 @@ def decode_payload(b: bytes, codec: str) -> np.ndarray | None:
         return pcm16_decode(b)
     if codec == "mulaw":
         return mulaw_decode(np.frombuffer(b, dtype=np.uint8))
+    if codec in ("wav", "au"):
+        from .containers import container_decode
+
+        return container_decode(b, codec)
     return None
 
 
@@ -76,6 +80,11 @@ def n_samples_for(b: bytes, codec: str) -> int:
         return len(b) // 2
     if codec == "mulaw":
         return len(b)
+    if codec in ("wav", "au"):
+        from .containers import container_meta
+
+        m = container_meta(b, codec)
+        return 0 if m is None else m.frames
     return 0
 
 
@@ -89,6 +98,10 @@ def decode_view(a: np.ndarray, codec: str) -> np.ndarray | None:
         return a[:m].view("<i2").astype(np.float32) / np.float32(32767.0)
     if codec == "mulaw":
         return mulaw_decode(a)
+    if codec in ("wav", "au"):
+        from .containers import container_decode
+
+        return container_decode(a, codec)
     return None
 
 

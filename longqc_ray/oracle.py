@@ -16,13 +16,20 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .config import ALLOWED_SR_HZ, DEFAULT_CONFIG, KNOWN_CODECS, FilterConfig
+from .config import (
+    ALLOWED_SR_HZ,
+    CONTAINER_CODECS,
+    DEFAULT_CONFIG,
+    KNOWN_CODECS,
+    FilterConfig,
+)
 from .kernels.audio import (
     active_frame_frac,
     decode_payload,
     estimate_snr_db,
     n_samples_for,
 )
+from .kernels.containers import header_sr
 from .kernels.pii import scrub_text
 from .kernels.text import char_ngram_buckets, repetition_mask
 from .kernels.toxicity import toxic_hits
@@ -81,6 +88,15 @@ def oracle_row(
 
     codec_ok = codec in KNOWN_CODECS
     sr_ok = sr_hz in ALLOWED_SR_HZ
+    # container codecs (kernels/containers.py): the header must parse
+    # (else bad_codec) and its declared rate must match the sr_hz
+    # column (else bad_sr) — the BAM/fast5 header-sanity analogue
+    if codec_ok and codec in CONTAINER_CODECS:
+        hdr = header_sr(payload, codec)
+        if hdr is None:
+            codec_ok = False
+        elif hdr != sr_hz:
+            sr_ok = False
     dur_ok_lo = dur_ms >= config.min_dur_ms
     dur_ok_hi = dur_ms <= config.max_dur_ms
 

@@ -16,12 +16,19 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import ALLOWED_SR_HZ, KNOWN_CODECS, DEFAULT_CONFIG, FilterConfig
+from ..config import (
+    ALLOWED_SR_HZ,
+    CONTAINER_CODECS,
+    KNOWN_CODECS,
+    DEFAULT_CONFIG,
+    FilterConfig,
+)
 from ..kernels.audio import (
     active_frame_frac,
     decode_view,
     estimate_snr_db,
 )
+from ..kernels.containers import ContainerMeta, container_meta, decode_meta
 from ..kernels.pii import scrub_column
 from ..kernels.text import repetition_mask_batch
 from ..kernels.toxicity import toxic_hits_column
@@ -87,6 +94,21 @@ def compute_features(batch: pa.Table, config: FilterConfig = DEFAULT_CONFIG) -> 
     # vectorized duration-consistency check (no decode needed)
     n_samp = np.where(codec_np == "pcm_s16le", sizes // 2,
                       np.where(codec_np == "mulaw", sizes, 0)).astype(np.float64)
+    # container codecs (wav/au, kernels/containers.py): a per-row
+    # HEADER parse — a few µs each, no decode — yields the frame count
+    # and the header-declared rate. Unparseable → bad_codec;
+    # header sr ≠ sr_hz column → bad_sr (same contract as oracle_row).
+    metas: dict[int, ContainerMeta] = {}
+    for i in np.nonzero(np.isin(codec_np, CONTAINER_CODECS))[0]:
+        ii = int(i)
+        m = container_meta(data[offs[ii] : offs[ii + 1]], codecs[ii])
+        if m is None:
+            codec_ok[ii] = False
+        else:
+            metas[ii] = m
+            n_samp[ii] = m.frames
+            if m.sr != srs[ii]:
+                sr_ok[ii] = False
     safe_sr = np.maximum(srs, 1).astype(np.float64)
     dur_from_bytes = n_samp * 1000.0 / safe_sr
     tol = np.maximum(float(config.dur_tol_ms), config.dur_tol_rel * durs)
@@ -114,12 +136,26 @@ def compute_features(batch: pa.Table, config: FilterConfig = DEFAULT_CONFIG) -> 
     # sub-frame clips keep the per-row kernels (whose short-clip
     # guards the twins don't replicate).
     _BPS = {"pcm_s16le": 2, "mulaw": 1}
+
+    def _decode_capped(i: int) -> np.ndarray:
+        """Decode row ``i`` up to the analysis cap: raw codecs slice
+        the byte-capped buffer view; container rows decode only
+        ``cap`` frames past the parsed header."""
+        lo = offs[i]
+        if i in metas:
+            return decode_meta(data[lo : offs[i + 1]], metas[i], cap)
+        hi = min(offs[i + 1], lo + max_bytes[codecs[i]])
+        return decode_view(data[lo:hi], codecs[i])
+
     groups: dict[int, list[int]] = {}
     for i in np.nonzero(gate)[0]:
-        lsamp = min(
-            int(offs[i + 1] - offs[i]) // _BPS[codecs[i]], cap
+        ii = int(i)
+        lsamp = (
+            min(metas[ii].frames, cap)
+            if ii in metas
+            else min(int(offs[ii + 1] - offs[ii]) // _BPS[codecs[ii]], cap)
         )
-        groups.setdefault(lsamp, []).append(int(i))
+        groups.setdefault(lsamp, []).append(ii)
     # chunk the batched FFT: a full batch of decoded rows plus the
     # rfft/spec temporaries peaks at hundreds of MB, which cycles
     # through mmap'd allocations and cross-process TLB shootdowns
@@ -132,18 +168,14 @@ def compute_features(batch: pa.Table, config: FilterConfig = DEFAULT_CONFIG) -> 
                 rows = rows_l[c0 : c0 + _FFT_CHUNK]
                 mat = np.empty((len(rows), lsamp), dtype=np.float32)
                 for j, i in enumerate(rows):
-                    lo = offs[i]
-                    hi = min(offs[i + 1], lo + max_bytes[codecs[i]])
-                    mat[j] = decode_view(data[lo:hi], codecs[i])[:lsamp]
+                    mat[j] = _decode_capped(i)[:lsamp]
                 snr_db[rows] = _snr_db_rows(mat, config.snr_top_bins)
                 frame_frac[rows] = _active_frac_rows(
                     mat, config.frame_len, config.frame_rms_floor
                 )
         else:
             for i in rows_l:
-                lo = offs[i]
-                hi = min(offs[i + 1], lo + max_bytes.get(codecs[i], 0))
-                pcm = decode_view(data[lo:hi], codecs[i])
+                pcm = _decode_capped(i)
                 if pcm is not None:
                     snr_db[i] = estimate_snr_db(
                         pcm, config.snr_max_samples, config.snr_top_bins
