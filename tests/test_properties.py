@@ -100,3 +100,62 @@ def test_y4m_roundtrip_property(n, h, w, seed):
     assert probe_y4m(payload) is not None and probe_y4m(payload)[2] == n
     for k in range(n):
         assert np.array_equal(decode_y4m_frame(payload, k), frames[k])
+
+
+@given(
+    st.integers(min_value=0, max_value=5000),
+    st.sampled_from([8000, 16000, 22050, 44100]),
+    st.sampled_from(["wav:pcm_s16le", "wav:float32", "wav:mulaw",
+                     "au:mulaw", "au:pcm_s16be"]),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_container_roundtrip_property(n, sr, spec, channels, seed):
+    """Any PCM signal survives container framing bit-exactly once
+    quantized to the inner codec's grid — including empty clips,
+    multi-channel duplication, and every supported fmt/encoding.
+    Bit-exactness of the duplicated-channel downmix holds for
+    power-of-two channel counts ((a+a)/2 is exact in float32); odd
+    counts divide by 3 and are only correct to float32 rounding."""
+    from longqc_ray.kernels.audio import mulaw_decode, mulaw_encode
+    from longqc_ray.kernels.containers import (
+        au_encode, container_decode, container_meta, sniff_codec, wav_encode,
+    )
+
+    kind, inner = spec.split(":")
+    x = np.random.default_rng(seed).uniform(-1, 1, n).astype(np.float32)
+    if inner == "mulaw":
+        x = mulaw_decode(mulaw_encode(x))  # mu-law grid
+    elif inner != "float32":  # int16 grid
+        x = (np.round(np.clip(x, -1, 1) * 32767.0).astype("<i2")
+             .astype(np.float32) / np.float32(32767.0))
+    enc = wav_encode if kind == "wav" else au_encode
+    b = enc(x, sr, inner=inner, channels=channels)
+    m = container_meta(b, kind)
+    assert m is not None and m.sr == sr and m.channels == channels
+    assert m.frames == n
+    assert sniff_codec(b) == kind
+    dec = container_decode(b, kind)
+    if channels in (1, 2, 4):
+        assert np.array_equal(dec, x)
+    else:
+        assert dec.shape == x.shape
+        assert np.allclose(dec, x, rtol=0, atol=1e-7)
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_container_parse_never_raises(junk):
+    """Arbitrary bytes — including truncated magic prefixes — must
+    parse to None or a meta whose data window fits the payload, never
+    raise (the bad_codec path is a value, not an exception)."""
+    from longqc_ray.kernels.containers import parse_au, parse_wav, sniff_codec
+
+    for prefix in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b".snd"):
+        b = prefix + junk
+        for m in (parse_wav(b), parse_au(b)):
+            if m is not None:
+                assert 0 <= m.data_off <= len(b)
+                assert m.data_off + m.data_len <= len(b)
+        sniff_codec(b)
