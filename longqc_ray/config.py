@@ -13,13 +13,13 @@ from dataclasses import dataclass, field
 
 
 # Codecs the decode stage understands (analogue of guess_format's
-# accepted container set, lq_utils.py:89-134). "wav"/"au" are binary
-# CONTAINERS (kernels/containers.py — the BAM/fast5 reader analogue,
-# lq_utils.py:211-261): a row with a container codec must also carry a
-# parseable header (else bad_codec) whose declared sample rate matches
-# the sr_hz column (else bad_sr).
-KNOWN_CODECS = ("pcm_s16le", "mulaw", "wav", "au")
-CONTAINER_CODECS = ("wav", "au")
+# accepted container set, lq_utils.py:89-134). "wav"/"au"/"aiff" are
+# binary CONTAINERS (kernels/containers.py — the BAM/fast5 reader
+# analogue, lq_utils.py:211-261): a row with a container codec must
+# also carry a parseable header (else bad_codec) whose declared sample
+# rate matches the sr_hz column (else bad_sr).
+KNOWN_CODECS = ("pcm_s16le", "mulaw", "wav", "au", "aiff")
+CONTAINER_CODECS = ("wav", "au", "aiff")
 
 # Sample rates considered sane for speech clips.
 ALLOWED_SR_HZ = (8000, 16000, 22050, 44100)

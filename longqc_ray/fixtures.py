@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 from .config import DEFAULT_CONFIG, FilterConfig
 from .kernels.audio import decode_payload, mulaw_encode, pcm16_encode
-from .kernels.containers import au_encode, wav_encode
+from .kernels.containers import aiff_encode, au_encode, wav_encode
 from .kernels.pii import scrub_text
 from .kernels.wordmodel import make_gibberish, make_repetitive, make_text
 
@@ -212,7 +212,7 @@ def generate_clips(
             clean_pool.append(i)
 
     # Deterministic container-wrap pass (kernels/containers.py): ~13%
-    # of rows get their raw payload reframed as WAV/AU — decoded PCM
+    # of rows get their raw payload reframed as WAV/AU/AIFF — decoded PCM
     # stays bit-identical (pcm16/float32 passthrough, mu-law LUT
     # round-trip, duplicated-channel downmix), so every planted truth
     # label survives EXCEPT the explicit hdr_sr_mismatch slice, whose
@@ -242,11 +242,19 @@ def generate_clips(
                 x, sr, inner=c if c == "mulaw" else "pcm_s16le", channels=2
             )
             codecs[i] = "wav"
-        elif h < 0.12:  # Sun AU (mu-law or big-endian pcm16)
+        elif h < 0.11:  # Sun AU (mu-law or big-endian pcm16)
             payloads[i] = au_encode(
                 x, sr, inner="mulaw" if c == "mulaw" else "pcm_s16be"
             )
             codecs[i] = "au"
+        elif h < 0.12:  # AIFF (int16be only — mu-law rows, whose grid
+            # is not int16-representable, keep the lossless AU frame)
+            if c == "mulaw":
+                payloads[i] = au_encode(x, sr, inner="mulaw")
+                codecs[i] = "au"
+            else:
+                payloads[i] = aiff_encode(x, sr)
+                codecs[i] = "aiff"
         else:  # header/metadata sample-rate disagreement -> drop (bad_sr)
             payloads[i] = wav_encode(
                 x, sr, inner="pcm_s16le", header_sr=max(sr, 1) * 2
@@ -325,7 +333,8 @@ def fixture_dir(profile: str = "tiny", root: str = "/tmp/longqc_fixtures", seed:
     n_rows, n_shards = _FIXTURE_PROFILES[profile]
     # v2: snr_max_samples 65536→8192 changed planted-audio alignment
     # v3: container-wrap pass (wav/au payloads + hdr_sr_mismatch slice)
-    d = os.path.join(root, f"{profile}-{n_rows}-s{seed}-v3")
+    # v4: aiff slice carved out of the AU window (h in [0.11, 0.12))
+    d = os.path.join(root, f"{profile}-{n_rows}-s{seed}-v4")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)

@@ -68,7 +68,7 @@ def decode_payload(b: bytes, codec: str) -> np.ndarray | None:
         return pcm16_decode(b)
     if codec == "mulaw":
         return mulaw_decode(np.frombuffer(b, dtype=np.uint8))
-    if codec in ("wav", "au"):
+    if codec in ("wav", "au", "aiff"):
         from .containers import container_decode
 
         return container_decode(b, codec)
@@ -80,7 +80,7 @@ def n_samples_for(b: bytes, codec: str) -> int:
         return len(b) // 2
     if codec == "mulaw":
         return len(b)
-    if codec in ("wav", "au"):
+    if codec in ("wav", "au", "aiff"):
         from .containers import container_meta
 
         m = container_meta(b, codec)
@@ -98,7 +98,7 @@ def decode_view(a: np.ndarray, codec: str) -> np.ndarray | None:
         return a[:m].view("<i2").astype(np.float32) / np.float32(32767.0)
     if codec == "mulaw":
         return mulaw_decode(a)
-    if codec in ("wav", "au"):
+    if codec in ("wav", "au", "aiff"):
         from .containers import container_decode
 
         return container_decode(a, codec)

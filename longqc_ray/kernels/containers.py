@@ -30,6 +30,13 @@ Supported layouts (unsupported → None, never an exception):
 - WAV: fmt 1 (PCM int16le), fmt 3 (IEEE float32le), fmt 7 (G.711
   mu-law); chunk walker skips unknown chunks (fact/LIST/cue).
 - AU: encoding 1 (mu-law), encoding 3 (int16 big-endian).
+- AIFF: IFF ``FORM``/``AIFF`` framing, COMM (channels / frame count /
+  16-bit samples / 80-bit-extended sample rate) + SSND chunks, PCM
+  int16 big-endian only. Compressed ``AIFC`` forms are unsupported
+  (→ None / ``bad_codec``), the analogue of guess_format's unknown
+  branch. The COMM frame count is authoritative: SSND bytes beyond it
+  are trailer padding; fewer bytes than it declares is truncation and
+  yields fewer frames.
 """
 
 from __future__ import annotations
@@ -44,12 +51,14 @@ __all__ = [
     "ContainerMeta",
     "parse_wav",
     "parse_au",
+    "parse_aiff",
     "container_meta",
     "container_decode",
     "decode_meta",
     "header_sr",
     "wav_encode",
     "au_encode",
+    "aiff_encode",
     "sniff_codec",
 ]
 
@@ -151,11 +160,82 @@ def parse_au(b: bytes | np.ndarray) -> ContainerMeta | None:
     return ContainerMeta("au", enc, channels, sr, _AU_ENCODINGS[enc], off, data_len)
 
 
+def _ext80_decode(a: np.ndarray, o: int) -> int:
+    """80-bit IEEE-extended big-endian -> non-negative int sample rate
+    (0 when negative / non-finite / zero — all invalid rates anyway).
+    Layout: 1 sign bit, 15 exponent bits (bias 16383), 64 mantissa
+    bits with the integer bit explicit."""
+    se = int.from_bytes(a[o : o + 2].tobytes(), "big")
+    mant = int.from_bytes(a[o + 2 : o + 10].tobytes(), "big")
+    if se & 0x8000 or mant == 0:
+        return 0
+    exp = se & 0x7FFF
+    if exp == 0x7FFF:  # inf / nan
+        return 0
+    shift = exp - 16383 - 63
+    if shift >= 0:
+        return mant << shift if shift < 64 else 0
+    if shift < -64:
+        return 0
+    # round-to-nearest on the dropped fraction (integer rates encode
+    # exactly, so this only matters for hand-crafted fractional rates)
+    return (mant + (1 << (-shift - 1))) >> -shift
+
+
+def _ext80_encode(sr: int) -> bytes:
+    """Positive int sample rate -> 80-bit IEEE-extended big-endian."""
+    if sr <= 0:
+        return bytes(10)
+    msb = sr.bit_length() - 1
+    exp = 16383 + msb
+    mant = sr << (63 - msb)
+    return exp.to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def parse_aiff(b: bytes | np.ndarray) -> ContainerMeta | None:
+    """IFF chunk walk for ``COMM`` + ``SSND``. None when not a
+    decodable AIFF (bad magic, AIFC/compressed, missing chunks,
+    non-16-bit samples, bad channel count / rate). ``data_len`` is
+    min(declared frames, bytes actually present) — COMM is
+    authoritative, truncation yields fewer frames."""
+    a = _as_u8(b)
+    n = a.size
+    if n < 12 or a[:4].tobytes() != b"FORM" or a[8:12].tobytes() != b"AIFF":
+        return None
+    channels = sr = bits = -1
+    nframes = -1
+    data_off = avail = -1
+    pos = 12
+    while pos + 8 <= n:
+        cid = a[pos : pos + 4].tobytes()
+        size = _u32be(a, pos + 4)
+        body = pos + 8
+        if cid == b"COMM" and size >= 18 and body + 18 <= n:
+            channels = int.from_bytes(a[body : body + 2].tobytes(), "big")
+            nframes = _u32be(a, body + 2)
+            bits = int.from_bytes(a[body + 6 : body + 8].tobytes(), "big")
+            sr = _ext80_decode(a, body + 8)
+        elif cid == b"SSND" and size >= 8 and body + 8 <= n:
+            off = _u32be(a, body)  # alignment offset into the chunk
+            data_off = body + 8 + off
+            avail = min(size - 8 - off, n - data_off)
+        # IFF chunks are padded to even length, like RIFF
+        pos = body + size + (size & 1)
+    if bits != 16 or channels < 1 or channels > 8 or sr <= 0:
+        return None
+    if nframes < 0 or data_off < 0 or avail < 0:
+        return None
+    data_len = min(avail, nframes * 2 * channels)
+    return ContainerMeta("aiff", 1, channels, sr, 16, data_off, data_len)
+
+
 def container_meta(b: bytes | np.ndarray, codec: str) -> ContainerMeta | None:
     if codec == "wav":
         return parse_wav(b)
     if codec == "au":
         return parse_au(b)
+    if codec == "aiff":
+        return parse_aiff(b)
     return None
 
 
@@ -177,7 +257,9 @@ def decode_meta(
     need = frames * meta.bytes_per_frame
     raw = a[meta.data_off : meta.data_off + need]
     ch = meta.channels
-    if meta.kind == "au":
+    if meta.kind == "aiff":  # always PCM int16 big-endian
+        pcm = raw.view(">i2").astype(np.float32) / np.float32(32767.0)
+    elif meta.kind == "au":
         if meta.fmt == 3:  # int16 big-endian
             pcm = raw.view(">i2").astype(np.float32) / np.float32(32767.0)
         else:  # enc 1: mu-law, shared LUT decode
@@ -209,6 +291,8 @@ def sniff_codec(b: bytes | np.ndarray) -> str | None:
         return "wav"
     if a.size >= 24 and a[:4].tobytes() == b".snd":
         return "au"
+    if a.size >= 12 and a[:4].tobytes() == b"FORM" and a[8:12].tobytes() == b"AIFF":
+        return "aiff"
     return None
 
 
@@ -296,3 +380,32 @@ def au_encode(
         + channels.to_bytes(4, "big")
     )
     return head + data
+
+
+def aiff_encode(
+    x: np.ndarray,
+    sr: int,
+    channels: int = 1,
+    header_sr: int | None = None,
+) -> bytes:
+    """float PCM in [-1,1] -> AIFF bytes (PCM int16 big-endian, the
+    only AIFF-proper sound format)."""
+    y = _interleave(np.asarray(x), channels)
+    data = (np.round(np.clip(y, -1.0, 1.0) * 32767.0).astype(">i2")).tobytes()
+    sr_out = int(header_sr if header_sr is not None else sr)
+    nframes = len(data) // (2 * channels)
+    comm = (
+        channels.to_bytes(2, "big")
+        + nframes.to_bytes(4, "big")
+        + (16).to_bytes(2, "big")
+        + _ext80_encode(sr_out)
+    )
+    ssnd_body = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + data
+    chunks = [
+        b"COMM" + len(comm).to_bytes(4, "big") + comm,
+        b"SSND" + len(ssnd_body).to_bytes(4, "big") + ssnd_body,
+    ]
+    if len(ssnd_body) & 1:
+        chunks.append(b"\x00")
+    body = b"AIFF" + b"".join(chunks)
+    return b"FORM" + len(body).to_bytes(4, "big") + body

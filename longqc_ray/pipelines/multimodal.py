@@ -174,8 +174,9 @@ def container_audit(sf_dir: str) -> rd.Dataset:
     """Binary-container ingest audit — the S1+S3/S4 twin for the audio
     payload (reference: guess_format sniff lq_utils.py:101-134 feeding
     the BAM/fast5 readers lq_utils.py:211-261). Each derived clip's raw
-    payload is reframed as a WAV or Sun-AU container (variant chosen by
-    a clip_id hash: fmt 1/3/7, mono/stereo, AU mu-law/pcm16be), then
+    payload is reframed as a WAV, Sun-AU, or AIFF container (variant
+    chosen by a clip_id hash: wav fmt 1/3/7, mono/stereo, AU
+    mu-law/pcm16be, AIFF pcm16be), then
     pushed through the engine's container kernels: magic-byte sniff,
     header parse, mono-float32 decode — and the decoded PCM is compared
     bit-for-bit against the raw-codec decode of the original payload.
@@ -191,6 +192,7 @@ def container_audit(sf_dir: str) -> rd.Dataset:
 
     from ..kernels.audio import decode_view
     from ..kernels.containers import (
+        aiff_encode,
         au_encode,
         container_decode,
         container_meta,
@@ -247,6 +249,11 @@ def container_audit(sf_dir: str) -> rd.Dataset:
             elif h == 3:
                 kind, inn = "au", "mulaw" if codecs[i] == "mulaw" else "pcm_s16be"
                 b = au_encode(raw, sr, inner=inn)
+            elif codecs[i] != "mulaw":  # AIFF is int16be-only; the
+                # mu-law grid is not int16-representable, so mu-law
+                # rows take the lossless wav fmt-7 frame instead
+                kind, inn = "aiff", "pcm_s16be"
+                b = aiff_encode(raw, sr)
             else:
                 kind, inn = "wav", own
                 b = wav_encode(raw, sr, inner=inn)

@@ -1,6 +1,7 @@
-"""WAV/RIFF + Sun-AU container codecs (kernels/containers.py) — the
-binary-container-reader analogue of the reference's BAM/fast5 streaming
-(lq_utils.py:211-261) and guess_format sniff (lq_utils.py:101-134)."""
+"""WAV/RIFF + Sun-AU + AIFF container codecs (kernels/containers.py) —
+the binary-container-reader analogue of the reference's BAM/fast5
+streaming (lq_utils.py:211-261) and guess_format sniff
+(lq_utils.py:101-134)."""
 
 import numpy as np
 import pyarrow as pa
@@ -14,10 +15,12 @@ from longqc_ray.kernels.audio import (
     n_samples_for,
 )
 from longqc_ray.kernels.containers import (
+    aiff_encode,
     au_encode,
     container_decode,
     container_meta,
     header_sr,
+    parse_aiff,
     parse_au,
     parse_wav,
     sniff_codec,
@@ -47,14 +50,19 @@ CASES = [
     ("wav", "mulaw", 2, "qmu"),
     ("au", "mulaw", 1, "qmu"),
     ("au", "pcm_s16be", 1, "q16"),
+    ("aiff", "pcm_s16be", 1, "q16"),
+    ("aiff", "pcm_s16be", 2, "q16"),  # duplicated-channel downmix
 ]
 
 
 @pytest.mark.parametrize("codec,inner,channels,ref", CASES)
 def test_roundtrip_bit_exact(pcm, codec, inner, channels, ref):
     x = pcm[ref]
-    enc = wav_encode if codec == "wav" else au_encode
-    b = enc(x, 16000, inner=inner, channels=channels)
+    if codec == "aiff":
+        b = aiff_encode(x, 16000, channels=channels)
+    else:
+        enc = wav_encode if codec == "wav" else au_encode
+        b = enc(x, 16000, inner=inner, channels=channels)
     m = container_meta(b, codec)
     assert m is not None and m.sr == 16000 and m.channels == channels
     assert m.frames == x.size
@@ -103,6 +111,35 @@ def test_unparseable_and_unsupported():
     assert parse_wav(bytes(b)) is None
 
 
+def test_aiff_specifics(pcm):
+    """AIFF corners: 80-bit-extended sample rates, truncation vs the
+    authoritative COMM frame count, AIFC rejection, header_sr knob."""
+    x = pcm["q16"]
+    for sr in (8000, 16000, 22050, 44100, 11025, 48000, 1, 96000):
+        b = aiff_encode(x[:100], sr)
+        m = parse_aiff(b)
+        assert m is not None and m.sr == sr, sr
+    # truncated SSND: fewer frames than COMM declares
+    b = aiff_encode(x, 16000)
+    m = parse_aiff(b[: len(b) - 2001])
+    assert m is not None and m.frames == x.size - 1001  # 2001 bytes = 1000.5 frames
+    # SSND longer than COMM declares (trailer padding): COMM wins
+    nf = (x.size - 7).to_bytes(4, "big")
+    b2 = bytearray(b)
+    comm_at = bytes(b).index(b"COMM") + 8
+    b2[comm_at + 2 : comm_at + 6] = nf
+    m2 = parse_aiff(bytes(b2))
+    assert m2 is not None and m2.frames == x.size - 7
+    # AIFC (compressed-capable form) is declared unsupported
+    b3 = bytearray(b)
+    b3[8:12] = b"AIFC"
+    assert parse_aiff(bytes(b3)) is None
+    assert sniff_codec(bytes(b3)) is None
+    # header/metadata sample-rate disagreement knob
+    hb = aiff_encode(x[:64], 16000, header_sr=32000)
+    assert header_sr(hb, "aiff") == 32000
+
+
 def test_chunk_walker_skips_unknown_chunks(pcm):
     """LIST/cue chunks before data must be skipped (odd sizes padded)."""
     b = wav_encode(pcm["q16"], 16000)
@@ -141,13 +178,14 @@ def test_engine_oracle_parity_on_wrapped_fixture():
 
 def test_container_audit_query():
     """End-to-end audit over the derived clips: every decodable row,
-    reframed as wav/au, must sniff, parse, and decode bit-identically."""
+    reframed as wav/au/aiff, must sniff, parse, and decode
+    bit-identically."""
     from longqc_ray.pipelines.multimodal import container_audit
 
     df = container_audit("/root/testdata/sf0.001").to_pandas()
     w = df[df["container"] != ""]
     assert len(w) > 400
-    assert set(w["container"]) == {"wav", "au"}
+    assert set(w["container"]) == {"wav", "au", "aiff"}
     assert w["sniffed"].all() and w["parsed"].all() and w["bit_equal"].all()
     # undecodable raw codecs are reported, not silently dropped
     assert (df["container"] == "").sum() > 0

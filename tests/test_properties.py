@@ -106,7 +106,7 @@ def test_y4m_roundtrip_property(n, h, w, seed):
     st.integers(min_value=0, max_value=5000),
     st.sampled_from([8000, 16000, 22050, 44100]),
     st.sampled_from(["wav:pcm_s16le", "wav:float32", "wav:mulaw",
-                     "au:mulaw", "au:pcm_s16be"]),
+                     "au:mulaw", "au:pcm_s16be", "aiff:pcm_s16be"]),
     st.sampled_from([1, 2, 3, 4]),
     st.integers(min_value=0, max_value=2**32 - 1),
 )
@@ -120,7 +120,8 @@ def test_container_roundtrip_property(n, sr, spec, channels, seed):
     counts divide by 3 and are only correct to float32 rounding."""
     from longqc_ray.kernels.audio import mulaw_decode, mulaw_encode
     from longqc_ray.kernels.containers import (
-        au_encode, container_decode, container_meta, sniff_codec, wav_encode,
+        aiff_encode, au_encode, container_decode, container_meta,
+        sniff_codec, wav_encode,
     )
 
     kind, inner = spec.split(":")
@@ -130,8 +131,11 @@ def test_container_roundtrip_property(n, sr, spec, channels, seed):
     elif inner != "float32":  # int16 grid
         x = (np.round(np.clip(x, -1, 1) * 32767.0).astype("<i2")
              .astype(np.float32) / np.float32(32767.0))
-    enc = wav_encode if kind == "wav" else au_encode
-    b = enc(x, sr, inner=inner, channels=channels)
+    if kind == "aiff":
+        b = aiff_encode(x, sr, channels=channels)
+    else:
+        enc = wav_encode if kind == "wav" else au_encode
+        b = enc(x, sr, inner=inner, channels=channels)
     m = container_meta(b, kind)
     assert m is not None and m.sr == sr and m.channels == channels
     assert m.frames == n
@@ -150,11 +154,14 @@ def test_container_parse_never_raises(junk):
     """Arbitrary bytes — including truncated magic prefixes — must
     parse to None or a meta whose data window fits the payload, never
     raise (the bad_codec path is a value, not an exception)."""
-    from longqc_ray.kernels.containers import parse_au, parse_wav, sniff_codec
+    from longqc_ray.kernels.containers import (
+        parse_aiff, parse_au, parse_wav, sniff_codec,
+    )
 
-    for prefix in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b".snd"):
+    for prefix in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b".snd",
+                   b"FORM", b"FORM\x00\x00\x00\x00AIFF"):
         b = prefix + junk
-        for m in (parse_wav(b), parse_au(b)):
+        for m in (parse_wav(b), parse_au(b), parse_aiff(b)):
             if m is not None:
                 assert 0 <= m.data_off <= len(b)
                 assert m.data_off + m.data_len <= len(b)
