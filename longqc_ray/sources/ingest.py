@@ -2,8 +2,9 @@
 ``guess_format`` (/root/reference/lq_utils.py:89-134: magic bytes +
 first-line heuristics dispatching BAM/SAM/FASTQ/FASTA/fast5 readers).
 
-Here the container set is {parquet, csv, json-lines}: magic bytes
-first (``PAR1``), then content heuristics, then extension; the result
+Here the container set is {parquet, csv, json-lines, lance, whole-file
+audio (wav/au/aiff)}: magic bytes first (``PAR1``, RIFF/WAVE, ``.snd``,
+FORM/AIFF), then content heuristics, then extension; the result
 dispatches to the matching ``ray.data.read_*`` (column-pruned where
 the format supports it). Unknown → ValueError, the reference's −1
 path (lq_utils.py:131-134).
@@ -20,6 +21,9 @@ FORMAT_PARQUET = "parquet"
 FORMAT_CSV = "csv"
 FORMAT_JSONL = "jsonl"
 FORMAT_LANCE = "lance"
+FORMAT_AUDIO = "audio"  # whole-file wav/au/aiff (one clip per file)
+
+_AUDIO_EXTS = (".wav", ".au", ".snd", ".aif", ".aiff")
 
 
 def guess_format(path: str) -> str:
@@ -37,11 +41,20 @@ def guess_format(path: str) -> str:
             or os.path.isdir(os.path.join(path, "_transactions"))
         ):
             return FORMAT_LANCE
+        if any(f.lower().endswith(_AUDIO_EXTS) for f in os.listdir(path)):
+            return FORMAT_AUDIO
         raise ValueError(f"directory is not a Lance dataset: {path}")
     with open(path, "rb") as f:
         head = f.read(4096)
     if head[:4] == b"PAR1":
         return FORMAT_PARQUET
+    # audio containers by exact magic (kernels/containers.py): the
+    # whole-FILE twin of the per-row payload sniff — one clip per file,
+    # like the reference's one-read-per-record binary readers
+    from ..kernels.containers import sniff_codec
+
+    if sniff_codec(head) is not None:
+        return FORMAT_AUDIO
     first = head.split(b"\n", 1)[0].strip()
     if first.startswith(b"{") and first.endswith(b"}"):
         return FORMAT_JSONL
@@ -71,6 +84,11 @@ def read_auto(path_or_glob: str, columns: list[str] | None = None) -> rd.Dataset
         if len(paths) != 1:
             raise ValueError("a Lance dataset is one directory, not a glob of several")
         return read_lance_dataset(paths[0], columns=columns)
+    if fmt == FORMAT_AUDIO:
+        ds = read_audio_files(paths)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
     if fmt == FORMAT_PARQUET:
         return rd.read_parquet(paths, columns=columns)
     if fmt == FORMAT_CSV:
@@ -98,6 +116,116 @@ def read_lance_dataset(path: str, columns: list[str] | None = None) -> rd.Datase
             "(pylance); install it or convert the table to parquet"
         ) from e
     return rd.read_lance(path, columns=columns)
+
+
+def read_audio_files(
+    path_or_glob: str | list[str],
+    transcripts_path: str | None = None,
+) -> rd.Dataset:
+    """Whole-file audio ingest: a directory / glob / list of ``.wav``
+    / ``.au`` / ``.aiff`` files → a Dataset in the flagship clips
+    schema (clip_id, bytes, sr_hz, dur_ms, codec, transcript) — the
+    one-record-per-file twin of the reference's binary-container
+    readers (fast5: one signal file per read, lq_utils.py:211-236;
+    sniff: guess_format, lq_utils.py:101-134).
+
+    Shape at scale: the driver touches only PATHS; file bytes are read
+    inside ``read_binary_files`` tasks (one task per path bundle), the
+    header parse is a per-file µs cost in the same task, and the
+    output flows straight into ``run_filter_resumable`` /
+    ``compute_features`` without re-materialization. ``sr_hz`` and
+    ``dur_ms`` are derived from the parsed header (a bare file has no
+    external metadata), so the header-vs-metadata checks pass by
+    construction; an unparseable or non-audio payload yields
+    ``codec="unknown"`` (→ bad_codec downstream), a value, never an
+    exception.
+
+    ``transcripts_path`` (optional): csv or json-lines sidecar with
+    ``clip_id``/``transcript`` columns — small side, loaded once on
+    the driver and BROADCAST via ``ray.put`` (read per task, never
+    re-shipped per batch). Files without a sidecar row get ``""``.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..kernels.containers import container_meta, sniff_codec
+
+    if isinstance(path_or_glob, list):
+        paths = sorted(path_or_glob)
+    elif any(c in path_or_glob for c in "*?["):
+        paths = sorted(glob.glob(path_or_glob))
+    elif os.path.isdir(path_or_glob):
+        paths = sorted(
+            os.path.join(path_or_glob, f)
+            for f in os.listdir(path_or_glob)
+            if f.lower().endswith(_AUDIO_EXTS)
+        )
+    else:
+        paths = [path_or_glob]
+    if not paths:
+        raise FileNotFoundError(str(path_or_glob))
+
+    tmap_ref = None
+    if transcripts_path is not None:
+        import duckdb
+
+        rel = (
+            f"read_json_auto('{transcripts_path}')"
+            if transcripts_path.endswith((".json", ".jsonl", ".ndjson"))
+            else f"read_csv_auto('{transcripts_path}')"
+        )
+        t = duckdb.sql(f"SELECT clip_id, transcript FROM {rel}").fetchall()
+        tmap_ref = ray.put({str(k): str(v) for k, v in t})
+
+    def to_clips(batch: pa.Table) -> pa.Table:
+        tmap = ray.get(tmap_ref) if tmap_ref is not None else {}
+        n = batch.num_rows
+        ids: list[str] = []
+        srs = np.zeros(n, np.int32)
+        durs = np.zeros(n, np.int32)
+        codecs: list[str] = []
+        transcripts: list[str] = []
+        payloads = batch.column("bytes")
+        # zero-copy header parse: uint8 views into the Arrow buffers
+        # (rows are whole files — no per-row bytes copy)
+        col = payloads.combine_chunks() if isinstance(payloads, pa.ChunkedArray) else payloads
+        off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(col.buffers()[2], np.uint8)
+            if col.buffers()[2]
+            else np.empty(0, np.uint8)
+        )
+        for i, p in enumerate(batch.column("path").to_pylist()):
+            cid = os.path.splitext(os.path.basename(p))[0]
+            b = data[offs[i] : offs[i + 1]]
+            kind = sniff_codec(b)
+            m = container_meta(b, kind) if kind is not None else None
+            if m is None:
+                codecs.append("unknown")  # bad_codec downstream
+            else:
+                codecs.append(kind)
+                srs[i] = m.sr
+                durs[i] = round(m.frames * 1000.0 / m.sr)
+            ids.append(cid)
+            transcripts.append(tmap.get(cid, ""))
+        return pa.table(
+            {
+                "clip_id": pa.array(ids, pa.string()),
+                "bytes": payloads,
+                "sr_hz": pa.array(srs, pa.int32()),
+                "dur_ms": pa.array(durs, pa.int32()),
+                "codec": pa.array(codecs, pa.string()),
+                "transcript": pa.array(transcripts, pa.string()),
+            }
+        )
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    # small batches: rows are whole files (can be MBs each)
+    return ds.map_batches(to_clips, batch_format="pyarrow", batch_size=64)
 
 
 def file_attributes(path_or_glob: str) -> rd.Dataset:

@@ -83,3 +83,66 @@ def test_plain_dir_rejected(tmp_path):
 
     with pytest.raises(ValueError):
         guess_format(str(d))
+
+
+def test_read_audio_files_dir(tmp_path):
+    """Whole-file audio ingest: dir of wav/au/aiff -> clips schema,
+    header-derived sr/dur, flagship-ready; junk .wav -> codec unknown
+    (a value, not an exception); optional transcript sidecar."""
+    import numpy as np
+
+    from longqc_ray.kernels.audio import decode_payload
+    from longqc_ray.kernels.containers import aiff_encode, au_encode, wav_encode
+    from longqc_ray.sources.ingest import read_audio_files
+    from longqc_ray.stages.features import compute_features
+
+    rng = np.random.default_rng(3)
+    x = (np.round(rng.uniform(-1, 1, 16000).astype(np.float32) * 32767.0)
+         .astype("<i2").astype(np.float32) / np.float32(32767.0))
+    (tmp_path / "a.wav").write_bytes(wav_encode(x, 16000))
+    (tmp_path / "b.au").write_bytes(au_encode(x, 8000, inner="pcm_s16be"))
+    (tmp_path / "c.aiff").write_bytes(aiff_encode(x[:8000], 22050))
+    (tmp_path / "junk.wav").write_bytes(b"\x00" * 64)
+    (tmp_path / "not_audio.txt").write_text("ignored")
+    (tmp_path / "side.csv").write_text(
+        "clip_id,transcript\na,hello there\nc,general kenobi\n"
+    )
+
+    assert guess_format(str(tmp_path)) == "audio"
+    df = (
+        read_audio_files(str(tmp_path), transcripts_path=str(tmp_path / "side.csv"))
+        .to_pandas()
+        .set_index("clip_id")
+        .sort_index()
+    )
+    assert list(df.index) == ["a", "b", "c", "junk"]
+    assert list(df.columns) == ["bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    assert df.loc["a", "codec"] == "wav" and df.loc["a", "sr_hz"] == 16000
+    assert df.loc["a", "dur_ms"] == 1000 and df.loc["a", "transcript"] == "hello there"
+    assert df.loc["b", "codec"] == "au" and df.loc["b", "sr_hz"] == 8000
+    assert df.loc["b", "dur_ms"] == 2000 and df.loc["b", "transcript"] == ""
+    assert df.loc["c", "codec"] == "aiff" and df.loc["c", "sr_hz"] == 22050
+    assert df.loc["junk", "codec"] == "unknown" and df.loc["junk", "sr_hz"] == 0
+    # payload decodes identically to the in-memory signal
+    assert np.array_equal(decode_payload(df.loc["a", "bytes"], "wav"), x)
+    assert np.array_equal(decode_payload(df.loc["b", "bytes"], "au"), x)
+
+    # flows straight into the flagship feature stage: the junk row
+    # gates bad_codec, the real rows parse and pass the sr check
+    ds = read_audio_files(str(tmp_path / "*.wav"))
+    feat = ds.map_batches(compute_features, batch_format="pyarrow").to_pandas()
+    ok = feat.set_index("clip_id")
+    assert bool(ok.loc["a", "codec_ok"]) and bool(ok.loc["a", "sr_ok"])
+    assert not bool(ok.loc["junk", "codec_ok"])
+
+
+def test_read_auto_dispatches_audio(tmp_path):
+    import numpy as np
+
+    from longqc_ray.kernels.containers import wav_encode
+    from longqc_ray.sources.ingest import read_auto
+
+    (tmp_path / "one.wav").write_bytes(wav_encode(np.zeros(800, np.float32), 8000))
+    assert guess_format(str(tmp_path / "one.wav")) == "audio"
+    df = read_auto(str(tmp_path / "*.wav"), columns=["clip_id", "codec", "dur_ms"]).to_pandas()
+    assert df.to_dict("records") == [{"clip_id": "one", "codec": "wav", "dur_ms": 100}]
