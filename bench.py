@@ -25,6 +25,14 @@ import subprocess
 import sys
 import time
 
+# Raylet-spawned workers inherit the raylet's env, so set the glibc
+# malloc tunables BEFORE ray.init: this covers read/aggregate tasks
+# that never import longqc_ray (which applies the same tunables via
+# mallopt at import, see longqc_ray.__init__._tune_malloc — measured
+# ~8× on a 32-proc alloc-heavy control on this VM host).
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(64 * 1024 * 1024))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(64 * 1024 * 1024))
+
 
 def host_membw_probe(streams: tuple[int, ...] = (4, 16), secs: float = 1.0) -> dict:
     """Engine-free memory-bus phase probe (UNTIMED — runs before any

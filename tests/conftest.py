@@ -1,5 +1,12 @@
+import os
+
 import pytest
 import ray
+
+# see bench.py / longqc_ray.__init__._tune_malloc: raylet-spawned
+# workers inherit this env; must be set before ray.init
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(64 * 1024 * 1024))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(64 * 1024 * 1024))
 
 
 @pytest.fixture(scope="session", autouse=True)
