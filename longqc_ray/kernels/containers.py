@@ -183,12 +183,14 @@ def _ext80_decode(a: np.ndarray, o: int) -> int:
 
 
 def _ext80_encode(sr: int) -> bytes:
-    """Positive int sample rate -> 80-bit IEEE-extended big-endian."""
+    """Positive int sample rate -> 80-bit IEEE-extended big-endian.
+    Values above 2^64 keep only the top 64 mantissa bits (the format's
+    own precision limit)."""
     if sr <= 0:
         return bytes(10)
     msb = sr.bit_length() - 1
     exp = 16383 + msb
-    mant = sr << (63 - msb)
+    mant = sr << (63 - msb) if msb <= 63 else sr >> (msb - 63)
     return exp.to_bytes(2, "big") + mant.to_bytes(8, "big")
 
 

@@ -296,6 +296,13 @@ def _arrow_flat_bytes(col) -> tuple[np.ndarray, np.ndarray, int]:
     return buf, offs - offs[0], n
 
 
+# public alias: the zero-copy (flat_bytes, offsets, n) view is the
+# repo-wide idiom for slicing binary payload columns (features stage,
+# container audit, whole-file ingest) — one implementation, so the
+# int32-vs-int64 offset handling can never diverge between sites
+arrow_flat_bytes = _arrow_flat_bytes
+
+
 def fnv1a_64_arrow(
     col,
     basis: np.uint64 = _FNV_BASIS,

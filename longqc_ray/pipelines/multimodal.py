@@ -207,17 +207,9 @@ def container_audit(sf_dir: str) -> rd.Dataset:
         ids = batch.column("clip_id").to_pylist()
         codecs = batch.column("codec").to_pylist()
         srs = batch.column("sr_hz").to_numpy(zero_copy_only=False)
-        col = batch.column("bytes")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-            col.offset : col.offset + n + 1
-        ].astype(np.int64)
-        data = (
-            np.frombuffer(col.buffers()[2], dtype=np.uint8)
-            if col.buffers()[2]
-            else np.empty(0, np.uint8)
-        )
+        from ..kernels.text import arrow_flat_bytes
+
+        data, offs, _ = arrow_flat_bytes(batch.column("bytes"))
         container: list[str] = []
         inner: list[str] = []
         sniffed = np.zeros(n, dtype=bool)

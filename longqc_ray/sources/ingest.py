@@ -144,39 +144,69 @@ def read_audio_files(
     ``clip_id``/``transcript`` columns — small side, loaded once on
     the driver and BROADCAST via ``ray.put`` (read per task, never
     re-shipped per batch). Files without a sidecar row get ``""``.
+
+    ``clip_id`` is the file's path relative to the inputs' common
+    directory, extension stripped (``sub/a.wav`` → ``sub/a``). When
+    two inputs share a stem (``a.wav`` + ``a.au``), ALL ids keep their
+    extension instead — a uniform, deterministic rule, so ids are
+    always unique and sidecar keys stay predictable.
     """
     import numpy as np
     import pyarrow as pa
     import ray
 
     from ..kernels.containers import container_meta, sniff_codec
+    from ..kernels.text import arrow_flat_bytes
+
+    def _list_audio(d: str) -> list[str]:
+        return [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.lower().endswith(_AUDIO_EXTS)
+        ]
 
     if isinstance(path_or_glob, list):
-        paths = sorted(path_or_glob)
+        # expand directory elements here too — read_binary_files would
+        # otherwise recurse into them and ingest sidecars/READMEs
+        paths = sorted(
+            q for p in path_or_glob for q in (_list_audio(p) if os.path.isdir(p) else [p])
+        )
     elif any(c in path_or_glob for c in "*?["):
         paths = sorted(glob.glob(path_or_glob))
     elif os.path.isdir(path_or_glob):
-        paths = sorted(
-            os.path.join(path_or_glob, f)
-            for f in os.listdir(path_or_glob)
-            if f.lower().endswith(_AUDIO_EXTS)
-        )
+        paths = sorted(_list_audio(path_or_glob))
     else:
         paths = [path_or_glob]
     if not paths:
         raise FileNotFoundError(str(path_or_glob))
 
+    root = (
+        os.path.commonpath([os.path.dirname(os.path.abspath(p)) for p in paths])
+        if len(paths) > 1
+        else os.path.dirname(os.path.abspath(paths[0]))
+    )
+
+    def _clip_id(p: str, keep_ext: bool) -> str:
+        rel = os.path.relpath(os.path.abspath(p), root).replace(os.sep, "/")
+        return rel if keep_ext else os.path.splitext(rel)[0]
+
+    stems = [_clip_id(p, keep_ext=False) for p in paths]
+    keep_ext = len(set(stems)) != len(stems)
+
     tmap_ref = None
     if transcripts_path is not None:
         import duckdb
 
+        qp = transcripts_path.replace("'", "''")  # SQL string literal
         rel = (
-            f"read_json_auto('{transcripts_path}')"
+            f"read_json_auto('{qp}')"
             if transcripts_path.endswith((".json", ".jsonl", ".ndjson"))
-            else f"read_csv_auto('{transcripts_path}')"
+            else f"read_csv_auto('{qp}')"
         )
         t = duckdb.sql(f"SELECT clip_id, transcript FROM {rel}").fetchall()
-        tmap_ref = ray.put({str(k): str(v) for k, v in t})
+        tmap_ref = ray.put(
+            {str(k): ("" if v is None else str(v)) for k, v in t if k is not None}
+        )
 
     def to_clips(batch: pa.Table) -> pa.Table:
         tmap = ray.get(tmap_ref) if tmap_ref is not None else {}
@@ -188,19 +218,12 @@ def read_audio_files(
         transcripts: list[str] = []
         payloads = batch.column("bytes")
         # zero-copy header parse: uint8 views into the Arrow buffers
-        # (rows are whole files — no per-row bytes copy)
-        col = payloads.combine_chunks() if isinstance(payloads, pa.ChunkedArray) else payloads
-        off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
-        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
-            col.offset : col.offset + n + 1
-        ].astype(np.int64)
-        data = (
-            np.frombuffer(col.buffers()[2], np.uint8)
-            if col.buffers()[2]
-            else np.empty(0, np.uint8)
-        )
+        # (rows are whole files — no per-row bytes copy); the shared
+        # helper handles both binary and large_binary offset widths
+        data, offs, _ = arrow_flat_bytes(payloads)
+        i32max = np.iinfo(np.int32).max
         for i, p in enumerate(batch.column("path").to_pylist()):
-            cid = os.path.splitext(os.path.basename(p))[0]
+            cid = _clip_id(p, keep_ext)
             b = data[offs[i] : offs[i + 1]]
             kind = sniff_codec(b)
             m = container_meta(b, kind) if kind is not None else None
@@ -208,8 +231,13 @@ def read_audio_files(
                 codecs.append("unknown")  # bad_codec downstream
             else:
                 codecs.append(kind)
-                srs[i] = m.sr
-                durs[i] = round(m.frames * 1000.0 / m.sr)
+                # a header-declared rate beyond int32 (AU carries u32)
+                # leaves sr_hz/dur_ms at 0 → bad_sr downstream; a
+                # duration beyond int32 ms (~24.8 days) clamps →
+                # too_long. Both are VALUES, never exceptions.
+                if 0 < m.sr <= i32max:
+                    srs[i] = m.sr
+                    durs[i] = min(round(m.frames * 1000.0 / m.sr), i32max)
             ids.append(cid)
             transcripts.append(tmap.get(cid, ""))
         return pa.table(

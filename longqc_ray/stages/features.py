@@ -77,14 +77,11 @@ def compute_features(batch: pa.Table, config: FilterConfig = DEFAULT_CONFIG) -> 
     transcripts = batch.column("transcript").to_pylist()
 
     # zero-copy payload access: views into the Arrow binary buffers,
-    # no per-row bytes copy (payloads dominate the batch size)
-    col = batch.column("bytes")
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-        col.offset : col.offset + n + 1
-    ].astype(np.int64)
-    data = np.frombuffer(col.buffers()[2], dtype=np.uint8) if col.buffers()[2] else np.empty(0, np.uint8)
+    # no per-row bytes copy (payloads dominate the batch size);
+    # shared helper handles binary AND large_binary offset widths
+    from ..kernels.text import arrow_flat_bytes
+
+    data, offs, _ = arrow_flat_bytes(batch.column("bytes"))
     sizes = offs[1:] - offs[:-1]
 
     codec_np = np.asarray(codecs, dtype=object)

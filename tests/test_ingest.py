@@ -146,3 +146,87 @@ def test_read_auto_dispatches_audio(tmp_path):
     assert guess_format(str(tmp_path / "one.wav")) == "audio"
     df = read_auto(str(tmp_path / "*.wav"), columns=["clip_id", "codec", "dur_ms"]).to_pandas()
     assert df.to_dict("records") == [{"clip_id": "one", "codec": "wav", "dur_ms": 100}]
+
+
+def test_read_audio_files_review_corners(tmp_path):
+    """Corner cases from review: header rates beyond int32 become
+    values (never exceptions), stem collisions disambiguate with
+    extensions, read_auto on a directory ignores non-audio files,
+    NULL sidecar transcripts become ''."""
+    import numpy as np
+
+    from longqc_ray.kernels.containers import aiff_encode, au_encode, wav_encode
+    from longqc_ray.sources.ingest import read_audio_files, read_auto
+
+    x = np.zeros(1600, np.float32)
+    # (1) AU carries u32 rates; 3e9 > int32 max -> sr_hz 0 (bad_sr), no crash
+    (tmp_path / "hot.au").write_bytes(
+        au_encode(x, 8000, inner="pcm_s16be", header_sr=3_000_000_000)
+    )
+    # (2) AIFF 80-bit rate with a large exponent -> same contract
+    (tmp_path / "big.aiff").write_bytes(aiff_encode(x, 8000, header_sr=2**40))
+    df = read_audio_files(str(tmp_path)).to_pandas().set_index("clip_id")
+    assert df.loc["hot", "codec"] == "au" and df.loc["hot", "sr_hz"] == 0
+    assert df.loc["hot", "dur_ms"] == 0
+    assert df.loc["big", "codec"] == "aiff" and df.loc["big", "sr_hz"] == 0
+
+    # (3) stem collision: a.wav + a.au -> ALL ids keep extensions
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "a.wav").write_bytes(wav_encode(x, 8000))
+    (sub / "a.au").write_bytes(au_encode(x, 8000))
+    ids = set(read_audio_files(str(sub)).to_pandas()["clip_id"])
+    assert ids == {"a.wav", "a.au"}
+
+    # (4) read_auto on a directory must NOT ingest non-audio files
+    # (read_binary_files would otherwise recurse into everything)
+    (sub / "README.txt").write_text("not audio")
+    (sub / "side.csv").write_text("clip_id,transcript\na.wav,hi\n")
+    df2 = read_auto(str(sub)).to_pandas()
+    assert set(df2["clip_id"]) == {"a.wav", "a.au"}
+
+    # (5) NULL transcript in a jsonl sidecar -> "", not "None"
+    (tmp_path / "t.jsonl").write_text(
+        '{"clip_id": "hot", "transcript": null}\n'
+        '{"clip_id": "big", "transcript": "ok"}\n'
+    )
+    df3 = (
+        read_audio_files([str(tmp_path / "hot.au"), str(tmp_path / "big.aiff")],
+                         transcripts_path=str(tmp_path / "t.jsonl"))
+        .to_pandas().set_index("clip_id")
+    )
+    assert df3.loc["hot", "transcript"] == ""
+    assert df3.loc["big", "transcript"] == "ok"
+
+
+def test_compute_features_accepts_large_binary():
+    """A large_binary payload column (what read_binary_files yields for
+    big bundles) must flow through the shared offsets helper — the
+    int32-only read would misparse int64 offsets into garbage slices."""
+    import numpy as np
+    import pyarrow as pa
+
+    from longqc_ray.kernels.audio import pcm16_encode
+    from longqc_ray.stages.features import compute_features
+
+    x = np.linspace(-0.5, 0.5, 16000).astype(np.float32)
+    payload = pcm16_encode(x)
+    small = pa.table({
+        "clip_id": pa.array(["c1", "c2"]),
+        "bytes": pa.array([payload, payload], pa.binary()),
+        "sr_hz": pa.array([16000, 16000], pa.int32()),
+        "dur_ms": pa.array([1000, 1000], pa.int32()),
+        "codec": pa.array(["pcm_s16le", "pcm_s16le"]),
+        "transcript": pa.array(["hello world", "hello world"]),
+    })
+    big = small.set_column(
+        small.schema.get_field_index("bytes"),
+        "bytes",
+        pa.array([payload, payload], pa.large_binary()),
+    )
+    a = compute_features(small).to_pandas()
+    b = compute_features(big).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert a["codec_ok"].all() and a["consistent"].all()
