@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         container_audit,
         image_features,
         read_derived_clips,
+        speech_rate_profile,
         video_frame_features,
         window_rms_profile,
     )
@@ -220,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qc_report": qc_report,
         # --- binary-container ingest audit (S1+S3/S4 audio twin, r5) ---
         "container_audit": container_audit,
+        # --- cross-modal QC: words-per-second sanity (r5) ---
+        "speech_rate_profile": speech_rate_profile,
     }
 
 

@@ -240,8 +240,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embedding_near_dups_lsh",
         # round-4 additions: queries whose paths changed this round
         "user_occupancy", "user_gap_profile", "top_docs",
-        # round-5 addition: binary-container sniff/parse/decode audit
+        # round-5 additions: binary-container sniff/parse/decode audit,
+        # cross-modal words-per-second sanity gate
         "container_audit",
+        "speech_rate_profile",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -819,3 +819,61 @@ def audio_spectral_features(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+
+
+def speech_rate_profile(
+    sf_dir: str, min_wps: float = 0.8, max_wps: float = 6.0
+) -> rd.Dataset:
+    """Joint audio×transcript sanity: words-per-second per clip
+    (transcript token count over the clip's claimed duration).
+
+    A pairing whose transcript implies implausibly fast or slow speech
+    means the duration metadata, the alignment, or the transcript
+    itself is wrong — the CROSS-modal analogue of the reference's
+    length-vs-quality cross checks (lq_coverage.py:151-158 warn
+    cascade): none of the per-modality gates (duration sanity M4,
+    transcript quality M8) can catch a mismatch BETWEEN the two
+    modalities. In the derived corpus the planted ``too_short`` clips
+    (full-length transcript over a 40–200 ms clip) surface here as
+    ``too_fast`` rows (pinned in tests). Note the synthetic corpus's
+    transcripts deliberately do NOT scale with clip duration, so most
+    synthetic rows read implausibly fast — which is precisely the
+    verdict this gate should return on such a corpus; the tests pin
+    the mechanics (token counts, rate arithmetic, planted-defect
+    separation), not a corpus-quality claim.
+
+    Shape at scale: a NARROW projection of the clips table
+    (clip_id/transcript/dur_ms — the audio payload never leaves
+    storage), ONE vectorized map_batches (token counts via the
+    zero-copy ``ascii_class_counts`` buffer kernel — identical
+    TOKEN_PATTERN semantics to ``token_stats``), narrow output, no
+    shuffle, no driver materialization."""
+    from ..kernels.text import ascii_class_counts
+    from .util import read_wide_parquet
+
+    d = clips_from_documents(sf_dir)
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    ds = read_wide_parquet(files, columns=["clip_id", "transcript", "dur_ms"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column("transcript")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_tok = ascii_class_counts(col)["n_tok"]
+        dur = batch.column("dur_ms").to_numpy(zero_copy_only=False).astype(np.float64)
+        wps = np.full(dur.shape, -1.0)  # sentinel for dur<=0 (no_audio)
+        good = dur > 0
+        wps[good] = n_tok[good] / (dur[good] / 1000.0)
+        rate_class = np.where(
+            ~good, "no_audio",
+            np.where(wps > max_wps, "too_fast",
+                     np.where(wps < min_wps, "too_slow", "ok")),
+        )
+        return pa.table({
+            "clip_id": batch.column("clip_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "wps": pa.array(wps, pa.float64()),
+            "rate_class": pa.array(rate_class.tolist(), pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)

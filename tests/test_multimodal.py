@@ -223,3 +223,42 @@ def test_audio_trim_silence_query_end_to_end():
     for r in dec:
         assert 0 <= r["trim_start"] <= r["trim_end"] <= r["n_samples"]
         assert r["n_trimmed"] == r["n_samples"] - (r["trim_end"] - r["trim_start"])
+
+
+def test_speech_rate_profile_contracts():
+    """Cross-modal wps gate: token counts match the shared
+    TOKEN_PATTERN regex, wps is n_tokens over claimed seconds, the
+    planted too_short defect class (full transcript over a 40-200 ms
+    clip) always lands in too_fast, and the output is deterministic."""
+    import re
+
+    import pandas as pd
+
+    from longqc_ray.pipelines.multimodal import read_derived_clips, speech_rate_profile
+    from longqc_ray.pipelines.text_analysis import TOKEN_PATTERN
+
+    df = speech_rate_profile("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert set(df.rate_class.unique()) <= {"ok", "too_fast", "too_slow", "no_audio"}
+
+    # wps arithmetic + planted-defect separation against the clip table
+    clips = (
+        read_derived_clips("/root/testdata/sf0.001")
+        .select_columns(["clip_id", "transcript", "dur_ms"])
+        .to_pandas()
+        .set_index("clip_id")
+    )
+    tok_re = re.compile(TOKEN_PATTERN)
+    merged = df.set_index("clip_id").join(clips)
+    for cid, r in merged.sample(n=50, random_state=7).iterrows():
+        assert r["n_tokens"] == len(tok_re.findall(r["transcript"]))
+        assert r["wps"] == r["n_tokens"] / (r["dur_ms"] / 1000.0)
+    doc_ids = merged.index.str.slice(-12).astype(int)
+    too_short = merged[doc_ids % 20 == 0]
+    assert len(too_short) == 25 and (too_short.rate_class == "too_fast").all()
+
+    df2 = speech_rate_profile("/root/testdata/sf0.001").to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("clip_id").reset_index(drop=True),
+        df2.sort_values("clip_id").reset_index(drop=True),
+    )
