@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from longqc_ray.pipelines.multimodal import (
         audio_feature_table,
         audio_fingerprint_dedup,
+        audio_integrity_profile,
         audio_resample_norm,
         audio_trim_silence,
         audio_vad_profile,
@@ -223,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "container_audit": container_audit,
         # --- cross-modal QC: words-per-second sanity (r5) ---
         "speech_rate_profile": speech_rate_profile,
+        # --- waveform-integrity QC: clipping / DC offset / dropouts (r5) ---
+        "audio_integrity_profile": audio_integrity_profile,
     }
 
 

@@ -244,6 +244,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # cross-modal words-per-second sanity gate
         "container_audit",
         "speech_rate_profile",
+        "audio_integrity_profile",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -379,3 +379,28 @@ def spectral_features(
     else:
         flux = 0.0
     return (float(cent.mean()), float(bw.mean()), float(roll.mean()), flux)
+
+
+def integrity_stats(
+    pcm: np.ndarray, full_scale: float = 0.999, dropout_eps: float = 1e-4
+) -> tuple[float, float, float, int]:
+    """(peak, clipped_frac, dc_offset, longest_dropout_samples) — the
+    waveform-integrity triple every ingest QC applies before feature
+    extraction: digital clipping (|x| at/above full scale — a damaged
+    gain stage), DC offset (a broken capture chain biases the whole
+    clip), and dropouts (runs of dead samples from transport loss).
+    ONE vectorized pass; the dropout run-length comes from the
+    diff-of-change-points construction (no Python loop). ``dropout_eps``
+    is below the 16-bit LSB (1/32768) so "dead" is codec-agnostic:
+    pcm16 silence decodes to exactly 0.0, mu-law silence to |x| < 1e-5."""
+    if pcm.size == 0:
+        return (0.0, 0.0, 0.0, 0)
+    ax = np.abs(pcm)
+    peak = float(ax.max())
+    clipped = float(np.count_nonzero(ax >= full_scale)) / pcm.size
+    dc = float(pcm.mean())
+    dead = (ax < dropout_eps).astype(np.int8)
+    d = np.diff(np.concatenate([np.int8([0]), dead, np.int8([0])]))
+    starts = np.flatnonzero(d == 1)
+    run = int((np.flatnonzero(d == -1) - starts).max()) if starts.size else 0
+    return (peak, clipped, dc, run)

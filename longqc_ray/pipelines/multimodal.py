@@ -877,3 +877,50 @@ def speech_rate_profile(
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+
+
+def audio_integrity_profile(sf_dir: str) -> rd.Dataset:
+    """Waveform-integrity QC per clip: digital clipping fraction, DC
+    offset, and the longest dropout (dead-sample run) — the ingest
+    gates a production pipeline applies BEFORE feature extraction,
+    because a clipped/biased/gappy capture poisons every downstream
+    stat (SNR, spectral shape, fingerprints). The reference's
+    sanity-cascade analogue (lq_coverage.py:69-75 warn constants) for
+    the raw waveform itself.
+
+    Shape at scale: one streaming map_batches over the wide rows,
+    zero-copy payload views, ONE vectorized pass per clip
+    (kernels/audio.integrity_stats), narrow float output, no
+    shuffle."""
+    from ..kernels.audio import decode_view, integrity_stats
+
+    ds = read_derived_clips(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, codecs, offs, data = _payload_arrays(batch)
+        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        ok = np.zeros(n, dtype=bool)
+        peak = np.zeros(n, dtype=np.float64)
+        clip_frac = np.zeros(n, dtype=np.float64)
+        dc = np.zeros(n, dtype=np.float64)
+        drop_ms = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            if pcm is None:
+                continue
+            ok[i] = True
+            p, c, d, run = integrity_stats(pcm)
+            peak[i], clip_frac[i], dc[i] = p, c, d
+            if srs[i] > 0:
+                drop_ms[i] = run / srs[i] * 1000.0
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "decoded": pa.array(ok, pa.bool_()),
+            "peak": pa.array(peak, pa.float64()),
+            "clipped_frac": pa.array(clip_frac, pa.float64()),
+            "dc_offset": pa.array(dc, pa.float64()),
+            "longest_dropout_ms": pa.array(drop_ms, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)

@@ -262,3 +262,40 @@ def test_speech_rate_profile_contracts():
         df.sort_values("clip_id").reset_index(drop=True),
         df2.sort_values("clip_id").reset_index(drop=True),
     )
+
+
+def test_integrity_stats_planted_defects():
+    """Kernel pins: clipping fraction counts |x| >= full scale, DC
+    offset is the plain mean, the dropout run is the LONGEST dead-run
+    (not the total), and mu-law round-tripped silence still reads as
+    dead (the eps is codec-agnostic)."""
+    from longqc_ray.kernels.audio import integrity_stats, mulaw_decode, mulaw_encode
+
+    x = np.concatenate([
+        np.full(100, 0.5), np.zeros(37), np.full(10, 1.0),
+        np.zeros(5), np.full(5, -1.0),
+    ]).astype(np.float32)
+    peak, clipped, dc, run = integrity_stats(x)
+    assert peak == 1.0
+    assert clipped == 15 / x.size
+    assert dc == pytest.approx(float(x.mean()))
+    assert run == 37
+    assert integrity_stats(np.empty(0, np.float32)) == (0.0, 0.0, 0.0, 0)
+    # mu-law silence decodes to tiny-but-nonzero floats; still "dead"
+    sil = mulaw_decode(mulaw_encode(np.zeros(64, dtype=np.float32)))
+    assert integrity_stats(sil)[3] == 64
+
+
+def test_audio_integrity_profile_end_to_end():
+    from longqc_ray.pipelines.multimodal import audio_integrity_profile
+
+    out = audio_integrity_profile("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    dec = out[out.decoded]
+    assert len(dec) > 400  # only bad_codec rows fail decode
+    assert ((dec.peak >= 0) & (dec.peak <= 1.0)).all()
+    assert ((dec.clipped_frac >= 0) & (dec.clipped_frac <= 1.0)).all()
+    assert (dec.longest_dropout_ms >= 0).all()
+    assert dec.dc_offset.abs().lt(0.5).all()  # synthetic tones are zero-centered
+    und = out[~out.decoded]
+    assert (und[["peak", "clipped_frac", "dc_offset", "longest_dropout_ms"]] == 0).all().all()
