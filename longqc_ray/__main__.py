@@ -28,17 +28,32 @@ import sys
 _OWNS_SESSION = False
 
 
-def _init_ray(cpus: int | None) -> None:
+def _resolve_address(flag: str | None) -> str:
+    """Explicit --address wins; else $RAY_ADDRESS (set by the Ray job
+    runtime inside ``ray job submit`` drivers); else a local session."""
+    return flag or os.environ.get("RAY_ADDRESS") or "local"
+
+
+def _init_ray(cpus: int | None, address: str | None = None) -> None:
+    """Open this process's Ray session.
+
+    ``address`` resolution makes the same CLI work as a laptop command
+    AND as a ``ray job submit`` driver on a multi-node cluster:
+    explicit ``--address`` wins; else $RAY_ADDRESS (which the Ray job
+    runtime sets to the cluster address inside submitted jobs — so
+    ``ray job submit -- python -m longqc_ray filter ...`` connects to
+    the cluster with no extra flags); else a fresh local session.
+    ``num_cpus`` is only legal for a NEW local session — when joining
+    an existing cluster the cluster's resources are authoritative."""
     global _OWNS_SESSION
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        addr = _resolve_address(address)
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if addr == "local":
+            kwargs["num_cpus"] = cpus
+        ray.init(address=addr, **kwargs)
         _OWNS_SESSION = True
     from ray.data import DataContext
 
@@ -54,7 +69,7 @@ def _config_for(preset: str):
 
 
 def cmd_filter(args: argparse.Namespace) -> int:
-    _init_ray(args.cpus)
+    _init_ray(args.cpus, args.address)
     from .sources.lineage import run_filter_resumable
 
     summary = run_filter_resumable(
@@ -68,7 +83,7 @@ def cmd_filter(args: argparse.Namespace) -> int:
 
 
 def cmd_report(args: argparse.Namespace) -> int:
-    _init_ray(args.cpus)
+    _init_ray(args.cpus, args.address)
     from .pipelines.quality_filter import label_clips
     from .pipelines.util import read_wide_parquet
     from .pipelines.qc_summary import qc_summary
@@ -93,7 +108,7 @@ def cmd_report(args: argparse.Namespace) -> int:
 
 
 def cmd_query(args: argparse.Namespace) -> int:
-    _init_ray(args.cpus)
+    _init_ray(args.cpus, args.address)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __ray_entry__ as entrymod
 
@@ -132,12 +147,16 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--preset", default="default")
     f.add_argument("--shards-per-unit", type=int, default=4)
     f.add_argument("--cpus", type=int, default=None)
+    f.add_argument("--address", default=None,
+                   help="Ray address (default: $RAY_ADDRESS or a local session)")
     f.set_defaults(fn=cmd_filter)
 
     r = sub.add_parser("report", help="QC summary JSON (runqc analogue)")
     r.add_argument("--input", required=True)
     r.add_argument("--preset", default="default")
     r.add_argument("--cpus", type=int, default=None)
+    r.add_argument("--address", default=None,
+                   help="Ray address (default: $RAY_ADDRESS or a local session)")
     r.add_argument("--html", default=None,
                    help="also write a self-contained HTML report (S11 analogue)")
     r.set_defaults(fn=cmd_report)
@@ -147,6 +166,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf", default="/root/testdata/sf0.001")
     q.add_argument("--head", type=int, default=10)
     q.add_argument("--cpus", type=int, default=None)
+    q.add_argument("--address", default=None,
+                   help="Ray address (default: $RAY_ADDRESS or a local session)")
     q.set_defaults(fn=cmd_query)
 
     l = sub.add_parser("list", help="list queries and presets")

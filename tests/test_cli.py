@@ -42,3 +42,18 @@ def test_unknown_query_rejected():
 
     with pytest.raises(SystemExit):
         main(["query", "definitely_not_a_query"])
+
+
+def test_address_resolution(monkeypatch):
+    """ray-job-submit contract: explicit flag > $RAY_ADDRESS (the job
+    runtime sets it to the cluster address) > fresh local session."""
+    from longqc_ray.__main__ import _resolve_address
+
+    monkeypatch.delenv("RAY_ADDRESS", raising=False)
+    assert _resolve_address(None) == "local"
+    assert _resolve_address("auto") == "auto"
+    monkeypatch.setenv("RAY_ADDRESS", "ray://head:10001")
+    assert _resolve_address(None) == "ray://head:10001"
+    assert _resolve_address("local") == "local"
+    monkeypatch.setenv("RAY_ADDRESS", "")  # empty = unset (sandbox quirk)
+    assert _resolve_address(None) == "local"
