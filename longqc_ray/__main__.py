@@ -53,6 +53,12 @@ def _init_ray(cpus: int | None, address: str | None = None) -> None:
         kwargs = dict(include_dashboard=False, logging_level="ERROR")
         if addr == "local":
             kwargs["num_cpus"] = cpus
+        elif cpus is not None:
+            print(
+                f"warning: --cpus {cpus} ignored — joining the existing "
+                f"Ray cluster at {addr!r}, whose resources are authoritative",
+                file=sys.stderr,
+            )
         ray.init(address=addr, **kwargs)
         _OWNS_SESSION = True
     from ray.data import DataContext

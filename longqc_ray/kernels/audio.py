@@ -391,8 +391,13 @@ def integrity_stats(
     clip), and dropouts (runs of dead samples from transport loss).
     ONE vectorized pass; the dropout run-length comes from the
     diff-of-change-points construction (no Python loop). ``dropout_eps``
-    is below the 16-bit LSB (1/32768) so "dead" is codec-agnostic:
-    pcm16 silence decodes to exactly 0.0, mu-law silence to |x| < 1e-5."""
+    must stay ABOVE the mu-law zero-code magnitude (mulaw round-trip of
+    silence decodes to |x| ≈ 8.6e-5, NOT 0.0) so "dead" is
+    codec-agnostic — lowering it to the 16-bit LSB (3.05e-5) silently
+    breaks mu-law dropout detection (pinned in tests). Side effect of
+    1e-4: pcm16 samples within ±3 LSB of zero (deep dither/noise
+    floor) also count as dead, which is the intended reading for a
+    transport-loss gate."""
     if pcm.size == 0:
         return (0.0, 0.0, 0.0, 0)
     ax = np.abs(pcm)

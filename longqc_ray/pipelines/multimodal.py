@@ -891,7 +891,10 @@ def audio_integrity_profile(sf_dir: str) -> rd.Dataset:
     Shape at scale: one streaming map_batches over the wide rows,
     zero-copy payload views, ONE vectorized pass per clip
     (kernels/audio.integrity_stats), narrow float output, no
-    shuffle."""
+    shuffle. Dropout length is reported in SAMPLES unconditionally;
+    the ms twin is NaN when sr_hz <= 0 (the planted sr_mismatch class
+    includes sr=0) so a broken-rate clip can never masquerade as
+    dropout-free."""
     from ..kernels.audio import decode_view, integrity_stats
 
     ds = read_derived_clips(sf_dir)
@@ -904,6 +907,7 @@ def audio_integrity_profile(sf_dir: str) -> rd.Dataset:
         peak = np.zeros(n, dtype=np.float64)
         clip_frac = np.zeros(n, dtype=np.float64)
         dc = np.zeros(n, dtype=np.float64)
+        drop_n = np.zeros(n, dtype=np.int64)
         drop_ms = np.zeros(n, dtype=np.float64)
         for i in range(n):
             pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
@@ -911,15 +915,15 @@ def audio_integrity_profile(sf_dir: str) -> rd.Dataset:
                 continue
             ok[i] = True
             p, c, d, run = integrity_stats(pcm)
-            peak[i], clip_frac[i], dc[i] = p, c, d
-            if srs[i] > 0:
-                drop_ms[i] = run / srs[i] * 1000.0
+            peak[i], clip_frac[i], dc[i], drop_n[i] = p, c, d, run
+            drop_ms[i] = run / srs[i] * 1000.0 if srs[i] > 0 else np.nan
         return pa.table({
             "clip_id": pa.array(ids, pa.string()),
             "decoded": pa.array(ok, pa.bool_()),
             "peak": pa.array(peak, pa.float64()),
             "clipped_frac": pa.array(clip_frac, pa.float64()),
             "dc_offset": pa.array(dc, pa.float64()),
+            "longest_dropout_samples": pa.array(drop_n, pa.int64()),
             "longest_dropout_ms": pa.array(drop_ms, pa.float64()),
         })
 

@@ -281,9 +281,12 @@ def test_integrity_stats_planted_defects():
     assert dc == pytest.approx(float(x.mean()))
     assert run == 37
     assert integrity_stats(np.empty(0, np.float32)) == (0.0, 0.0, 0.0, 0)
-    # mu-law silence decodes to tiny-but-nonzero floats; still "dead"
+    # mu-law silence decodes to tiny-but-nonzero floats (|x| ~ 8.6e-5);
+    # the eps must sit ABOVE that magnitude or mu-law dropout detection
+    # silently dies — pin both the behavior and the margin
     sil = mulaw_decode(mulaw_encode(np.zeros(64, dtype=np.float32)))
     assert integrity_stats(sil)[3] == 64
+    assert 0 < float(np.abs(sil).max()) < 1e-4
 
 
 def test_audio_integrity_profile_end_to_end():
@@ -295,7 +298,12 @@ def test_audio_integrity_profile_end_to_end():
     assert len(dec) > 400  # only bad_codec rows fail decode
     assert ((dec.peak >= 0) & (dec.peak <= 1.0)).all()
     assert ((dec.clipped_frac >= 0) & (dec.clipped_frac <= 1.0)).all()
-    assert (dec.longest_dropout_ms >= 0).all()
+    assert (dec.longest_dropout_samples >= 0).all()
+    # ms twin: NaN exactly where sr_hz <= 0 (a broken-rate clip must
+    # not read as dropout-free), finite and >= 0 everywhere else
+    nan_ms = dec.longest_dropout_ms.isna()
+    assert nan_ms.any()  # the planted sr_mismatch class includes sr=0
+    assert (dec.longest_dropout_ms[~nan_ms] >= 0).all()
     assert dec.dc_offset.abs().lt(0.5).all()  # synthetic tones are zero-centered
     und = out[~out.decoded]
-    assert (und[["peak", "clipped_frac", "dc_offset", "longest_dropout_ms"]] == 0).all().all()
+    assert (und[["peak", "clipped_frac", "dc_offset", "longest_dropout_samples"]] == 0).all().all()
