@@ -166,3 +166,34 @@ def test_container_parse_never_raises(junk):
                 assert 0 <= m.data_off <= len(b)
                 assert m.data_off + m.data_len <= len(b)
         sniff_codec(b)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.just(0.0),
+            st.floats(min_value=-1.0, max_value=1.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_integrity_stats_matches_python_reference(xs):
+    """integrity_stats == the definitional per-sample Python scan:
+    peak, clipping count, mean, and the LONGEST dead run."""
+    from longqc_ray.kernels.audio import integrity_stats
+
+    x = np.asarray(xs, dtype=np.float32)
+    peak, clipped, dc, run = integrity_stats(x)
+    if x.size == 0:
+        assert (peak, clipped, dc, run) == (0.0, 0.0, 0.0, 0)
+        return
+    assert peak == float(np.abs(x).max())
+    assert clipped == sum(1 for v in x if abs(v) >= 0.999) / x.size
+    assert dc == float(x.mean())
+    best = cur = 0
+    for v in x:
+        cur = cur + 1 if abs(v) < 1e-4 else 0
+        best = max(best, cur)
+    assert run == best
