@@ -43,7 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         audio_feature_table,
         audio_fingerprint_dedup,
         audio_integrity_profile,
+        audio_mel_profile,
+        audio_near_dup_lsh,
         audio_resample_norm,
+        audio_segment_clips,
         audio_trim_silence,
         audio_vad_profile,
         container_audit,
@@ -226,6 +229,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "speech_rate_profile": speech_rate_profile,
         # --- waveform-integrity QC: clipping / DC offset / dropouts (r5) ---
         "audio_integrity_profile": audio_integrity_profile,
+        # --- log-mel/MFCC timbre featurizer (r5; gate = pytest
+        # partition-of-unity / tone-band / gain-invariance pins) ---
+        "audio_mel_profile": audio_mel_profile,
+        # --- NEAR-dup rung of the audio dedup ladder: banded Hamming
+        # LSH over the 64-bit robust signature (r5; gate = pytest
+        # planted-dup / noise-recall / forced-scale-path pins) ---
+        "audio_near_dup_lsh": audio_near_dup_lsh,
+        # --- VAD utterance segmentation: long audio -> training clips
+        # via byte-slice (no re-encode; decode-identity pinned) (r5) ---
+        "audio_segment_clips": audio_segment_clips,
     }
 
 

@@ -245,6 +245,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "container_audit",
         "speech_rate_profile",
         "audio_integrity_profile",
+        # round-5 part 2: mel/MFCC featurizer, robust-sig near-dup
+        # LSH, VAD utterance segmentation
+        "audio_mel_profile",
+        "audio_near_dup_lsh",
+        "audio_segment_clips",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -409,3 +409,166 @@ def integrity_stats(
     starts = np.flatnonzero(d == 1)
     run = int((np.flatnonzero(d == -1) - starts).max()) if starts.size else 0
     return (peak, clipped, dc, run)
+
+
+def hz_to_mel(f: np.ndarray | float) -> np.ndarray | float:
+    """HTK mel scale (public definition): m = 2595 log10(1 + f/700)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz(m: np.ndarray | float) -> np.ndarray | float:
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+_MEL_FB_CACHE: dict = {}
+
+
+def mel_filterbank(
+    sr: int, n_fft: int, n_mels: int = 24, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular mel filterbank over the rFFT
+    bins (the standard HTK/librosa construction, unnormalized
+    triangles). Peaks sit at mel-equispaced frequencies; between two
+    adjacent peaks the falling edge of filter i and the rising edge of
+    filter i+1 sum to exactly 1 (pinned in tests), so interior
+    spectrum energy is partitioned, not dropped. Cached per
+    (sr, n_fft, n_mels, fmin, fmax) — built once per worker process,
+    reused for every clip."""
+    if fmax is None:
+        fmax = sr / 2.0
+    key = (int(sr), int(n_fft), int(n_mels), float(fmin), float(fmax))
+    fb = _MEL_FB_CACHE.get(key)
+    if fb is not None:
+        return fb
+    mpts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    hz = np.asarray(mel_to_hz(mpts), dtype=np.float64)  # (n_mels+2,)
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)  # (n_fft//2+1,)
+    lo, pk, hi = hz[:-2, None], hz[1:-1, None], hz[2:, None]
+    rise = (freqs[None, :] - lo) / np.maximum(pk - lo, 1e-12)
+    fall = (hi - freqs[None, :]) / np.maximum(hi - pk, 1e-12)
+    fb = np.maximum(0.0, np.minimum(rise, fall))
+    _MEL_FB_CACHE[key] = fb
+    return fb
+
+
+_DCT_CACHE: dict = {}
+
+
+def _dct2_ortho(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) orthonormal DCT-II matrix (the MFCC lift)."""
+    key = (n_out, n_in)
+    m = _DCT_CACHE.get(key)
+    if m is None:
+        j = np.arange(n_in, dtype=np.float64)
+        k = np.arange(n_out, dtype=np.float64)[:, None]
+        m = np.cos(np.pi / n_in * (j + 0.5) * k) * np.sqrt(2.0 / n_in)
+        m[0] *= np.sqrt(0.5)
+        _DCT_CACHE[key] = m
+    return m
+
+
+def mel_features(
+    pcm: np.ndarray,
+    sr: int,
+    frame_len: int = 512,
+    n_mels: int = 24,
+    n_mfcc: int = 13,
+    max_samples: int = 65_536,
+) -> tuple[int, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-clip log-mel + MFCC summary: (n_frames, logmel_mean[n_mels],
+    mfcc_mean[n_mfcc], mfcc_std[n_mfcc]).
+
+    ONE batched rFFT over the complete frames of the analysis window
+    (same work-cap discipline as ``estimate_snr_db``), power spectrum
+    → mel filterbank matmul → per-frame ENERGY-NORMALIZED log-mel
+    (each frame's mel vector divided by its own total before the log),
+    then an orthonormal DCT-II to MFCCs. The per-frame normalization
+    makes every output gain-invariant (scaling the signal by g scales
+    every mel energy by g², which cancels in the ratio exactly; the
+    residual is float roundoff through the log, ~1e-6 absolute) — the
+    loudness axis is already covered by the RMS/SNR/integrity kernels,
+    and gain-invariant timbre features are what the dedup and QC
+    consumers want (pinned in tests). Silent frames (zero total mel
+    energy) contribute the flat distribution. <1 complete frame or
+    sr<=0 → (0, zeros, zeros, zeros)."""
+    z = (0, np.zeros(n_mels), np.zeros(n_mfcc), np.zeros(n_mfcc))
+    if sr <= 0:
+        return z
+    x = pcm[:max_samples]
+    n = (x.size // frame_len) * frame_len
+    if n == 0:
+        return z
+    frames = x[:n].astype(np.float64).reshape(-1, frame_len)
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    fb = mel_filterbank(sr, frame_len, n_mels)
+    mel = power @ fb.T  # (n_frames, n_mels)
+    tot = mel.sum(axis=1, keepdims=True)
+    flat = tot[:, 0] <= 0.0
+    mel = np.where(flat[:, None], 1.0 / n_mels, mel / np.maximum(tot, 1e-300))
+    logmel = np.log(mel + 1e-10)
+    mfcc = logmel @ _dct2_ortho(n_mfcc, n_mels).T  # (n_frames, n_mfcc)
+    return (
+        int(frames.shape[0]),
+        logmel.mean(axis=0),
+        mfcc.mean(axis=0),
+        mfcc.std(axis=0),
+    )
+
+
+def robust_sig64(
+    pcm: np.ndarray, frame_len: int = 256, n_bands: int = 8, t_windows: int = 9
+) -> int:
+    """64-bit noise- and gain-robust audio signature for near-dup LSH
+    (the public Haitsma-Kalker/philips-fingerprint construction,
+    coarsened to one word per clip): per-frame band energies
+    (``band_energy_frames``) are averaged into ``t_windows`` coarse
+    time windows, and each bit is the sign of the window-to-window
+    energy DELTA per band — (t_windows-1) × n_bands = 64 bits, packed
+    MSB-first. Gain-invariant by construction (g scales every energy
+    by g²; a delta's sign cannot flip); robust to small additive noise
+    because each bit averages over many frames — only near-tie deltas
+    flip (planted-noise recall pinned in tests). Returns a Python int
+    in [0, 2^64); clips with < t_windows complete frames are
+    UNSIGNABLE and the caller must gate on that via
+    ``min_frames = t_windows`` (this function returns 0, which is also
+    a legal signature — use frame counts, not the 0 value, to detect
+    it)."""
+    e = band_energy_frames(pcm, frame_len, n_bands)
+    if e.shape[0] < t_windows:
+        return 0
+    edges = np.linspace(0, e.shape[0], t_windows + 1).astype(np.int64)
+    cnt = np.diff(edges).astype(np.float64)[:, None]
+    w = np.add.reduceat(e, edges[:-1], axis=0) / cnt  # (T, n_bands) means
+    bits = (np.diff(w, axis=0) > 0.0).astype(np.uint8)  # (T-1, n_bands)
+    return int.from_bytes(np.packbits(bits.reshape(-1)).tobytes(), "big")
+
+
+def vad_segment_bounds(
+    pcm: np.ndarray,
+    frame_len: int = 256,
+    rms_floor: float = 0.01,
+    hang_frames: int = 2,
+) -> np.ndarray:
+    """(k, 2) int64 SAMPLE bounds [start, end) of the VAD utterance
+    segments — the boundary-emitting twin of ``vad_segments`` (same
+    frame RMS, same hangover merge: silence gaps of <= ``hang_frames``
+    frames between speech frames are bridged). len(result) ==
+    vad_segments(...)[0] for every input (property-pinned). Bounds are
+    frame-aligned; the final segment's end clamps to the clip length."""
+    n = int(pcm.size)
+    if n == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    fidx = np.arange(n, dtype=np.int64) // frame_len
+    x = pcm.astype(np.float64)
+    sumsq = np.bincount(fidx, weights=x * x)
+    cnt = np.bincount(fidx).astype(np.float64)
+    rms = np.sqrt(sumsq / cnt)
+    act = np.nonzero(rms >= rms_floor)[0]
+    if act.size == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    brk = np.flatnonzero(np.diff(act) - 1 > hang_frames)  # segment ends (index into act)
+    starts_f = act[np.concatenate([[0], brk + 1])]
+    ends_f = act[np.concatenate([brk, [act.size - 1]])]
+    lo = starts_f * frame_len
+    hi = np.minimum((ends_f + 1) * frame_len, n)
+    return np.stack([lo, hi], axis=1).astype(np.int64)

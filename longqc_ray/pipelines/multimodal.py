@@ -928,3 +928,311 @@ def audio_integrity_profile(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+
+
+def audio_mel_profile(
+    sf_dir: str, n_mels: int = 24, n_mfcc: int = 13, frame_len: int = 512
+) -> rd.Dataset:
+    """Per-clip log-mel + MFCC timbre profile — the canonical audio
+    featurizer a training-data pipeline runs before model scoring
+    (the audio analogue of the text quality_scores feature row; the
+    reference's per-read composition stats M8, lq_utils counterparts,
+    recast to the spectral domain). Per clip: one batched rFFT over
+    the capped analysis window, triangular mel filterbank (built once
+    per worker, cached), per-frame energy normalization (features are
+    EXACTLY gain-invariant — pinned), orthonormal DCT-II to MFCCs.
+
+    Output per clip: n_frames, dominant_mel (argmax of the mean
+    log-mel — a tone at f Hz lands in the filter whose peak is
+    nearest f, pinned), logmel_mean / mfcc_mean / mfcc_std as
+    fixed-length list<float64> columns.
+
+    Shape at scale: ONE streaming map_batches over the wide rows,
+    zero-copy payload views, per-clip work capped at ``max_samples``
+    inside the kernel, narrow output (~(n_mels+2·n_mfcc)·8 B/clip),
+    no shuffle, no driver materialization."""
+    from ..kernels.audio import decode_view, mel_features
+
+    ds = read_derived_clips(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, codecs, offs, data = _payload_arrays(batch)
+        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        ok = np.zeros(n, dtype=bool)
+        nf = np.zeros(n, dtype=np.int64)
+        dom = np.full(n, -1, dtype=np.int64)
+        lm = np.zeros((n, n_mels), dtype=np.float64)
+        mf = np.zeros((n, n_mfcc), dtype=np.float64)
+        ms = np.zeros((n, n_mfcc), dtype=np.float64)
+        for i in range(n):
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            if pcm is None or srs[i] <= 0:
+                continue
+            k, l, m, s = mel_features(
+                pcm, int(srs[i]), frame_len=frame_len, n_mels=n_mels, n_mfcc=n_mfcc
+            )
+            if k == 0:
+                continue
+            ok[i], nf[i], dom[i] = True, k, int(np.argmax(l))
+            lm[i], mf[i], ms[i] = l, m, s
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "decoded": pa.array(ok, pa.bool_()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "dominant_mel": pa.array(dom, pa.int64()),
+            "logmel_mean": pa.array(list(lm), pa.list_(pa.float64())),
+            "mfcc_mean": pa.array(list(mf), pa.list_(pa.float64())),
+            "mfcc_std": pa.array(list(ms), pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+
+
+# banded pigeonhole over the 64-bit robust signature: any pair within
+# Hamming <= AUDIO_LSH_BANDS-1 shares at least one exact 16-bit band
+AUDIO_LSH_BANDS = 4
+AUDIO_LSH_BUCKET_CAP = 256  # hot-bucket truncation guard (see docstring)
+AUDIO_PAIRS_DRIVER_CAP = 200_000  # raw pairs; crossover to distributed distinct
+_AUDIO_LSH_N_PARTS = 64
+
+
+def audio_near_dup_lsh(sf_dir: str, hamming_max: int = 3) -> rd.Dataset:
+    """NEAR-duplicate audio pairs — the fuzzy rung of the audio dedup
+    ladder above ``audio_fingerprint_dedup`` (which only catches
+    bit-identical fingerprints). Re-encoded, re-leveled, or mildly
+    noisy copies of the same recording perturb a few bits of the
+    64-bit robust signature (``kernels/audio.robust_sig64``: sign of
+    coarse-window band-energy deltas); banded pigeonhole LSH finds
+    every pair within Hamming <= AUDIO_LSH_BANDS-1 EXACTLY (a pair
+    with <= 3 differing bits cannot differ in all 4 disjoint 16-bit
+    bands), then an in-partition popcount verify keeps pairs at
+    ``hamming_max`` or below. Same construction as the text
+    ``simhash_near_dups`` (dedup.py), re-targeted at audio content.
+
+    Shape at scale: signature stage is one streaming map_batches
+    (payload never leaves the node); the shuffle carries 4 narrow
+    (band-key, clip_id, sig) rows per SIGNABLE clip; buckets co-locate
+    via a bounded ``__part`` hash co-group; buckets larger than
+    ``AUDIO_LSH_BUCKET_CAP`` are truncated with a warning (a 100 TB
+    corpus of identical silence must not emit O(n²) pairs — the EXACT
+    dedup rung is the right tool for those, and truncation only ever
+    drops pairs among clips that agree in a full band, which the exact
+    rung's fingerprint groupby already clusters). Band-duplicate pairs
+    dedupe driver-side below ``AUDIO_PAIRS_DRIVER_CAP`` raw pairs and
+    via a distributed hash-partitioned distinct above it
+    (LONGQC_FORCE_SCALE_PATHS exercises the big branch at bench
+    scale). Clips with fewer than 9 complete frames are unsignable and
+    excluded (gated on frame COUNT, not the 0 sentinel)."""
+    import warnings
+
+    from ..kernels.audio import band_energy_frames, decode_view, robust_sig64
+    from ..kernels.text import fnv1a_64_arrow
+    from .util import scale_cap
+
+    ds = read_derived_clips(sf_dir)
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        ids, codecs, offs, data = _payload_arrays(batch)
+        out_id: list[str] = []
+        out_sig: list[int] = []
+        for i in range(len(ids)):
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            if pcm is None:
+                continue
+            # signability gate = frame count (robust_sig64 docstring)
+            if band_energy_frames(pcm).shape[0] < 9:
+                continue
+            out_id.append(ids[i])
+            out_sig.append(robust_sig64(pcm))
+        sig = np.array(out_sig, dtype=np.uint64).view(np.int64)
+        return pa.table({
+            "clip_id": pa.array(out_id, pa.string()),
+            "sig": pa.array(sig, pa.int64()),
+        })
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = batch.column("sig").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch.column("clip_id").to_pylist()
+        n = sig.size
+        b = np.arange(AUDIO_LSH_BANDS, dtype=np.uint64)
+        # (n, BANDS) 16-bit band values, salted with the band index so
+        # band 0's value 0x1234 never collides with band 1's 0x1234
+        bv = (sig[:, None] >> (b[None, :] * np.uint64(16))) & np.uint64(0xFFFF)
+        key = (b[None, :] << np.uint64(16)) | bv
+        with np.errstate(over="ignore"):
+            part = (key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 6)
+        return pa.table({
+            "clip_id": pa.array(np.repeat(np.asarray(ids, dtype=object), AUDIO_LSH_BANDS)),
+            "key": pa.array(key.reshape(-1).view(np.int64), pa.int64()),
+            "sig": pa.array(np.repeat(sig, AUDIO_LSH_BANDS).view(np.int64), pa.int64()),
+            "__part": pa.array(part.reshape(-1).astype(np.int64), pa.int64()),
+        })
+
+    def pairs_of_part(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        ids = np.asarray(g.column("clip_id").to_pylist(), dtype=object)
+        sig = g.column("sig").to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(key, kind="stable")
+        key, ids, sig = key[order], ids[order], sig[order]
+        brk = np.flatnonzero(np.diff(key)) + 1
+        starts = np.concatenate([[0], brk])
+        ends = np.concatenate([brk, [key.size]])
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > AUDIO_LSH_BUCKET_CAP:
+                warnings.warn(
+                    f"audio_near_dup_lsh: bucket of {e - s} clips truncated to "
+                    f"{AUDIO_LSH_BUCKET_CAP} (hot-bucket cap; run the exact "
+                    "fingerprint rung for mass-duplicate content)"
+                )
+                e = s + AUDIO_LSH_BUCKET_CAP
+            u_ids, u_sig = ids[s:e], sig[s:e]
+            ai, bi = np.triu_indices(e - s, k=1)
+            xor = u_sig[ai] ^ u_sig[bi]
+            ham = (
+                np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            ok = ham <= hamming_max
+            a_s, b_s = u_ids[ai[ok]], u_ids[bi[ok]]
+            swap = a_s > b_s  # canonical a < b (clip ids are fixed-width)
+            a_c = np.where(swap, b_s, a_s)
+            b_c = np.where(swap, a_s, b_s)
+            out_a.append(a_c)
+            out_b.append(b_c)
+            out_h.append(ham[ok])
+        if not out_a:
+            return pa.table({
+                "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                "hamming": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "a": pa.array(np.concatenate(out_a).tolist(), pa.string()),
+            "b": pa.array(np.concatenate(out_b).tolist(), pa.string()),
+            "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+        })
+
+    raw = (
+        ds.map_batches(sig_stage, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs_of_part, batch_format="pyarrow")
+        .materialize()
+    )
+    # typed-empty guard: Ray loses block schemas through empty UDF
+    # boundaries, so a 0-pair corpus must not reach the sort/groupby
+    if raw.count() == 0:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+            "hamming": pa.array([], pa.int64()),
+        }))
+    if raw.count() < scale_cap("AUDIO_PAIRS_DRIVER", AUDIO_PAIRS_DRIVER_CAP):
+        pairs = raw.to_pandas().drop_duplicates(ignore_index=True)
+        pairs = pairs.sort_values(["a", "b"], ignore_index=True)
+        return rd.from_pandas(pairs)
+
+    # scale path: distributed distinct — hash-partition on `a` (every
+    # band copy of a pair shares `a`), one Arrow group_by per partition
+    def add_pp(t: pa.Table) -> pa.Table:
+        col = t.column("a")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = fnv1a_64_arrow(col)
+        return t.append_column(
+            "__pp", pa.array((h % np.uint64(_AUDIO_LSH_N_PARTS)).astype(np.int64), pa.int64())
+        )
+
+    def distinct(g: pa.Table) -> pa.Table:
+        out = g.group_by(["a", "b"]).aggregate([("hamming", "min")])
+        return out.select(["a", "b", "hamming_min"]).rename_columns(["a", "b", "hamming"])
+
+    return (
+        raw.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+
+def audio_segment_clips(
+    sf_dir: str,
+    frame_len: int = 256,
+    rms_floor: float = 0.01,
+    hang_frames: int = 2,
+    min_dur_ms: int = 100,
+    emit_payload: bool = False,
+) -> rd.Dataset:
+    """VAD-driven utterance segmentation — the long-audio → training
+    clips splitter (a production speech corpus arrives as long
+    recordings; models train on utterance-sized clips). Per clip:
+    decode → ``vad_segment_bounds`` (same frame RMS + hangover merge
+    as ``audio_vad_profile``, boundary-emitting twin, count-parity
+    property-pinned) → one OUTPUT ROW PER SEGMENT at or above
+    ``min_dur_ms``.
+
+    Segment payloads are BYTE SLICES of the original encoded payload —
+    both graft codecs are fixed-rate (mulaw: 1 B/sample, pcm_s16le:
+    2 B/sample) and the bounds are sample-aligned, so no re-encode
+    happens and the segment decodes bit-identically to the same slice
+    of the parent's decode (pinned in tests). With ``emit_payload``
+    the slices ship in the output (the production sink path); off by
+    default so the registered profile query stays narrow
+    (clip_id, seg_idx, start/end samples, seg_dur_ms).
+
+    Shape at scale: ONE streaming map_batches, zero-copy payload
+    views, fan-out is data-dependent but each output row is at most
+    its parent's bytes (payload mode) or ~50 B (profile mode); no
+    shuffle, no driver materialization. Clips with unknown codec or
+    sr<=0 emit zero segments."""
+    from ..kernels.audio import decode_view, vad_segment_bounds
+
+    ds = read_derived_clips(sf_dir)
+    bps = {"mulaw": 1, "pcm_s16le": 2}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, codecs, offs, data = _payload_arrays(batch)
+        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False).astype(np.int64)
+        o_id: list[str] = []
+        o_seg: list[int] = []
+        o_lo: list[int] = []
+        o_hi: list[int] = []
+        o_ms: list[float] = []
+        o_pl: list[bytes] = []
+        for i in range(len(ids)):
+            nbytes = bps.get(codecs[i])
+            if nbytes is None or srs[i] <= 0:
+                continue
+            raw_b = data[offs[i] : offs[i + 1]]
+            pcm = decode_view(raw_b, codecs[i])
+            if pcm is None:
+                continue
+            bounds = vad_segment_bounds(pcm, frame_len, rms_floor, hang_frames)
+            k = 0
+            for lo, hi in bounds:
+                dur_ms = (hi - lo) / srs[i] * 1000.0
+                if dur_ms < min_dur_ms:
+                    continue
+                o_id.append(ids[i])
+                o_seg.append(k)
+                o_lo.append(int(lo))
+                o_hi.append(int(hi))
+                o_ms.append(float(dur_ms))
+                if emit_payload:
+                    o_pl.append(raw_b[lo * nbytes : hi * nbytes].tobytes())
+                k += 1
+        cols = {
+            "clip_id": pa.array(o_id, pa.string()),
+            "seg_idx": pa.array(o_seg, pa.int64()),
+            "start_sample": pa.array(o_lo, pa.int64()),
+            "end_sample": pa.array(o_hi, pa.int64()),
+            "seg_dur_ms": pa.array(o_ms, pa.float64()),
+        }
+        if emit_payload:
+            cols["bytes"] = pa.array(o_pl, pa.binary())
+        return pa.table(cols)
+
+    bs = 128 if emit_payload else 256
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=bs, zero_copy_batch=True)

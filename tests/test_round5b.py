@@ -1,0 +1,231 @@
+"""Round-5 additions, part 2: log-mel/MFCC featurizer, robust-signature
+audio near-dup LSH, and VAD utterance segmentation — kernel property
+pins (partition-of-unity filterbank, exact gain invariance, DCT
+orthonormality, planted-noise recall, bounds/count parity, byte-slice
+decode identity) plus e2e pipeline contracts over sf0.001."""
+
+import os
+
+import numpy as np
+import pytest
+
+from longqc_ray.kernels.audio import (
+    _dct2_ortho,
+    band_energy_frames,
+    decode_payload,
+    hz_to_mel,
+    mel_filterbank,
+    mel_features,
+    mel_to_hz,
+    mulaw_encode,
+    pcm16_encode,
+    robust_sig64,
+    vad_segment_bounds,
+    vad_segments,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _tone(f, sr=16000, secs=1.0, amp=0.5):
+    t = np.arange(int(sr * secs)) / sr
+    return (amp * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+# ---------------------------------------------------------------- mel
+
+
+def test_mel_filterbank_partition_of_unity():
+    for sr, n_fft, n_mels in [(16000, 512, 24), (8000, 256, 16), (22050, 512, 40)]:
+        fb = mel_filterbank(sr, n_fft, n_mels)
+        assert fb.shape == (n_mels, n_fft // 2 + 1)
+        freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+        mpts = np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2.0), n_mels + 2)
+        pk = np.asarray(mel_to_hz(mpts))[1:-1]
+        interior = (freqs > pk[0]) & (freqs < pk[-1])
+        # falling edge of filter i + rising edge of filter i+1 == 1
+        assert np.allclose(fb.sum(axis=0)[interior], 1.0)
+        # each filter peaks at (approximately) its own center bin
+        assert (fb.max(axis=1) > 0).all()
+
+
+def test_mel_dct_is_orthonormal():
+    m = _dct2_ortho(24, 24)
+    assert np.allclose(m @ m.T, np.eye(24), atol=1e-12)
+
+
+def test_mel_features_tone_band_and_gain_invariance():
+    sr = 16000
+    mpts = np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2.0), 26)
+    pk = np.asarray(mel_to_hz(mpts))[1:-1]
+    for f in [300.0, 1000.0, 3000.0, 6000.0]:
+        x = _tone(f, sr)
+        n, lm, mf, ms = mel_features(x, sr)
+        assert n == x.size // 512
+        assert int(np.argmax(lm)) == int(np.argmin(np.abs(pk - f)))
+        # gain invariance (per-frame energy normalization; the g²
+        # cancels exactly, the residual is division/log roundoff
+        # amplified near the 1e-10 floor — ~1e-6 absolute)
+        for g in [0.05, 3.0]:
+            n2, lm2, mf2, ms2 = mel_features((g * x).astype(np.float32), sr)
+            assert np.allclose(lm, lm2, atol=1e-5)
+            assert np.allclose(mf, mf2, atol=1e-5)
+            assert np.allclose(ms, ms2, atol=1e-5)
+
+
+def test_mel_features_degenerate_inputs():
+    for pcm, sr in [(np.zeros(0, np.float32), 16000),
+                    (np.zeros(100, np.float32), 16000),
+                    (_tone(440), 0)]:
+        n, lm, mf, ms = mel_features(pcm, sr)
+        if pcm.size < 512 or sr <= 0:
+            assert n == 0 and not lm.any() and not mf.any()
+    # silent-but-framable clip: flat distribution, finite outputs
+    n, lm, mf, ms = mel_features(np.zeros(2048, np.float32), 16000)
+    assert n == 4 and np.isfinite(lm).all() and np.isfinite(mf).all()
+
+
+def test_audio_mel_profile_e2e():
+    from longqc_ray.pipelines.multimodal import audio_mel_profile
+
+    df = audio_mel_profile(SF001).to_pandas()
+    assert len(df) == 500
+    dec = df[df["decoded"]]
+    assert len(dec) > 400  # only bad_codec rows fail to decode
+    assert (dec["n_frames"] > 0).all()
+    assert dec["dominant_mel"].between(0, 23).all()
+    assert all(len(v) == 24 for v in dec["logmel_mean"])
+    assert all(len(v) == 13 for v in dec["mfcc_mean"])
+    # determinism
+    df2 = audio_mel_profile(SF001).to_pandas()
+    a = df.sort_values("clip_id").reset_index(drop=True)
+    b = df2.sort_values("clip_id").reset_index(drop=True)
+    assert a["dominant_mel"].equals(b["dominant_mel"])
+    assert all(np.array_equal(x, y) for x, y in zip(a["mfcc_mean"], b["mfcc_mean"]))
+
+
+# ------------------------------------------------------ robust sig LSH
+
+
+def test_robust_sig64_gain_invariant_and_noise_robust():
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 16000
+    x = (np.sin(2 * np.pi * 440 * t)
+         + 0.3 * np.sin(2 * np.pi * 1200 * t) * np.sin(2 * np.pi * 3 * t)).astype(np.float32)
+    s = robust_sig64(x)
+    assert 0 <= s < 2 ** 64
+    # exact gain invariance
+    for g in [0.2, 5.0]:
+        assert robust_sig64((g * x).astype(np.float32)) == s
+    # planted noise flips few bits (seeded -> deterministic)
+    noisy = (x + 0.01 * rng.standard_normal(x.size)).astype(np.float32)
+    ham_near = bin(s ^ robust_sig64(noisy)).count("1")
+    assert ham_near <= 3
+    # unrelated content is far
+    other = (0.5 * rng.standard_normal(x.size)).astype(np.float32)
+    assert bin(s ^ robust_sig64(other)).count("1") >= 10
+    # unsignable: < 9 complete frames
+    short = _tone(440, secs=0.1)  # 1600 samples = 6 frames of 256
+    assert band_energy_frames(short).shape[0] < 9
+    assert robust_sig64(short) == 0
+
+
+def test_audio_near_dup_lsh_e2e_and_scale_path():
+    from longqc_ray.pipelines.multimodal import audio_near_dup_lsh
+
+    p = audio_near_dup_lsh(SF001).to_pandas().sort_values(["a", "b"], ignore_index=True)
+    # planted payload-dup clips (fixtures: dup re-synthesis shares the
+    # exact payload) must land at hamming 0
+    exact = p[p["hamming"] == 0]
+    assert len(exact) >= 4
+    assert {("doc-clip-000000000240", "doc-clip-000000000243"),
+            ("doc-clip-000000000320", "doc-clip-000000000323")} <= set(
+        zip(exact["a"], exact["b"])
+    )
+    # canonical, distinct pairs
+    assert (p["a"] < p["b"]).all()
+    assert not p.duplicated(["a", "b"]).any()
+    assert (p["hamming"] <= 3).all()
+    # forced scale path (distributed distinct) returns the same pairs
+    os.environ["LONGQC_CAP_AUDIO_PAIRS_DRIVER"] = "0"
+    try:
+        p2 = audio_near_dup_lsh(SF001).to_pandas().sort_values(
+            ["a", "b"], ignore_index=True
+        )
+    finally:
+        del os.environ["LONGQC_CAP_AUDIO_PAIRS_DRIVER"]
+    assert p.equals(p2)
+
+
+# --------------------------------------------------------- VAD bounds
+
+
+def test_vad_segment_bounds_count_parity_property():
+    # bounds-emitting twin must agree with vad_segments on EVERY input
+    for trial in range(300):
+        r = np.random.default_rng(trial)
+        z = np.zeros(int(r.integers(1, 6000)))
+        idx = r.random(z.size) < float(r.uniform(0.02, 0.5))
+        z[idx] = r.standard_normal(int(idx.sum())) * 0.5
+        b = vad_segment_bounds(z)
+        assert len(b) == vad_segments(z)[0], trial
+        if len(b):
+            assert (b[:, 0] < b[:, 1]).all()
+            assert b[0, 0] >= 0 and b[-1, 1] <= z.size
+            # segments are ordered and separated by > hang_frames of silence
+            assert (b[1:, 0] > b[:-1, 1]).all()
+
+
+def test_vad_segment_bounds_planted_utterances():
+    sr = 16000
+    seg = _tone(440, sr, 0.30)              # 0.30 s speech
+    gap = np.zeros(int(sr * 0.5), np.float32)  # 0.5 s silence (>> hangover)
+    x = np.concatenate([seg, gap, seg, gap, seg])
+    b = vad_segment_bounds(x)
+    assert len(b) == 3
+    for i, (lo, hi) in enumerate(b):
+        want_lo = i * (seg.size + gap.size)
+        # frame-aligned bounds: within one frame of the planted edges
+        assert abs(lo - want_lo) <= 256
+        assert abs(hi - (want_lo + seg.size)) <= 256
+
+
+def test_segment_byte_slice_decodes_identically():
+    # fixed-rate codecs: slicing the ENCODED payload at sample bounds
+    # decodes bit-identically to slicing the decoded pcm
+    sr = 8000
+    x = np.concatenate([_tone(500, sr, 0.25), np.zeros(sr // 2, np.float32),
+                        _tone(900, sr, 0.25)])
+    for codec, nbytes, enc in [
+        ("mulaw", 1, lambda v: mulaw_encode(v).tobytes()),
+        ("pcm_s16le", 2, lambda v: pcm16_encode(v)),
+    ]:
+        payload = enc(x)
+        dec_full = decode_payload(payload, codec)
+        for lo, hi in vad_segment_bounds(dec_full):
+            seg_dec = decode_payload(payload[lo * nbytes : hi * nbytes], codec)
+            assert np.array_equal(seg_dec, dec_full[lo:hi]), codec
+
+
+def test_audio_segment_clips_e2e():
+    from longqc_ray.pipelines.multimodal import audio_segment_clips, read_derived_clips
+
+    df = audio_segment_clips(SF001).to_pandas()
+    assert len(df) > 0
+    assert not df.duplicated(["clip_id", "seg_idx"]).any()
+    assert (df["start_sample"] < df["end_sample"]).all()
+    assert (df["seg_dur_ms"] >= 100).all()
+    # per-clip seg_idx is dense from 0
+    g = df.groupby("clip_id")["seg_idx"]
+    assert (g.min() == 0).all()
+    assert (g.max() + 1 == g.count()).all()
+    # payload mode: each emitted slice decodes equal to the parent slice
+    pay = audio_segment_clips(SF001, emit_payload=True).to_pandas()
+    assert len(pay) == len(df)
+    parents = read_derived_clips(SF001).to_pandas().set_index("clip_id")
+    sample = pay.sample(n=20, random_state=7)
+    for _, row in sample.iterrows():
+        par = parents.loc[row["clip_id"]]
+        full = decode_payload(par["bytes"], par["codec"])
+        seg = decode_payload(row["bytes"], par["codec"])
+        assert np.array_equal(seg, full[row["start_sample"]:row["end_sample"]])
