@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from longqc_ray.pipelines import dedup, relational, similarity, text_analysis
     from longqc_ray.pipelines.multimodal import (
         audio_feature_table,
+        audio_dup_verdicts,
         audio_fingerprint_dedup,
         audio_integrity_profile,
         audio_mel_profile,
@@ -236,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH over the 64-bit robust signature (r5; gate = pytest
         # planted-dup / noise-recall / forced-scale-path pins) ---
         "audio_near_dup_lsh": audio_near_dup_lsh,
+        # --- near-dup ladder closure: components + canonical-survivor
+        # verdicts, driver/label-propagation crossover (r5) ---
+        "audio_dup_verdicts": audio_dup_verdicts,
         # --- VAD utterance segmentation: long audio -> training clips
         # via byte-slice (no re-encode; decode-identity pinned) (r5) ---
         "audio_segment_clips": audio_segment_clips,

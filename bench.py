@@ -249,6 +249,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # LSH, VAD utterance segmentation
         "audio_mel_profile",
         "audio_near_dup_lsh",
+        "audio_dup_verdicts",
         "audio_segment_clips",
     ]
     out: dict[str, float] = {}

@@ -560,6 +560,29 @@ def _connected_components(pairs: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
+def _connected_components_strs(a: list[str], b: list[str]) -> dict[str, str]:
+    """String-keyed twin of ``_connected_components`` (same path-halving
+    union-find, min-STRING representative) — for pair graphs whose node
+    ids are opaque strings (audio clip_ids). Same driver-side scope:
+    the dup graph, not the corpus."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for xa, xb in zip(a, b):
+        ra, rb = find(xa), find(xb)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in list(parent)}
+
+
 def connected_components_lp(pairs: rd.Dataset, max_iters: int = 64) -> rd.Dataset:
     """Distributed min-label propagation over an edge Dataset (a, b) —
     the scale fallback ``_connected_components`` documents, as a REAL

@@ -1236,3 +1236,121 @@ def audio_segment_clips(
 
     bs = 128 if emit_payload else 256
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=bs, zero_copy_batch=True)
+
+
+AUDIO_CC_DRIVER_CAP = 100_000  # distinct pairs; crossover to distributed LP
+_AUDIO_CC_N_PARTS = 64
+
+
+def audio_dup_verdicts(sf_dir: str, hamming_max: int = 3) -> rd.Dataset:
+    """Keep/drop verdicts closing the audio near-dup ladder: LSH pairs
+    (``audio_near_dup_lsh``) → connected components → per-component
+    canonical survivor (min clip_id). Output: one row per clip that
+    appears in at least one verified pair — (clip_id, component,
+    is_canonical); component is the cluster's min clip_id. Clips in no
+    pair are trivially canonical and are NOT emitted (at 100 TB the
+    verdict table must be ∝ the dup subset, not the corpus — the
+    consumer anti-joins it, exactly like the flagship's rare-dup-first
+    discipline in quality_filter.py).
+
+    Engine crossover (same discipline as the text ``dup_components``):
+    below ``AUDIO_CC_DRIVER_CAP`` distinct pairs, driver union-find
+    over the string ids (``dedup._connected_components_strs`` — the
+    dup GRAPH is a vanishing fraction of the corpus). Above it,
+    endpoints are FNV-64 encoded to int64 and the graph runs through
+    ``connected_components_lp`` (min-label propagation + pointer
+    jumping; every shuffle carries int64 pairs); a distinct
+    (hash → clip_id) vocabulary co-groups labels back to strings and
+    each component's canonical id is re-derived as the MIN STRING in
+    its label group, so both engines emit byte-identical verdicts
+    (forced-crossover equality pinned in tests). Collision note: only
+    LSH-pair endpoints enter the encoded graph, so FNV-64 collisions
+    are birthday-bounded by the DUP-SUBSET size, and a collision can
+    only MERGE two components — conservative for dedup (never loses a
+    true duplicate, may drop one extra near-identical clip)."""
+    from ..kernels.text import fnv1a_64_strs
+    from .dedup import _connected_components_strs, connected_components_lp
+    from .util import scale_cap
+
+    pairs = audio_near_dup_lsh(sf_dir, hamming_max).materialize()
+    n = pairs.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "clip_id": pa.array([], pa.string()),
+            "component": pa.array([], pa.string()),
+            "is_canonical": pa.array([], pa.bool_()),
+        }))
+    if n < scale_cap("AUDIO_CC_DRIVER", AUDIO_CC_DRIVER_CAP):
+        pdf = pairs.to_pandas()
+        comp = _connected_components_strs(pdf["a"].tolist(), pdf["b"].tolist())
+        clip_ids = sorted(comp)
+        return rd.from_arrow(pa.table({
+            "clip_id": pa.array(clip_ids, pa.string()),
+            "component": pa.array([comp[c] for c in clip_ids], pa.string()),
+            "is_canonical": pa.array([comp[c] == c for c in clip_ids], pa.bool_()),
+        }))
+
+    # ---- scale path ----
+    def encode(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.array(fnv1a_64_strs(t.column("a").to_pylist()).view(np.int64), pa.int64()),
+            "b": pa.array(fnv1a_64_strs(t.column("b").to_pylist()).view(np.int64), pa.int64()),
+        })
+
+    labels = connected_components_lp(
+        pairs.map_batches(encode, batch_format="pyarrow")
+    )  # (node:int64, label:int64)
+
+    # distinct (hash → clip_id) vocabulary from the pair endpoints
+    def endpoints(t: pa.Table) -> pa.Table:
+        ids = t.column("a").to_pylist() + t.column("b").to_pylist()
+        h = fnv1a_64_strs(ids)
+        return pa.table({
+            "node": pa.array(h.view(np.int64), pa.int64()),
+            "clip_id": pa.array(ids, pa.string()),
+            "__vp": pa.array((h % np.uint64(_AUDIO_CC_N_PARTS)).astype(np.int64), pa.int64()),
+        })
+
+    def vocab_distinct(g: pa.Table) -> pa.Table:
+        out = g.group_by("node").aggregate([("clip_id", "min")])
+        return out.rename_columns(["node", "clip_id"])
+
+    vocab = (
+        pairs.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("__vp")
+        .map_groups(vocab_distinct, batch_format="pyarrow")
+    )
+
+    from .util import hash_join
+
+    # (node, clip_id) ⋈ (node, label); LABEL co-location for the
+    # canonical-min pass comes from a second bounded co-group below
+    rows = hash_join(vocab, labels, left_key="node", right_key="node",
+                     n_parts=_AUDIO_CC_N_PARTS)
+
+    def add_lp(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = lab * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "__lp", pa.array((h % np.uint64(_AUDIO_CC_N_PARTS)).astype(np.int64), pa.int64())
+        )
+
+    def verdicts(g: pa.Table) -> pa.Table:
+        canon = g.group_by("label").aggregate([("clip_id", "min")])
+        cmap = dict(zip(canon.column("label").to_pylist(),
+                        canon.column("clip_id_min").to_pylist()))
+        ids = g.column("clip_id").to_pylist()
+        labs = g.column("label").to_pylist()
+        comp = [cmap[l] for l in labs]
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "component": pa.array(comp, pa.string()),
+            "is_canonical": pa.array([i == c for i, c in zip(ids, comp)], pa.bool_()),
+        })
+
+    return (
+        rows.map_batches(add_lp, batch_format="pyarrow")
+        .groupby("__lp")
+        .map_groups(verdicts, batch_format="pyarrow")
+    )

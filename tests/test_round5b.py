@@ -229,3 +229,43 @@ def test_audio_segment_clips_e2e():
         full = decode_payload(par["bytes"], par["codec"])
         seg = decode_payload(row["bytes"], par["codec"])
         assert np.array_equal(seg, full[row["start_sample"]:row["end_sample"]])
+
+
+# ------------------------------------------------- dup verdicts ladder
+
+
+def test_connected_components_strs_chain_merge():
+    from longqc_ray.pipelines.dedup import _connected_components_strs
+
+    # chain a-b, b-c, plus a disjoint pair: transitive closure, min rep
+    comp = _connected_components_strs(["b", "a", "x"], ["c", "b", "y"])
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_audio_dup_verdicts_e2e_and_engine_equality():
+    from longqc_ray.pipelines.multimodal import audio_dup_verdicts
+
+    v = audio_dup_verdicts(SF001).to_pandas().sort_values("clip_id", ignore_index=True)
+    # planted payload-dup pairs resolve to (canonical=min, partner dropped)
+    rows = {r.clip_id: (r.component, bool(r.is_canonical)) for r in v.itertuples()}
+    assert rows["doc-clip-000000000240"] == ("doc-clip-000000000240", True)
+    assert rows["doc-clip-000000000243"] == ("doc-clip-000000000240", False)
+    # every component's representative is a member and is canonical
+    assert set(v["component"]) <= set(v["clip_id"])
+    assert (v[v["clip_id"] == v["component"]]["is_canonical"]).all()
+    assert (~v[v["clip_id"] != v["component"]]["is_canonical"]).all()
+    # output covers exactly the pair endpoints (verdicts ∝ dup subset)
+    from longqc_ray.pipelines.multimodal import audio_near_dup_lsh
+
+    p = audio_near_dup_lsh(SF001).to_pandas()
+    assert set(v["clip_id"]) == set(p["a"]) | set(p["b"])
+    # distributed engine (FNV encode + label propagation + string
+    # re-derive) emits byte-identical verdicts
+    os.environ["LONGQC_CAP_AUDIO_CC_DRIVER"] = "0"
+    try:
+        v2 = audio_dup_verdicts(SF001).to_pandas().sort_values(
+            "clip_id", ignore_index=True
+        )
+    finally:
+        del os.environ["LONGQC_CAP_AUDIO_CC_DRIVER"]
+    assert v.equals(v2)
