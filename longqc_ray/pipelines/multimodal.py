@@ -1157,28 +1157,29 @@ def audio_near_dup_lsh(sf_dir: str, hamming_max: int = 3) -> rd.Dataset:
     )
 
 
-def audio_segment_clips(
-    sf_dir: str,
+def segment_clips_over(
+    ds: rd.Dataset,
     frame_len: int = 256,
     rms_floor: float = 0.01,
     hang_frames: int = 2,
     min_dur_ms: int = 100,
     emit_payload: bool = False,
 ) -> rd.Dataset:
-    """VAD-driven utterance segmentation — the long-audio → training
-    clips splitter (a production speech corpus arrives as long
-    recordings; models train on utterance-sized clips). Per clip:
-    decode → ``vad_segment_bounds`` (same frame RMS + hangover merge
-    as ``audio_vad_profile``, boundary-emitting twin, count-parity
-    property-pinned) → one OUTPUT ROW PER SEGMENT at or above
-    ``min_dur_ms``.
+    """VAD-driven utterance segmentation over any clips Dataset — the
+    long-audio → training clips splitter (a production speech corpus
+    arrives as long recordings; models train on utterance-sized
+    clips). Per clip: decode → ``vad_segment_bounds`` (same frame RMS
+    + hangover merge as ``audio_vad_profile``, boundary-emitting twin,
+    count-parity property-pinned) → one OUTPUT ROW PER SEGMENT at or
+    above ``min_dur_ms``.
 
     Segment payloads are BYTE SLICES of the original encoded payload —
     both graft codecs are fixed-rate (mulaw: 1 B/sample, pcm_s16le:
     2 B/sample) and the bounds are sample-aligned, so no re-encode
     happens and the segment decodes bit-identically to the same slice
     of the parent's decode (pinned in tests). With ``emit_payload``
-    the slices ship in the output (the production sink path); off by
+    the slices ship in the output (the production sink path —
+    ``sources/lineage.run_segments_resumable`` consumes it); off by
     default so the registered profile query stays narrow
     (clip_id, seg_idx, start/end samples, seg_dur_ms).
 
@@ -1189,7 +1190,6 @@ def audio_segment_clips(
     sr<=0 emit zero segments."""
     from ..kernels.audio import decode_view, vad_segment_bounds
 
-    ds = read_derived_clips(sf_dir)
     bps = {"mulaw": 1, "pcm_s16le": 2}
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -1236,6 +1236,11 @@ def audio_segment_clips(
 
     bs = 128 if emit_payload else 256
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=bs, zero_copy_batch=True)
+
+
+def audio_segment_clips(sf_dir: str, **kwargs) -> rd.Dataset:
+    """Derived-clips entry point for ``segment_clips_over``."""
+    return segment_clips_over(read_derived_clips(sf_dir), **kwargs)
 
 
 AUDIO_CC_DRIVER_CAP = 100_000  # distinct pairs; crossover to distributed LP

@@ -175,3 +175,120 @@ def run_filter_resumable(
         ran += 1
         rows_out_total += rows_out
     return {"units_run": ran, "units_skipped": skipped, "rows_out": rows_out_total}
+
+
+SEG_HASH_SCHEME = "seg-fnv1a64-v1"
+
+
+def _segment_hash_column(batch: pa.Table) -> pa.Table:
+    """Order-insensitive per-segment hash: xor-reducible uint64 over
+    (clip_id, seg_idx, start_sample, end_sample) — same composed-column
+    + Arrow-buffer FNV discipline as ``_content_hash_column``. The
+    payload bytes are deliberately NOT hashed: they are a pure
+    function of (parent payload, bounds) (byte-slice, pinned in
+    test_round5b), so bounds identity ⇒ payload identity, and hashing
+    the narrow columns keeps the manifest pass payload-free."""
+    import pyarrow.compute as pc
+
+    from ..kernels.text import fnv1a_64_arrow
+
+    composed = pc.binary_join_element_wise(
+        batch.column("clip_id").cast(pa.string()),
+        batch.column("seg_idx").cast(pa.string()),
+        batch.column("start_sample").cast(pa.string()),
+        batch.column("end_sample").cast(pa.string()),
+        "|",
+    )
+    h = fnv1a_64_arrow(composed)
+    return batch.append_column("row_hash", pa.array(h, pa.uint64()))
+
+
+def run_segments_resumable(
+    input_dir: str,
+    out_dir: str,
+    shards_per_unit: int = 4,
+    max_units: int | None = None,
+    **seg_kwargs,
+) -> dict:
+    """Resumable VAD-segmentation EXPORT — the second consumer of the
+    lineage surface (proving resume-from-checkpoint is an engine
+    capability, not a flagship one-off): every input shard-group is
+    one unit; each finished unit appends a manifest record (clips in,
+    segments out, total segment duration, order-insensitive content
+    hash, wall time) and lands its payload-carrying parquet partition
+    via the same tmp-write + rename publish, so a crash mid-write
+    never yields a half-partition that looks done. Resuming skips
+    units already in the manifest (same ``completed_units`` contract
+    as the flagship filter; kill-and-resume pinned in tests).
+
+    Per unit: read the shard group → ``segment_clips_over(...,
+    emit_payload=True)`` (one streaming map_batches, byte-slice
+    payloads, no shuffle) → hash column → write. The manifest
+    reductions re-read only the NARROW columns of the written unit."""
+    from ..pipelines.multimodal import segment_clips_over
+    from ..pipelines.util import read_wide_parquet
+
+    shards = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not shards:
+        raise FileNotFoundError(f"no parquet shards under {input_dir}")
+    units = [
+        (f"unit-{u:05d}", shards[u * shards_per_unit : (u + 1) * shards_per_unit])
+        for u in range((len(shards) + shards_per_unit - 1) // shards_per_unit)
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_units(out_dir)
+
+    ran = 0
+    skipped = 0
+    segs_total = 0
+    for unit, files in units:
+        if unit in done:
+            skipped += 1
+            continue
+        if max_units is not None and ran >= max_units:
+            break
+        t0 = time.time()
+        ds = read_wide_parquet(files)
+        clips_in = ds.count()
+        segs = segment_clips_over(ds, emit_payload=True, **seg_kwargs)
+        segs = segs.map_batches(_segment_hash_column, batch_format="pyarrow")
+
+        tmp = os.path.join(out_dir, f".tmp-{unit}")
+        final = os.path.join(out_dir, "parts", unit)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        segs.write_parquet(tmp)
+        os.makedirs(tmp, exist_ok=True)  # 0-segment unit: empty dir is legal
+
+        import pyarrow.parquet as pq
+
+        narrow = (
+            pq.read_table(tmp, columns=["row_hash", "seg_dur_ms"])
+            if glob.glob(os.path.join(tmp, "*.parquet"))
+            else pa.table({"row_hash": pa.array([], pa.uint64()),
+                           "seg_dur_ms": pa.array([], pa.float64())})
+        )
+        segs_out = narrow.num_rows
+        xor_hash = int(np.bitwise_xor.reduce(
+            narrow.column("row_hash").to_numpy().astype(np.uint64), initial=np.uint64(0)
+        ))
+        total_ms = float(np.sum(narrow.column("seg_dur_ms").to_numpy())) if segs_out else 0.0
+
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        with open(manifest_path(out_dir), "a") as f:
+            f.write(json.dumps({
+                "unit": unit,
+                "files": [os.path.basename(p) for p in files],
+                "clips_in": clips_in,
+                "segments_out": segs_out,
+                "total_segment_ms": round(total_ms, 3),
+                "content_hash_xor": xor_hash,
+                "hash_scheme": SEG_HASH_SCHEME,
+                "wall_s": round(time.time() - t0, 3),
+            }) + "\n")
+        ran += 1
+        segs_total += segs_out
+    return {"units_run": ran, "units_skipped": skipped, "segments_out": segs_total}

@@ -69,3 +69,48 @@ def test_rerun_is_noop(clips_dir, tmp_path_factory):
     again = run_filter_resumable(clips_dir, out, shards_per_unit=2)
     assert again["units_run"] == 0
     assert again["units_skipped"] == 2
+
+
+def test_segment_export_interrupt_then_resume_equals_fresh(clips_dir, tmp_path_factory):
+    """The SECOND lineage consumer (VAD segment export) honors the same
+    contract: interrupted run + resume == fresh full run, manifest
+    hashes recomputable from the written narrow columns."""
+    import numpy as np
+
+    from longqc_ray.sources.lineage import SEG_HASH_SCHEME, run_segments_resumable
+
+    fresh = str(tmp_path_factory.mktemp("seg_fresh"))
+    killed = str(tmp_path_factory.mktemp("seg_killed"))
+
+    run_segments_resumable(clips_dir, fresh, shards_per_unit=2)
+    r1 = run_segments_resumable(clips_dir, killed, shards_per_unit=2, max_units=1)
+    assert r1["units_run"] == 1
+    r2 = run_segments_resumable(clips_dir, killed, shards_per_unit=2)
+    assert r2["units_skipped"] == 1 and r2["units_run"] >= 1
+
+    def read_all(out):
+        files = sorted(glob.glob(os.path.join(out, "parts", "*", "*.parquet")))
+        df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+        return df.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True)
+
+    a, b = read_all(fresh), read_all(killed)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b)
+    # manifest: per-unit xor hash recomputes from the written rows
+    for line in open(manifest_path(fresh)):
+        rec = json.loads(line)
+        assert rec["hash_scheme"] == SEG_HASH_SCHEME
+        part = os.path.join(fresh, "parts", rec["unit"])
+        fs = glob.glob(os.path.join(part, "*.parquet"))
+        hashes = (
+            pd.concat([pq.read_table(f, columns=["row_hash"]).to_pandas() for f in fs])
+            ["row_hash"].to_numpy().astype(np.uint64)
+            if fs else np.array([], dtype=np.uint64)
+        )
+        assert rec["segments_out"] == hashes.size
+        assert rec["content_hash_xor"] == int(
+            np.bitwise_xor.reduce(hashes, initial=np.uint64(0))
+        )
+    # third run is a no-op
+    r3 = run_segments_resumable(clips_dir, killed, shards_per_unit=2)
+    assert r3 == {"units_run": 0, "units_skipped": 2, "segments_out": 0}
