@@ -88,6 +88,20 @@ def cmd_filter(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_segment(args: argparse.Namespace) -> int:
+    _init_ray(args.cpus, args.address)
+    from .sources.lineage import run_segments_resumable
+
+    summary = run_segments_resumable(
+        args.input,
+        args.out,
+        shards_per_unit=args.shards_per_unit,
+        min_dur_ms=args.min_dur_ms,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_report(args: argparse.Namespace) -> int:
     _init_ray(args.cpus, args.address)
     from .pipelines.quality_filter import label_clips
@@ -156,6 +170,18 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--address", default=None,
                    help="Ray address (default: $RAY_ADDRESS or a local session)")
     f.set_defaults(fn=cmd_filter)
+
+    s = sub.add_parser(
+        "segment", help="resumable VAD utterance-segment export (long audio -> clips)"
+    )
+    s.add_argument("--input", required=True, help="directory of parquet clip shards")
+    s.add_argument("--out", required=True, help="output directory (manifest + parts)")
+    s.add_argument("--shards-per-unit", type=int, default=4)
+    s.add_argument("--min-dur-ms", type=int, default=100)
+    s.add_argument("--cpus", type=int, default=None)
+    s.add_argument("--address", default=None,
+                   help="Ray address (default: $RAY_ADDRESS or a local session)")
+    s.set_defaults(fn=cmd_segment)
 
     r = sub.add_parser("report", help="QC summary JSON (runqc analogue)")
     r.add_argument("--input", required=True)
