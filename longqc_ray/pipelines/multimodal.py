@@ -351,25 +351,73 @@ def _synth_image(doc_id: int) -> bytes:
     return encode_ppm(img) if doc_id % 2 == 0 else encode_bmp(img)
 
 
-def image_features(sf_dir: str) -> rd.Dataset:
-    """Multimodal image path end-to-end: per-doc synthesized image
-    payloads (binary column, PPM/BMP real-decodable + a JPEG-like
-    fallback slice) → ImageFeaturizer actor pool → (doc_id, features,
-    decoded). Rows-only oracle (payload derivation is engine-side);
-    decode correctness is pinned in tests via encode/decode
-    round-trips."""
-    ds = table(sf_dir, "documents", columns=["doc_id"])
+def _payload_table_cached(sf_dir: str, kind: str, synth_fn, version: str = "v1") -> str:
+    """Materialize (once, cached) a derived (doc_id, bytes) payload
+    table under the shared DERIVED root — the image/video twin of
+    ``clips_from_documents`` (same publish discipline: build into tmp,
+    ``_DONE`` marker last, rename; a marker-less dir is a crashed
+    publish and rebuilds). Before this cache the featurizer queries
+    re-SYNTHESIZED every payload on every run, so the bench measured
+    fixture generation, not the decode/sample operator."""
+    from .util import scratch_root
+
+    cache_root = scratch_root("DERIVED", "/tmp/longqc_derived")
+    key = hashlib.md5(f"{sf_dir}:{kind}:{version}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(cache_root, f"{kind}-{key}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(cache_root, exist_ok=True)
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+    docs = table(sf_dir, "documents", columns=["doc_id"])
 
     def attach(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "bytes": pa.array([_synth_image(int(i)) for i in ids], pa.binary()),
+            "bytes": pa.array([synth_fn(int(i)) for i in ids], pa.binary()),
         })
 
-    imgs = ds.map_batches(attach, batch_format="pyarrow", batch_size=256)
+    docs.map_batches(attach, batch_format="pyarrow", batch_size=256).write_parquet(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp_dir)):
+        schema = pa.schema([("doc_id", pa.int64()), ("bytes", pa.binary())])
+        pq.write_table(schema.empty_table(), os.path.join(tmp_dir, "part-empty.parquet"))
+    with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
+        f.write("ok\n")
+    import shutil
+
+    if os.path.isdir(out_dir) and not os.path.exists(marker):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:  # another builder won the race
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
+
+def _read_payload_table(sf_dir: str, kind: str, synth_fn) -> rd.Dataset:
+    from .util import read_wide_parquet
+
+    d = _payload_table_cached(sf_dir, kind, synth_fn)
+    return read_wide_parquet(
+        [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    )
+
+
+def image_features(sf_dir: str) -> rd.Dataset:
+    """Multimodal image path end-to-end: per-doc derived image
+    payloads (binary column, PPM/BMP real-decodable + a JPEG-like
+    fallback slice; built once into the shared DERIVED cache) →
+    ImageFeaturizer actor pool → (doc_id, features, decoded).
+    Rows-only oracle (payload derivation is engine-side); decode
+    correctness is pinned in tests via encode/decode round-trips."""
+    from .util import pool_size
+
+    imgs = _read_payload_table(sf_dir, "images", _synth_image)
     return imgs.map_batches(
-        ImageFeaturizer, batch_format="pyarrow", batch_size=256, concurrency=2
+        ImageFeaturizer, batch_format="pyarrow", batch_size=256,
+        concurrency=pool_size(4),
     )
 
 
@@ -442,22 +490,17 @@ def _synth_video(doc_id: int) -> bytes:
 
 
 def video_frame_features(sf_dir: str) -> rd.Dataset:
-    """Multimodal video path end-to-end: per-doc synthesized y4m
-    payloads (plus a planted opaque MP4-like slice) → FrameSampler
-    actor pool → (doc_id, frame_offsets, frame_luma_mean, decoded).
-    Rows-only oracle; container round-trips pinned in tests."""
-    ds = table(sf_dir, "documents", columns=["doc_id"])
+    """Multimodal video path end-to-end: per-doc derived y4m payloads
+    (plus a planted opaque MP4-like slice; built once into the shared
+    DERIVED cache) → FrameSampler actor pool → (doc_id, frame_offsets,
+    frame_luma_mean, decoded). Rows-only oracle; container round-trips
+    pinned in tests."""
+    from .util import pool_size
 
-    def attach(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "bytes": pa.array([_synth_video(int(i)) for i in ids], pa.binary()),
-        })
-
-    vids = ds.map_batches(attach, batch_format="pyarrow", batch_size=256)
+    vids = _read_payload_table(sf_dir, "videos", _synth_video)
     return vids.map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=2
+        FrameSampler, batch_format="pyarrow", batch_size=256,
+        concurrency=pool_size(4),
     )
 
 

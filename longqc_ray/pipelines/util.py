@@ -51,6 +51,24 @@ def read_parallelism(total_bytes: int) -> int:
     )
 
 
+def pool_size(want: int, reserve: int = 2) -> int:
+    """Actor-pool sizing that can never starve the upstream read: at
+    most ``want`` actors, but always leaving ``reserve`` CPUs for the
+    task-based stages feeding the pool. A fixed pool equal to the CPU
+    count deadlocks a small session (the pool holds every CPU, the
+    read task that would produce its input never schedules — the same
+    pathology as the 4-CPU warmup deadlock, BASELINE.md)."""
+    cpus = 32
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        pass
+    return max(1, min(want, cpus - reserve))
+
+
 def scale_cap(name: str, default: int) -> int:
     """Crossover-cap resolution for the repo-wide broadcast/driver vs
     shuffle/distributed discipline. Reads, in priority order:
