@@ -376,6 +376,25 @@ def main() -> None:
 
     ray.get([_preload_worker.remote() for _ in range(2 * cpus)])
 
+    # untimed derived-input builds: the clips/images/videos tables
+    # STAND IN for driver-provided input (multimodal.py docstring) — a
+    # real pipeline reads them from storage, so their one-time
+    # synthesis is fixture derivation, not engine work. Building them
+    # here keeps the first audio/image/video query from being charged
+    # a cache build on a cold box (the clips build was already warm on
+    # this box from the flagship fixture; images/videos are new in r5).
+    if not flagship_only:
+        from longqc_ray.pipelines.multimodal import (
+            _payload_table_cached,
+            _synth_image,
+            _synth_video,
+            clips_from_documents,
+        )
+
+        clips_from_documents(sf_dir)
+        _payload_table_cached(sf_dir, "images", _synth_image)
+        _payload_table_cached(sf_dir, "videos", _synth_video)
+
     scaling_protocol = "--scaling-protocol" in args
     flag = run_flagship(
         sf_dir, cpus,
