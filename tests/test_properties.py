@@ -197,3 +197,70 @@ def test_integrity_stats_matches_python_reference(xs):
         cur = cur + 1 if abs(v) < 1e-4 else 0
         best = max(best, cur)
     assert run == best
+
+
+@given(
+    st.integers(min_value=0, max_value=2**32),
+    st.floats(min_value=0.01, max_value=20.0, allow_nan=False),
+    st.integers(min_value=2304, max_value=20000),
+)
+@settings(max_examples=100, deadline=None)
+def test_robust_sig64_gain_invariance_property(seed, gain, n):
+    """Gain invariance of the near-dup signature holds for EVERY
+    signal and EVERY positive gain (sign of a band-energy delta cannot
+    flip under x -> g*x), not just the planted tones."""
+    from longqc_ray.kernels.audio import robust_sig64
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(n).astype(np.float32)
+    s = robust_sig64(x)
+    assert 0 <= s < 2**64
+    assert robust_sig64((np.float32(gain) * x).astype(np.float32)) == s
+
+
+@given(
+    st.integers(min_value=0, max_value=2**32),
+    st.integers(min_value=0, max_value=8000),
+    st.floats(min_value=0.001, max_value=0.3, allow_nan=False),
+    st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=150, deadline=None)
+def test_vad_bounds_agree_with_vad_segments_property(seed, n, floor, hang):
+    """vad_segment_bounds is the boundary-emitting TWIN of
+    vad_segments: segment counts agree on every input, bounds are
+    ordered, in-range, and separated by more than hang_frames of
+    silence."""
+    from longqc_ray.kernels.audio import vad_segment_bounds, vad_segments
+
+    rng = np.random.default_rng(seed)
+    x = np.zeros(n)
+    if n:
+        mask = rng.random(n) < rng.uniform(0.0, 0.6)
+        x[mask] = rng.standard_normal(int(mask.sum()))
+    b = vad_segment_bounds(x, rms_floor=floor, hang_frames=hang)
+    assert len(b) == vad_segments(x, rms_floor=floor, hang_frames=hang)[0]
+    if len(b):
+        assert (b[:, 0] < b[:, 1]).all()
+        assert b[0, 0] >= 0 and b[-1, 1] <= n
+        assert (b[1:, 0] > b[:-1, 1]).all()
+
+
+@given(
+    st.sampled_from([8000, 16000, 22050, 44100]),
+    st.sampled_from([128, 256, 512]),
+    st.integers(min_value=4, max_value=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_mel_filterbank_partition_property(sr, n_fft, n_mels):
+    """Between the first and last filter peaks, adjacent triangles sum
+    to exactly 1 for every (sr, n_fft, n_mels) — spectrum energy is
+    partitioned, never dropped or double-counted."""
+    from longqc_ray.kernels.audio import hz_to_mel, mel_filterbank, mel_to_hz
+
+    fb = mel_filterbank(sr, n_fft, n_mels)
+    assert fb.shape == (n_mels, n_fft // 2 + 1)
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    mpts = np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2.0), n_mels + 2)
+    pk = np.asarray(mel_to_hz(mpts))[1:-1]
+    interior = (freqs > pk[0]) & (freqs < pk[-1])
+    assert np.allclose(fb.sum(axis=0)[interior], 1.0)
