@@ -1041,6 +1041,11 @@ _AUDIO_LSH_N_PARTS = 64
 
 
 def audio_near_dup_lsh(sf_dir: str, hamming_max: int = 3) -> rd.Dataset:
+    """Derived-clips entry point for ``near_dup_lsh_over``."""
+    return near_dup_lsh_over(read_derived_clips(sf_dir), hamming_max)
+
+
+def near_dup_lsh_over(ds: rd.Dataset, hamming_max: int = 3) -> rd.Dataset:
     """NEAR-duplicate audio pairs — the fuzzy rung of the audio dedup
     ladder above ``audio_fingerprint_dedup`` (which only catches
     bit-identical fingerprints). Re-encoded, re-leveled, or mildly
@@ -1072,8 +1077,6 @@ def audio_near_dup_lsh(sf_dir: str, hamming_max: int = 3) -> rd.Dataset:
     from ..kernels.audio import band_energy_frames, decode_view, robust_sig64
     from ..kernels.text import fnv1a_64_arrow
     from .util import scale_cap
-
-    ds = read_derived_clips(sf_dir)
 
     def sig_stage(batch: pa.Table) -> pa.Table:
         ids, codecs, offs, data = _payload_arrays(batch)
