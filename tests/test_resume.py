@@ -114,3 +114,43 @@ def test_segment_export_interrupt_then_resume_equals_fresh(clips_dir, tmp_path_f
     # third run is a no-op
     r3 = run_segments_resumable(clips_dir, killed, shards_per_unit=2)
     assert r3 == {"units_run": 0, "units_skipped": 2, "segments_out": 0}
+
+
+def test_corrupt_shard_fails_loudly_and_resume_redoes_only_it(clips_dir, tmp_path_factory):
+    """A corrupt input shard must abort ITS unit with an exception —
+    no manifest row, no published partition — while units already
+    manifested stay done; after the shard is repaired, resume runs
+    only the failed unit and the final output equals a fresh run."""
+    import shutil
+
+    from longqc_ray.sources.lineage import run_segments_resumable
+
+    work = str(tmp_path_factory.mktemp("corrupt_in"))
+    out = str(tmp_path_factory.mktemp("corrupt_out"))
+    shards = sorted(glob.glob(os.path.join(clips_dir, "*.parquet")))
+    for s in shards:
+        shutil.copy(s, work)
+    names = sorted(os.listdir(work))
+    # corrupt a shard of the SECOND unit (shards_per_unit=2)
+    victim = os.path.join(work, names[2])
+    with open(victim, "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        run_segments_resumable(work, out, shards_per_unit=2)
+    done = completed_units(out)
+    assert "unit-00001" not in done  # failed unit left no manifest row
+    assert not os.path.exists(os.path.join(out, "parts", "unit-00001"))
+    # repair and resume: only the failed/remaining units run
+    shutil.copy(os.path.join(clips_dir, names[2]), victim)
+    r = run_segments_resumable(work, out, shards_per_unit=2)
+    assert r["units_skipped"] == len(done) >= 1
+    # equals a fresh full run
+    fresh = str(tmp_path_factory.mktemp("corrupt_fresh"))
+    run_segments_resumable(clips_dir, fresh, shards_per_unit=2)
+
+    def read_all(o):
+        fs = sorted(glob.glob(os.path.join(o, "parts", "*", "*.parquet")))
+        df = pd.concat([pq.read_table(f).to_pandas() for f in fs], ignore_index=True)
+        return df.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(read_all(out), read_all(fresh))
