@@ -533,7 +533,16 @@ def robust_sig64(
     ``min_frames = t_windows`` (this function returns 0, which is also
     a legal signature — use frame counts, not the 0 value, to detect
     it)."""
-    e = band_energy_frames(pcm, frame_len, n_bands)
+    return robust_sig64_from_energies(
+        band_energy_frames(pcm, frame_len, n_bands), t_windows
+    )
+
+
+def robust_sig64_from_energies(e: np.ndarray, t_windows: int = 9) -> int:
+    """``robust_sig64`` from PRECOMPUTED (n_frames, n_bands) band
+    energies — the signature stage computes ``band_energy_frames``
+    once per clip for its signability gate and must not pay the rFFT
+    a second time (it dominates per-clip cost)."""
     if e.shape[0] < t_windows:
         return 0
     edges = np.linspace(0, e.shape[0], t_windows + 1).astype(np.int64)

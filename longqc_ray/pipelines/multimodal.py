@@ -1074,9 +1074,22 @@ def near_dup_lsh_over(ds: rd.Dataset, hamming_max: int = 3) -> rd.Dataset:
     excluded (gated on frame COUNT, not the 0 sentinel)."""
     import warnings
 
-    from ..kernels.audio import band_energy_frames, decode_view, robust_sig64
+    from ..kernels.audio import (
+        band_energy_frames,
+        decode_view,
+        robust_sig64_from_energies,
+    )
     from ..kernels.text import fnv1a_64_arrow
     from .util import scale_cap
+
+    # 4x16-bit pigeonhole bands guarantee candidates only for pairs
+    # within Hamming <= AUDIO_LSH_BANDS-1; a larger threshold would
+    # SILENTLY miss pairs that differ in all four bands
+    if hamming_max > AUDIO_LSH_BANDS - 1:
+        raise ValueError(
+            f"hamming_max={hamming_max} exceeds the banded-LSH recall "
+            f"guarantee (<= {AUDIO_LSH_BANDS - 1}); add bands or lower it"
+        )
 
     def sig_stage(batch: pa.Table) -> pa.Table:
         ids, codecs, offs, data = _payload_arrays(batch)
@@ -1086,11 +1099,13 @@ def near_dup_lsh_over(ds: rd.Dataset, hamming_max: int = 3) -> rd.Dataset:
             pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
             if pcm is None:
                 continue
-            # signability gate = frame count (robust_sig64 docstring)
-            if band_energy_frames(pcm).shape[0] < 9:
+            # ONE rFFT per clip: the gate and the signature share the
+            # band-energy matrix (the rFFT dominates per-clip cost)
+            e = band_energy_frames(pcm)
+            if e.shape[0] < 9:  # signability gate (robust_sig64 docstring)
                 continue
             out_id.append(ids[i])
-            out_sig.append(robust_sig64(pcm))
+            out_sig.append(robust_sig64_from_energies(e))
         sig = np.array(out_sig, dtype=np.uint64).view(np.int64)
         return pa.table({
             "clip_id": pa.array(out_id, pa.string()),
@@ -1108,8 +1123,15 @@ def near_dup_lsh_over(ds: rd.Dataset, hamming_max: int = 3) -> rd.Dataset:
         key = (b[None, :] << np.uint64(16)) | bv
         with np.errstate(over="ignore"):
             part = (key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 6)
+        # clip_id must be EXPLICITLY typed: on an all-unsignable batch
+        # (n == 0) pa.array of an empty object array infers type null,
+        # and the groupby shuffle cannot unify a null-typed block with
+        # the string-typed blocks of non-empty batches
         return pa.table({
-            "clip_id": pa.array(np.repeat(np.asarray(ids, dtype=object), AUDIO_LSH_BANDS)),
+            "clip_id": pa.array(
+                np.repeat(np.asarray(ids, dtype=object), AUDIO_LSH_BANDS).tolist(),
+                pa.string(),
+            ),
             "key": pa.array(key.reshape(-1).view(np.int64), pa.int64()),
             "sig": pa.array(np.repeat(sig, AUDIO_LSH_BANDS).view(np.int64), pa.int64()),
             "__part": pa.array(part.reshape(-1).astype(np.int64), pa.int64()),
@@ -1232,8 +1254,10 @@ def segment_clips_over(
     Shape at scale: ONE streaming map_batches, zero-copy payload
     views, fan-out is data-dependent but each output row is at most
     its parent's bytes (payload mode) or ~50 B (profile mode); no
-    shuffle, no driver materialization. Clips with unknown codec or
-    sr<=0 emit zero segments."""
+    shuffle, no driver materialization. Clips with an undecodable
+    codec or sr<=0 emit zero segments; container codecs (wav/au/aiff)
+    profile but are skipped in payload mode (a byte slice of a
+    container is not a valid container)."""
     from ..kernels.audio import decode_view, vad_segment_bounds
 
     bps = {"mulaw": 1, "pcm_s16le": 2}
@@ -1248,8 +1272,12 @@ def segment_clips_over(
         o_ms: list[float] = []
         o_pl: list[bytes] = []
         for i in range(len(ids)):
+            # byte-slicing needs a FIXED-RATE headerless codec (bps
+            # map); profile mode only needs a decodable payload, so
+            # container codecs (wav/au/aiff — decode_view handles
+            # them) still profile, they just can't emit sliced payloads
             nbytes = bps.get(codecs[i])
-            if nbytes is None or srs[i] <= 0:
+            if srs[i] <= 0 or (emit_payload and nbytes is None):
                 continue
             raw_b = data[offs[i] : offs[i + 1]]
             pcm = decode_view(raw_b, codecs[i])

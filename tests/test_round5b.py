@@ -269,3 +269,73 @@ def test_audio_dup_verdicts_e2e_and_engine_equality():
     finally:
         del os.environ["LONGQC_CAP_AUDIO_CC_DRIVER"]
     assert v.equals(v2)
+
+
+# ------------------------------------- round-5 self-review fix pins
+
+
+def _clips_table(rows):
+    """(clip_id, payload_bytes, codec, sr) rows -> clips Arrow table."""
+    import pyarrow as pa
+
+    return pa.table({
+        "clip_id": pa.array([r[0] for r in rows], pa.string()),
+        "bytes": pa.array([r[1] for r in rows], pa.binary()),
+        "codec": pa.array([r[2] for r in rows], pa.string()),
+        "sr_hz": pa.array([r[3] for r in rows], pa.int32()),
+    })
+
+
+def test_near_dup_lsh_hamming_guard():
+    """hamming_max beyond the banded recall guarantee must raise, not
+    silently miss pairs differing in all bands."""
+    import ray.data as rd
+
+    from longqc_ray.pipelines.multimodal import AUDIO_LSH_BANDS, near_dup_lsh_over
+
+    ds = rd.from_arrow(_clips_table([("a", b"\x00\x00" * 4000, "pcm_s16le", 16000)]))
+    with pytest.raises(ValueError, match="recall"):
+        near_dup_lsh_over(ds, hamming_max=AUDIO_LSH_BANDS)
+
+
+def test_near_dup_lsh_all_unsignable_block_schema():
+    """A block whose every clip is unsignable (< 9 frames) must emit a
+    STRING-typed empty clip_id column, unifiable with signable blocks
+    in the groupby shuffle (regression: inferred null type)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from longqc_ray.kernels.audio import pcm16_encode
+    from longqc_ray.pipelines.multimodal import near_dup_lsh_over
+
+    sig = pcm16_encode(_tone(440, secs=1.0))
+    short = pcm16_encode(_tone(440, secs=0.01))  # 160 samples < 9 frames
+    t_short = _clips_table([(f"s{i}", short, "pcm_s16le", 16000) for i in range(4)])
+    t_long = _clips_table([("dup-a", sig, "pcm_s16le", 16000),
+                           ("dup-b", sig, "pcm_s16le", 16000)])
+    # two separate blocks: one all-unsignable, one signable
+    ds = rd.from_arrow([t_short, t_long])
+    p = near_dup_lsh_over(ds).to_pandas()
+    assert set(zip(p["a"], p["b"])) == {("dup-a", "dup-b")}
+    assert (p["hamming"] == 0).all()
+
+
+def test_segment_profile_mode_handles_container_codecs():
+    """Container clips (wav) segment fine in profile mode — only
+    payload mode needs the fixed-rate headerless byte-slice codecs."""
+    import ray.data as rd
+
+    from longqc_ray.kernels.containers import wav_encode
+    from longqc_ray.pipelines.multimodal import segment_clips_over
+
+    sr = 16000
+    x = np.concatenate([
+        np.zeros(4000, np.float32), _tone(440, secs=0.5), np.zeros(4000, np.float32)
+    ])
+    wav = wav_encode(x, sr)
+    ds = rd.from_arrow(_clips_table([("w0", wav, "wav", sr)]))
+    prof = segment_clips_over(ds).to_pandas()
+    assert len(prof) >= 1 and (prof["clip_id"] == "w0").all()
+    # payload mode cannot byte-slice a container: zero rows, no crash
+    pay = segment_clips_over(ds, emit_payload=True).to_pandas()
+    assert len(pay) == 0
