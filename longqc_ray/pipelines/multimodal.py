@@ -25,7 +25,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..config import DEFAULT_CONFIG
@@ -108,22 +107,14 @@ def clips_from_documents(sf_dir: str, cache_root: str | None = None) -> str:
     Root resolution + the multi-node shared-storage contract live in
     ``util.scratch_root`` (env LONGQC_DERIVED_ROOT /
     LONGQC_SCRATCH_ROOT; the /tmp default is single-node only — every
-    reader of the cache assumes it can see this directory). Publish is
-    build-into-tmp + marker-last + rename, same discipline as the ANN
-    layouts: the ``_DONE`` marker is the commit point, a marker-less
-    directory is a crashed publish and gets rebuilt."""
-    from .util import scratch_root
+    reader of the cache assumes it can see this directory); the
+    publish protocol (build-into-tmp, ``_DONE`` marker last, rename,
+    race/corpse/failure semantics) is ``util.publish_cached_dir``."""
+    from .util import ensure_nonempty_parquet, publish_cached_dir, scratch_root
 
     if cache_root is None:
         cache_root = scratch_root("DERIVED", "/tmp/longqc_derived")
     key = hashlib.md5(f"{sf_dir}:v4".encode()).hexdigest()[:12]  # v4: planted payload dups
-    out_dir = os.path.join(cache_root, f"clips-{key}")
-    marker = os.path.join(out_dir, "_DONE")
-    if os.path.exists(marker):
-        return out_dir
-    os.makedirs(cache_root, exist_ok=True)
-    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_clips(batch: pa.Table) -> pa.Table:
         rows = [
@@ -136,29 +127,12 @@ def clips_from_documents(sf_dir: str, cache_root: str | None = None) -> str:
             schema=CLIPS_SCHEMA,
         )
 
-    ds = docs.map_batches(to_clips, batch_format="pyarrow", batch_size=256)
-    ds.write_parquet(tmp_dir)
-    # empty documents: write_parquet of zero rows creates NO files (and
-    # possibly no directory), so publish one typed-empty clips file —
-    # readers then see the schema instead of a missing/blank cache dir
-    os.makedirs(tmp_dir, exist_ok=True)
-    if not any(f.endswith(".parquet") for f in os.listdir(tmp_dir)):
-        import pyarrow.parquet as pq
+    def build(tmp_dir: str) -> None:
+        docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+        docs.map_batches(to_clips, batch_format="pyarrow", batch_size=256).write_parquet(tmp_dir)
+        ensure_nonempty_parquet(tmp_dir, CLIPS_SCHEMA)
 
-        pq.write_table(
-            CLIPS_SCHEMA.empty_table(), os.path.join(tmp_dir, "part-empty.parquet")
-        )
-    with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
-        f.write("ok\n")
-    import shutil
-
-    if os.path.isdir(out_dir) and not os.path.exists(marker):
-        shutil.rmtree(out_dir, ignore_errors=True)  # crashed publish
-    try:
-        os.rename(tmp_dir, out_dir)
-    except OSError:  # another builder won the race
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-    return out_dir
+    return publish_cached_dir(os.path.join(cache_root, f"clips-{key}"), build)
 
 
 def read_derived_clips(sf_dir: str) -> rd.Dataset:
@@ -354,22 +328,14 @@ def _synth_image(doc_id: int) -> bytes:
 def _payload_table_cached(sf_dir: str, kind: str, synth_fn, version: str = "v1") -> str:
     """Materialize (once, cached) a derived (doc_id, bytes) payload
     table under the shared DERIVED root — the image/video twin of
-    ``clips_from_documents`` (same publish discipline: build into tmp,
-    ``_DONE`` marker last, rename; a marker-less dir is a crashed
-    publish and rebuilds). Before this cache the featurizer queries
-    re-SYNTHESIZED every payload on every run, so the bench measured
-    fixture generation, not the decode/sample operator."""
-    from .util import scratch_root
+    ``clips_from_documents`` (publish protocol:
+    ``util.publish_cached_dir``). Before this cache the featurizer
+    queries re-SYNTHESIZED every payload on every run, so the bench
+    measured fixture generation, not the decode/sample operator."""
+    from .util import ensure_nonempty_parquet, publish_cached_dir, scratch_root
 
     cache_root = scratch_root("DERIVED", "/tmp/longqc_derived")
     key = hashlib.md5(f"{sf_dir}:{kind}:{version}".encode()).hexdigest()[:12]
-    out_dir = os.path.join(cache_root, f"{kind}-{key}")
-    marker = os.path.join(out_dir, "_DONE")
-    if os.path.exists(marker):
-        return out_dir
-    os.makedirs(cache_root, exist_ok=True)
-    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
-    docs = table(sf_dir, "documents", columns=["doc_id"])
 
     def attach(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -378,22 +344,14 @@ def _payload_table_cached(sf_dir: str, kind: str, synth_fn, version: str = "v1")
             "bytes": pa.array([synth_fn(int(i)) for i in ids], pa.binary()),
         })
 
-    docs.map_batches(attach, batch_format="pyarrow", batch_size=256).write_parquet(tmp_dir)
-    os.makedirs(tmp_dir, exist_ok=True)
-    if not any(f.endswith(".parquet") for f in os.listdir(tmp_dir)):
-        schema = pa.schema([("doc_id", pa.int64()), ("bytes", pa.binary())])
-        pq.write_table(schema.empty_table(), os.path.join(tmp_dir, "part-empty.parquet"))
-    with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
-        f.write("ok\n")
-    import shutil
+    def build(tmp_dir: str) -> None:
+        docs = table(sf_dir, "documents", columns=["doc_id"])
+        docs.map_batches(attach, batch_format="pyarrow", batch_size=256).write_parquet(tmp_dir)
+        ensure_nonempty_parquet(
+            tmp_dir, pa.schema([("doc_id", pa.int64()), ("bytes", pa.binary())])
+        )
 
-    if os.path.isdir(out_dir) and not os.path.exists(marker):
-        shutil.rmtree(out_dir, ignore_errors=True)
-    try:
-        os.rename(tmp_dir, out_dir)
-    except OSError:  # another builder won the race
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-    return out_dir
+    return publish_cached_dir(os.path.join(cache_root, f"{kind}-{key}"), build)
 
 
 def _read_payload_table(sf_dir: str, kind: str, synth_fn) -> rd.Dataset:

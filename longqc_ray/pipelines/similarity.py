@@ -172,31 +172,19 @@ def _ensure_layout(sf_dir: str, tag: str, build) -> str:
     ``_LAYOUT_OK`` marker is written LAST (inside the temp dir, before
     the rename), so completeness is the marker — a directory without
     it (crashed publish on storage without atomic rename) is a corpse
-    and gets rebuilt, never trusted. The rename is atomic on POSIX
-    shared filesystems; a loser of the rename race just uses the
-    winner's layout. Root resolution (and the multi-node shared-
-    storage contract) lives in ``util.scratch_root``."""
+    and gets rebuilt, never trusted. Shared protocol (race / corpse /
+    rename-failure semantics): ``util.publish_cached_dir``; root
+    resolution and the multi-node shared-storage contract:
+    ``util.scratch_root``."""
     import os
-    import shutil
 
-    from .util import scratch_root
+    from .util import publish_cached_dir, scratch_root
 
     root = scratch_root("ANN_LAYOUT", _LAYOUT_ROOT_DEFAULT)
     final = os.path.join(root, _emb_fingerprint(sf_dir, tag))
-    if _layout_complete(final):
-        return final
-    os.makedirs(root, exist_ok=True)
-    tmp = f"{final}.tmp.{os.getpid()}"
-    build(tmp)
-    with open(os.path.join(tmp, _LAYOUT_MARKER), "w") as f:
-        f.write(f"{tag}\n")
-    if os.path.isdir(final) and not _layout_complete(final):
-        shutil.rmtree(final, ignore_errors=True)
-    try:
-        os.rename(tmp, final)
-    except OSError:  # another builder won the race
-        shutil.rmtree(tmp, ignore_errors=True)
-    return final
+    return publish_cached_dir(
+        final, build, marker_name=_LAYOUT_MARKER, marker_text=f"{tag}\n"
+    )
 
 
 def _lsh_layout(sf_dir: str, d: int) -> str:

@@ -112,6 +112,59 @@ def scratch_root(kind: str, default: str) -> str:
     return default
 
 
+def publish_cached_dir(final: str, build, marker_name: str = "_DONE",
+                       marker_text: str = "ok\n") -> str:
+    """The ONE build-once/publish protocol for every shared cached
+    artifact (ANN hive layouts, derived-clips cache, image/video
+    payload caches): ``build(tmp_dir)`` writes the artifact into a
+    temp sibling of ``final``; the marker is written LAST (inside the
+    temp dir, before the rename), so completeness IS the marker — a
+    directory without it is a crashed publish, never trusted, and gets
+    rebuilt. The rename is atomic on POSIX shared filesystems (see
+    ``scratch_root`` for the multi-node contract and the object-store
+    caveat).
+
+    Rename-failure semantics: a failed ``os.rename`` is only "lost the
+    race to another builder" if the winner's marker is now visible —
+    then our temp build is redundant and is removed. Any OTHER rename
+    failure (permissions, EXDEV after a mid-run root change) re-raises
+    with the temp dir LEFT IN PLACE, so a genuine storage fault fails
+    loudly at the publish site instead of as a FileNotFoundError in
+    some later reader, and the built data survives for diagnosis."""
+    import shutil
+
+    marker = os.path.join(final, marker_name)
+    if os.path.exists(marker):
+        return final
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    build(tmp)
+    with open(os.path.join(tmp, marker_name), "w") as f:
+        f.write(marker_text)
+    if os.path.isdir(final) and not os.path.exists(marker):
+        shutil.rmtree(final, ignore_errors=True)  # crashed publish corpse
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if os.path.exists(marker):  # another builder won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return final
+
+
+def ensure_nonempty_parquet(tmp_dir: str, schema) -> None:
+    """``write_parquet`` of zero rows creates NO files (possibly no
+    directory); publish one typed-empty file so cache readers see the
+    schema instead of a missing/blank directory."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp_dir)):
+        pq.write_table(schema.empty_table(),
+                       os.path.join(tmp_dir, "part-empty.parquet"))
+
+
 def _path_bytes(path: str) -> int:
     if os.path.isdir(path):
         import glob

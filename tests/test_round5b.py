@@ -339,3 +339,66 @@ def test_segment_profile_mode_handles_container_codecs():
     # payload mode cannot byte-slice a container: zero rows, no crash
     pay = segment_clips_over(ds, emit_payload=True).to_pandas()
     assert len(pay) == 0
+
+
+def test_publish_cached_dir_semantics(tmp_path):
+    """The shared publish protocol: marker short-circuit, corpse
+    rebuild, lost-race cleanup, and LOUD re-raise (tmp preserved) on a
+    genuine rename failure."""
+    import os
+
+    from longqc_ray.pipelines.util import publish_cached_dir
+
+    final = str(tmp_path / "root" / "art")
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "data.txt"), "w") as f:
+            f.write("x")
+
+    assert publish_cached_dir(final, build) == final
+    assert os.path.exists(os.path.join(final, "_DONE")) and len(calls) == 1
+    # marker present -> no rebuild
+    assert publish_cached_dir(final, build) == final and len(calls) == 1
+    # marker-less corpse -> rebuilt
+    os.remove(os.path.join(final, "_DONE"))
+    assert publish_cached_dir(final, build) == final and len(calls) == 2
+    # lost race: rename fails but winner's marker is visible -> tmp
+    # cleaned up, winner returned, no raise
+    import longqc_ray.pipelines.util as u
+
+    real_rename = os.rename
+
+    def racing_rename(a, b):
+        build(final)
+        with open(os.path.join(final, "_DONE"), "w") as f:
+            f.write("winner\n")
+        raise OSError("dir exists")
+
+    os.remove(os.path.join(final, "_DONE"))
+    u.os.rename = racing_rename
+    try:
+        assert publish_cached_dir(final, build) == final
+    finally:
+        u.os.rename = real_rename
+    assert open(os.path.join(final, "_DONE")).read() == "winner\n"
+    assert not any(p.name.startswith("art.tmp") for p in (tmp_path / "root").iterdir())
+    # genuine failure (no winner marker) -> re-raise, tmp preserved
+    import shutil
+
+    shutil.rmtree(final)
+
+    def broken_rename(a, b):
+        raise OSError("permission denied")
+
+    u.os.rename = broken_rename
+    try:
+        import pytest as _pt
+
+        with _pt.raises(OSError, match="permission"):
+            publish_cached_dir(final, build)
+    finally:
+        u.os.rename = real_rename
+    assert any(p.name.startswith("art.tmp") for p in (tmp_path / "root").iterdir())
