@@ -63,15 +63,96 @@ def manifest_path(out_dir: str) -> str:
 
 
 def completed_units(out_dir: str) -> set[str]:
+    return set(completed_unit_files(out_dir))
+
+
+def completed_unit_files(out_dir: str) -> dict[str, list[str]]:
+    """unit -> recorded shard basenames, from the manifest. The file
+    list is the unit's identity: resume validates it so a run with a
+    different ``shards_per_unit`` (or a changed shard list) cannot
+    silently skip a unit that covers DIFFERENT input."""
     path = manifest_path(out_dir)
-    done: set[str] = set()
+    done: dict[str, list[str]] = {}
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
                 line = line.strip()
                 if line:
-                    done.add(json.loads(line)["unit"])
+                    rec = json.loads(line)
+                    done[rec["unit"]] = rec["files"]
     return done
+
+
+def _resolve_units(input_dir: str, shards_per_unit: int) -> list[tuple[str, list[str]]]:
+    shards = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not shards:
+        raise FileNotFoundError(f"no parquet shards under {input_dir}")
+    return [
+        (f"unit-{u:05d}", shards[u * shards_per_unit : (u + 1) * shards_per_unit])
+        for u in range((len(shards) + shards_per_unit - 1) // shards_per_unit)
+    ]
+
+
+def run_units_resumable(
+    input_dir: str,
+    out_dir: str,
+    process_unit,
+    shards_per_unit: int = 4,
+    max_units: int | None = None,
+    summary_key: str = "rows_out",
+) -> dict:
+    """The shared resumable-export driver — unit partitioning, manifest
+    skip/validate, tmp-write + rename publish, manifest append — with
+    the per-unit pipeline injected as ``process_unit(files, tmp_dir)
+    -> manifest fields`` (must contain ``summary_key``; a raise inside
+    it aborts the run BEFORE any manifest row, so a corrupt shard is
+    redone on resume — pinned in test_resume).
+
+    Resume safety: a completed unit's recorded shard basenames must
+    equal the grouping this run derives; a mismatch (different
+    ``shards_per_unit``, renamed/added shards) raises instead of
+    silently skipping a unit that covers different input.
+
+    Returns {units_run, units_skipped, <summary_key>}."""
+    units = _resolve_units(input_dir, shards_per_unit)
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_unit_files(out_dir)
+
+    ran = 0
+    skipped = 0
+    total = 0
+    for unit, files in units:
+        expected = [os.path.basename(p) for p in files]
+        if unit in done:
+            if done[unit] != expected:
+                raise ValueError(
+                    f"manifest records {unit} over shards {done[unit]} but this "
+                    f"run groups it as {expected} — resume with the same "
+                    f"shards_per_unit and shard list as the original run"
+                )
+            skipped += 1
+            continue
+        if max_units is not None and ran >= max_units:
+            break
+        t0 = time.time()
+        tmp = os.path.join(out_dir, f".tmp-{unit}")
+        final = os.path.join(out_dir, "parts", unit)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        fields = process_unit(files, tmp)
+        os.makedirs(tmp, exist_ok=True)  # 0-row unit: empty dir is legal
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        with open(manifest_path(out_dir), "a") as f:
+            f.write(json.dumps(
+                {"unit": unit, "files": expected, **fields,
+                 "wall_s": round(time.time() - t0, 3)}
+            ) + "\n")
+        ran += 1
+        total += fields[summary_key]
+    return {"units_run": ran, "units_skipped": skipped, summary_key: total}
 
 
 def run_filter_resumable(
@@ -93,27 +174,11 @@ def run_filter_resumable(
     """
     from ..state.scorers import put_model_refs
 
-    shards = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
-    if not shards:
-        raise FileNotFoundError(f"no parquet shards under {input_dir}")
-    units = [
-        (f"unit-{u:05d}", shards[u * shards_per_unit : (u + 1) * shards_per_unit])
-        for u in range((len(shards) + shards_per_unit - 1) // shards_per_unit)
-    ]
-    os.makedirs(out_dir, exist_ok=True)
-    done = completed_units(out_dir)
     refs = model_refs if model_refs is not None else put_model_refs()
 
-    ran = 0
-    skipped = 0
-    rows_out_total = 0
-    for unit, files in units:
-        if unit in done:
-            skipped += 1
-            continue
-        if max_units is not None and ran >= max_units:
-            break
-        t0 = time.time()
+    def process_unit(files: list[str], tmp: str) -> dict:
+        import pyarrow.parquet as pq
+
         from ..pipelines.util import read_wide_parquet
 
         ds = read_wide_parquet(files)
@@ -128,19 +193,15 @@ def run_filter_resumable(
         )
         kept = dedup_first(kept)
         kept = kept.map_batches(_content_hash_column, batch_format="pyarrow")
-
-        tmp = os.path.join(out_dir, f".tmp-{unit}")
-        final = os.path.join(out_dir, "parts", unit)
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
         kept.write_parquet(tmp)
 
         # small driver-side reductions for the manifest (the written
         # unit is the post-filter minority — cheap to re-read)
-        import pyarrow.parquet as pq
-
-        written = pq.read_table(tmp, columns=["row_hash"])
-        rows_out = written.num_rows
+        written = (
+            pq.read_table(tmp, columns=["row_hash"])
+            if glob.glob(os.path.join(tmp, "*.parquet"))
+            else pa.table({"row_hash": pa.array([], pa.uint64())})
+        )
         xor_hash = int(np.bitwise_xor.reduce(
             written.column("row_hash").to_numpy().astype(np.uint64), initial=np.uint64(0)
         ))
@@ -151,30 +212,19 @@ def run_filter_resumable(
             for r, c in zip(reasons["drop_reason"], reasons["count()"])
             if r in DROP_REASONS
         }
+        return {
+            "rows_in": rows_in,
+            "rows_out": written.num_rows,
+            "drop_reasons": hist,
+            "content_hash_xor": xor_hash,
+            "hash_scheme": HASH_SCHEME,
+        }
 
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
-        with open(manifest_path(out_dir), "a") as f:
-            f.write(
-                json.dumps(
-                    {
-                        "unit": unit,
-                        "files": [os.path.basename(p) for p in files],
-                        "rows_in": rows_in,
-                        "rows_out": rows_out,
-                        "drop_reasons": hist,
-                        "content_hash_xor": xor_hash,
-                        "hash_scheme": HASH_SCHEME,
-                        "wall_s": round(time.time() - t0, 3),
-                    }
-                )
-                + "\n"
-            )
-        ran += 1
-        rows_out_total += rows_out
-    return {"units_run": ran, "units_skipped": skipped, "rows_out": rows_out_total}
+    return run_units_resumable(
+        input_dir, out_dir, process_unit,
+        shards_per_unit=shards_per_unit, max_units=max_units,
+        summary_key="rows_out",
+    )
 
 
 SEG_HASH_SCHEME = "seg-fnv1a64-v1"
@@ -224,43 +274,19 @@ def run_segments_resumable(
     Per unit: read the shard group → ``segment_clips_over(...,
     emit_payload=True)`` (one streaming map_batches, byte-slice
     payloads, no shuffle) → hash column → write. The manifest
-    reductions re-read only the NARROW columns of the written unit."""
+    reductions re-read only the NARROW columns of the written unit.
+    Unit partitioning / skip / publish: ``run_units_resumable``."""
     from ..pipelines.multimodal import segment_clips_over
     from ..pipelines.util import read_wide_parquet
 
-    shards = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
-    if not shards:
-        raise FileNotFoundError(f"no parquet shards under {input_dir}")
-    units = [
-        (f"unit-{u:05d}", shards[u * shards_per_unit : (u + 1) * shards_per_unit])
-        for u in range((len(shards) + shards_per_unit - 1) // shards_per_unit)
-    ]
-    os.makedirs(out_dir, exist_ok=True)
-    done = completed_units(out_dir)
+    def process_unit(files: list[str], tmp: str) -> dict:
+        import pyarrow.parquet as pq
 
-    ran = 0
-    skipped = 0
-    segs_total = 0
-    for unit, files in units:
-        if unit in done:
-            skipped += 1
-            continue
-        if max_units is not None and ran >= max_units:
-            break
-        t0 = time.time()
         ds = read_wide_parquet(files)
         clips_in = ds.count()
         segs = segment_clips_over(ds, emit_payload=True, **seg_kwargs)
         segs = segs.map_batches(_segment_hash_column, batch_format="pyarrow")
-
-        tmp = os.path.join(out_dir, f".tmp-{unit}")
-        final = os.path.join(out_dir, "parts", unit)
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
         segs.write_parquet(tmp)
-        os.makedirs(tmp, exist_ok=True)  # 0-segment unit: empty dir is legal
-
-        import pyarrow.parquet as pq
 
         narrow = (
             pq.read_table(tmp, columns=["row_hash", "seg_dur_ms"])
@@ -273,22 +299,16 @@ def run_segments_resumable(
             narrow.column("row_hash").to_numpy().astype(np.uint64), initial=np.uint64(0)
         ))
         total_ms = float(np.sum(narrow.column("seg_dur_ms").to_numpy())) if segs_out else 0.0
+        return {
+            "clips_in": clips_in,
+            "segments_out": segs_out,
+            "total_segment_ms": round(total_ms, 3),
+            "content_hash_xor": xor_hash,
+            "hash_scheme": SEG_HASH_SCHEME,
+        }
 
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
-        with open(manifest_path(out_dir), "a") as f:
-            f.write(json.dumps({
-                "unit": unit,
-                "files": [os.path.basename(p) for p in files],
-                "clips_in": clips_in,
-                "segments_out": segs_out,
-                "total_segment_ms": round(total_ms, 3),
-                "content_hash_xor": xor_hash,
-                "hash_scheme": SEG_HASH_SCHEME,
-                "wall_s": round(time.time() - t0, 3),
-            }) + "\n")
-        ran += 1
-        segs_total += segs_out
-    return {"units_run": ran, "units_skipped": skipped, "segments_out": segs_total}
+    return run_units_resumable(
+        input_dir, out_dir, process_unit,
+        shards_per_unit=shards_per_unit, max_units=max_units,
+        summary_key="segments_out",
+    )

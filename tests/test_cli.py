@@ -59,23 +59,30 @@ def test_address_resolution(monkeypatch):
     assert _resolve_address(None) == "local"
 
 
-def test_segment_subcommand_wiring():
-    """`segment` parses its flags and routes to cmd_segment (the e2e
-    path — manifest, resume — is pinned in test_resume.py)."""
-    import argparse
-
-    from longqc_ray.__main__ import cmd_segment, main
+def test_segment_subcommand_wiring(monkeypatch):
+    """`segment` parses its flags THROUGH main's real parser and routes
+    to cmd_segment with the parsed values (the e2e path — manifest,
+    resume — is pinned in test_resume.py)."""
+    import longqc_ray.__main__ as cli
 
     # missing required args → argparse SystemExit, not a crash
     with pytest.raises(SystemExit):
-        main(["segment"])
-    # parser wires the handler
-    import longqc_ray.__main__ as cli
+        cli.main(["segment"])
 
-    p = argparse.ArgumentParser(prog="longqc_ray")
-    # re-parse through main's parser by introspection: build args the
-    # same way and confirm defaults land
-    ns = argparse.Namespace(input="/x", out="/y", shards_per_unit=4,
-                            min_dur_ms=100, cpus=None, address=None,
-                            fn=cmd_segment)
-    assert ns.fn is cli.cmd_segment
+    seen = {}
+
+    def fake_cmd(args):
+        seen.update(vars(args))
+        return 0
+
+    # set_defaults(fn=cmd_segment) resolves the module global at
+    # main() call time, so patching the module routes the dispatch
+    monkeypatch.setattr(cli, "cmd_segment", fake_cmd)
+    rc = cli.main([
+        "segment", "--input", "/x", "--out", "/y",
+        "--shards-per-unit", "7", "--min-dur-ms", "250",
+    ])
+    assert rc == 0
+    assert seen["input"] == "/x" and seen["out"] == "/y"
+    assert seen["shards_per_unit"] == 7 and seen["min_dur_ms"] == 250
+    assert seen["cpus"] is None and seen["address"] is None

@@ -154,3 +154,18 @@ def test_corrupt_shard_fails_loudly_and_resume_redoes_only_it(clips_dir, tmp_pat
         return df.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(read_all(out), read_all(fresh))
+
+
+def test_resume_rejects_changed_unit_grouping(clips_dir, tmp_path_factory):
+    """A resume with a different shards_per_unit would silently skip
+    units covering DIFFERENT shards — the manifest's recorded file
+    list is the unit's identity and a mismatch must raise."""
+    import pytest
+
+    out = str(tmp_path_factory.mktemp("regroup"))
+    run_filter_resumable(clips_dir, out, shards_per_unit=1, max_units=1)
+    with pytest.raises(ValueError, match="shards_per_unit"):
+        run_filter_resumable(clips_dir, out, shards_per_unit=2)
+    # same grouping still resumes cleanly
+    s = run_filter_resumable(clips_dir, out, shards_per_unit=1)
+    assert s["units_skipped"] == 1 and s["units_run"] >= 1
