@@ -191,10 +191,15 @@ def test_lineage_hash_scheme_versioned(tmp_path, ray_session, tiny_fixture_dir):
     # regardless of which hash kernel stamped it
     out2 = str(tmp_path / "out2")
     os.makedirs(out2)
+    import glob as _glob
+
+    first_shard = os.path.basename(
+        sorted(_glob.glob(os.path.join(clips, "*.parquet")))[0]
+    )
     with open(manifest_path(out2), "a") as f:
         f.write(json.dumps({
-            "unit": "unit-00000", "files": [], "rows_in": 0, "rows_out": 0,
-            "drop_reasons": {}, "content_hash_xor": 123,
+            "unit": "unit-00000", "files": [first_shard], "rows_in": 0,
+            "rows_out": 0, "drop_reasons": {}, "content_hash_xor": 123,
             "hash_scheme": "crc32x2-v1", "wall_s": 0.0,
         }) + "\n")
     assert "unit-00000" in completed_units(out2)
