@@ -160,12 +160,6 @@ def _emb_fingerprint(sf_dir: str, tag: str) -> str:
     return hashlib.md5(key.encode()).hexdigest()[:16]
 
 
-def _layout_complete(d: str) -> bool:
-    import os
-
-    return os.path.exists(os.path.join(d, _LAYOUT_MARKER))
-
-
 def _ensure_layout(sf_dir: str, tag: str, build) -> str:
     """Idempotent cached layout build: ``build(tmp_dir)`` writes the
     partitioned parquet (+ any sidecar files) into a temp dir; a

@@ -132,12 +132,20 @@ def publish_cached_dir(final: str, build, marker_name: str = "_DONE",
     loudly at the publish site instead of as a FileNotFoundError in
     some later reader, and the built data survives for diagnosis."""
     import shutil
+    import uuid
 
     marker = os.path.join(final, marker_name)
     if os.path.exists(marker):
         return final
     os.makedirs(os.path.dirname(final), exist_ok=True)
-    tmp = f"{final}.tmp.{os.getpid()}"
+    # unique per builder ATTEMPT: pid alone collides across nodes on
+    # the shared roots this protocol exists for (two drivers with the
+    # same pid would interleave writes in one tmp dir), and a stale
+    # same-name tmp from a failed earlier attempt must never receive a
+    # second build's files alongside the first's
+    tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     build(tmp)
     with open(os.path.join(tmp, marker_name), "w") as f:
         f.write(marker_text)
