@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         audio_vad_profile,
         container_audit,
         image_features,
+        pack_clips_by_duration,
         read_derived_clips,
         speech_rate_profile,
         video_frame_features,
@@ -243,6 +244,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- VAD utterance segmentation: long audio -> training clips
         # via byte-slice (no re-encode; decode-identity pinned) (r5) ---
         "audio_segment_clips": audio_segment_clips,
+        # --- duration-aware shard packing: pack_docs' audio twin via
+        # the shared two-level prefix scan (r5; gate = pytest
+        # sequential-reference equality pin) ---
+        "pack_clips_by_duration": pack_clips_by_duration,
     }
 
 

@@ -251,6 +251,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "audio_near_dup_lsh",
         "audio_dup_verdicts",
         "audio_segment_clips",
+        "pack_clips_by_duration",
     ]
     out: dict[str, float] = {}
     for name in names:

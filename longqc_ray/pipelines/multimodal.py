@@ -1275,6 +1275,62 @@ def audio_segment_clips(sf_dir: str, **kwargs) -> rd.Dataset:
     return segment_clips_over(read_derived_clips(sf_dir), **kwargs)
 
 
+PACK_CAP_MS = 60_000  # one training shard ≈ one minute of audio
+PACK_RANGE_SIZE = 512
+
+
+def pack_clips_by_duration(
+    sf_dir: str, cap_ms: int = PACK_CAP_MS, range_size: int = PACK_RANGE_SIZE
+) -> rd.Dataset:
+    """Duration-aware shard packing — the audio twin of ``pack_docs``
+    (speech training batches by cumulative duration instead of token
+    count: length-bucketed shards cut padding waste, the direct
+    analogue of sequence packing for text). One NARROW (clip_id,
+    dur_ms) projection of the derived clips (payload never read), then
+    the shared distributed two-level prefix scan
+    (``util.two_level_pack``): per-range duration sums → driver-merged
+    offsets → per-range local cumsum; ``pack_id = prefix_before //
+    cap_ms``. Output: (clip_id, dur_ms, pack_id), one row per clip.
+
+    Order key: the numeric suffix of the derived ``doc-clip-%012d``
+    ids (unique, monotone — the two_level_pack contract); arbitrary
+    id schemes need an explicit order column instead."""
+    from .util import read_wide_parquet, two_level_pack
+
+    d = clips_from_documents(sf_dir)
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    ds = read_wide_parquet(files, columns=["clip_id", "dur_ms"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # "doc-clip-%012d" → int64 order key; a non-conforming id is a
+        # CONTRACT violation (wrong table wired in) and must fail loudly
+        suffix = pc.utf8_slice_codeunits(t.column("clip_id"), 9, 21)
+        ids = suffix.to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = t.column("dur_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ord_id": pa.array(ids, pa.int64()),
+            "dur_ms": pa.array(dur, pa.int64()),
+            "rng": pa.array(ids // range_size, pa.int64()),
+        })
+
+    packed = two_level_pack(
+        ds.map_batches(narrow, batch_format="pyarrow", batch_size=4096),
+        cap_ms, "ord_id", "dur_ms",
+    )
+
+    def restore_id(t: pa.Table) -> pa.Table:
+        ids = t.column("ord_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "clip_id": pa.array([f"doc-clip-{int(i):012d}" for i in ids], pa.string()),
+            "dur_ms": t.column("dur_ms"),
+            "pack_id": t.column("pack_id"),
+        })
+
+    return packed.map_batches(restore_id, batch_format="pyarrow")
+
+
 AUDIO_CC_DRIVER_CAP = 100_000  # distinct pairs; crossover to distributed LP
 _AUDIO_CC_N_PARTS = 64
 

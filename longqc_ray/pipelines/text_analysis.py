@@ -318,8 +318,9 @@ def pack_docs(
     Partitioning assumption (documented per SURVEY §2.4 note): the
     order key is the unique monotone doc_id; an arbitrary sort key
     would need a ds.sort first. Ranges scale with data size, offsets
-    are O(n_ranges) on the driver."""
-    import ray
+    are O(n_ranges) on the driver. Scan core: ``util.two_level_pack``
+    (shared with the audio duration packer)."""
+    from .util import two_level_pack
 
     ds = table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -333,38 +334,10 @@ def pack_docs(
             "rng": pa.array(ids // range_size, pa.int64()),
         })
 
-    narrow = ds.map_batches(tok, batch_format="pyarrow", batch_size=4096).materialize()
-
-    from ray.data.aggregate import Sum
-
-    from .util import ensure_columns
-
-    sums = ensure_columns(
-        narrow.groupby("rng").aggregate(Sum("n_tokens", alias_name="s")).to_pandas(),
-        {"rng": np.int64, "s": np.int64},
-    )
-    sums = sums.sort_values("rng").reset_index(drop=True)
-    rng_ids = sums["rng"].to_numpy().astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(sums["s"].to_numpy())[:-1]]).astype(np.int64)
-    off_ref = ray.put((rng_ids, offsets))
-
-    def per_range(g: pa.Table) -> pa.Table:
-        r_ids, offs = ray.get(off_ref)
-        did = g.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(did, kind="stable")
-        did = did[order]
-        nt = g.column("n_tokens").to_numpy(zero_copy_only=False)[order]
-        base = int(offs[np.searchsorted(r_ids, int(g.column("rng")[0].as_py()))])
-        before = base + np.cumsum(nt) - nt
-        return pa.table({
-            "doc_id": pa.array(did, pa.int64()),
-            "n_tokens": pa.array(nt, pa.int64()),
-            "pack_id": pa.array((before // cap_tokens).astype(np.int64), pa.int64()),
-        })
-
+    narrow = ds.map_batches(tok, batch_format="pyarrow", batch_size=4096)
     # one row per doc — returned as a Dataset (no O(n_docs) driver
     # collect; the checker canonicalizes row order)
-    return narrow.groupby("rng").map_groups(per_range, batch_format="pyarrow")
+    return two_level_pack(narrow, cap_tokens, "doc_id", "n_tokens")
 
 
 VOCAB_TOP_K = 100

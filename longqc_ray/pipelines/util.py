@@ -173,6 +173,54 @@ def ensure_nonempty_parquet(tmp_dir: str, schema) -> None:
                        os.path.join(tmp_dir, "part-empty.parquet"))
 
 
+def two_level_pack(narrow: rd.Dataset, cap: int, id_name: str, w_name: str) -> rd.Dataset:
+    """Distributed ordered prefix sum → sequential packing, shared by
+    token packing (``pack_docs``) and duration packing
+    (``pack_clips_by_duration``). ``narrow`` carries int64 columns
+    ``id_name`` (the unique monotone order key), ``w_name`` (the item
+    weight) and ``rng`` (the ordered partition key, ``id //
+    range_size``). Two passes, the classic two-level scan:
+
+    1. per-RANGE weight sums merge driver-side into per-range prefix
+       OFFSETS (O(n_ranges) on the driver, never O(items));
+    2. each range, grouped and sorted internally, adds its offset to
+       its local cumulative sum; ``pack_id = prefix_before // cap``.
+
+    Partitioning assumption (SURVEY §2.4 note): the order key is a
+    unique monotone int64; an arbitrary sort key needs a ``ds.sort``
+    first. Output: one row per item — (id, w, pack_id), a Dataset (no
+    driver collect)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    narrow = narrow.materialize()
+    sums = ensure_columns(
+        narrow.groupby("rng").aggregate(Sum(w_name, alias_name="s")).to_pandas(),
+        {"rng": np.int64, "s": np.int64},
+    )
+    sums = sums.sort_values("rng").reset_index(drop=True)
+    rng_ids = sums["rng"].to_numpy().astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sums["s"].to_numpy())[:-1]]).astype(np.int64)
+    off_ref = ray.put((rng_ids, offsets))
+
+    def per_range(g: pa.Table) -> pa.Table:
+        r_ids, offs = ray.get(off_ref)
+        ids = g.column(id_name).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        w = g.column(w_name).to_numpy(zero_copy_only=False)[order]
+        base = int(offs[np.searchsorted(r_ids, int(g.column("rng")[0].as_py()))])
+        before = base + np.cumsum(w) - w
+        return pa.table({
+            id_name: pa.array(ids, pa.int64()),
+            w_name: pa.array(w, pa.int64()),
+            "pack_id": pa.array((before // cap).astype(np.int64), pa.int64()),
+        })
+
+    return narrow.groupby("rng").map_groups(per_range, batch_format="pyarrow")
+
+
 def _path_bytes(path: str) -> int:
     if os.path.isdir(path):
         import glob

@@ -402,3 +402,33 @@ def test_publish_cached_dir_semantics(tmp_path):
     finally:
         u.os.rename = real_rename
     assert any(p.name.startswith("art.tmp") for p in (tmp_path / "root").iterdir())
+
+
+def test_pack_clips_by_duration_matches_sequential_reference():
+    """Distributed two-level scan == the definitional driver loop
+    (stable clip order, cumulative duration // cap), and pack_docs
+    still agrees with itself through the shared core."""
+    from longqc_ray.pipelines.multimodal import pack_clips_by_duration
+
+    got = (
+        pack_clips_by_duration(SF001, cap_ms=30_000)
+        .to_pandas()
+        .sort_values("clip_id", ignore_index=True)
+    )
+    # definitional reference: ordered driver scan
+    ref_rows = got[["clip_id", "dur_ms"]].sort_values("clip_id")
+    before = 0
+    ref = {}
+    for cid, dur in ref_rows.itertuples(index=False):
+        ref[cid] = before // 30_000
+        before += dur
+    assert len(got) == 500
+    assert all(ref[r.clip_id] == r.pack_id for r in got.itertuples())
+    # packs are contiguous in clip order and start at 0
+    packs = got.sort_values("clip_id")["pack_id"].to_numpy()
+    assert packs[0] == 0 and (np.diff(packs) >= 0).all()
+    # cumulative-duration semantics: every pack's PREFIX stays < cap
+    # at its first element (items may straddle, by construction)
+    d = got.sort_values("clip_id")
+    csum = d["dur_ms"].cumsum().shift(fill_value=0)
+    assert ((csum // 30_000) == d["pack_id"]).all()
