@@ -264,3 +264,44 @@ def test_mel_filterbank_partition_property(sr, n_fft, n_mels):
     pk = np.asarray(mel_to_hz(mpts))[1:-1]
     interior = (freqs > pk[0]) & (freqs < pk[-1])
     assert np.allclose(fb.sum(axis=0)[interior], 1.0)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+             max_size=120, unique=True),
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=12, deadline=None)
+def test_two_level_pack_matches_sequential_reference(ids, cap, range_size, seed):
+    """For ANY unique id set (sparse, shuffled), weights, cap and range
+    size, the distributed two-level scan equals the definitional
+    sequential loop: pack_id = (cumulative weight before, in id order)
+    // cap."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from longqc_ray.pipelines.util import two_level_pack
+
+    rng = np.random.default_rng(seed)
+    ids_a = np.array(ids, dtype=np.int64)
+    w = rng.integers(0, 1000, ids_a.size).astype(np.int64)
+    perm = rng.permutation(ids_a.size)  # arrival order != id order
+    t = pa.table({
+        "id": pa.array(ids_a[perm], pa.int64()),
+        "w": pa.array(w[perm], pa.int64()),
+        "rng": pa.array(ids_a[perm] // range_size, pa.int64()),
+    })
+    # split into multiple blocks so per-range grouping crosses blocks
+    mid = max(1, t.num_rows // 2)
+    ds = rd.from_arrow([t.slice(0, mid), t.slice(mid)])
+    got = {
+        int(r.id): int(r.pack_id)
+        for r in two_level_pack(ds, cap, "id", "w").to_pandas().itertuples()
+    }
+    order = np.argsort(ids_a)
+    before = 0
+    for i in order:
+        assert got[int(ids_a[i])] == before // cap
+        before += int(w[i])
