@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from longqc_ray.pipelines import dedup, relational, similarity, text_analysis
     from longqc_ray.pipelines.multimodal import (
         audio_feature_table,
+        audio_contamination,
         audio_dup_verdicts,
         audio_fingerprint_dedup,
         audio_integrity_profile,
@@ -248,6 +249,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the shared two-level prefix scan (r5; gate = pytest
         # sequential-reference equality pin) ---
         "pack_clips_by_duration": pack_clips_by_duration,
+        # --- train/eval contamination for the AUDIO payload:
+        # contamination_docs' twin — eval fingerprints + robust sigs
+        # broadcast, exact + near (Hamming<=3) hits per train clip
+        # (r5; gate = pytest planted exact/near/clean/unsignable pins) ---
+        "audio_contamination": audio_contamination,
     }
 
 

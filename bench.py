@@ -252,6 +252,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "audio_dup_verdicts",
         "audio_segment_clips",
         "pack_clips_by_duration",
+        "audio_contamination",
     ]
     out: dict[str, float] = {}
     for name in names:

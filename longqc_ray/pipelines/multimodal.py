@@ -1275,6 +1275,143 @@ def audio_segment_clips(sf_dir: str, **kwargs) -> rd.Dataset:
     return segment_clips_over(read_derived_clips(sf_dir), **kwargs)
 
 
+AUDIO_CONTAM_BENCH_MOD = 97  # eval membership: clip suffix % MOD == 0
+AUDIO_CONTAM_HAMMING = 3
+
+
+def audio_contamination(
+    sf_dir: str,
+    bench_mod: int = AUDIO_CONTAM_BENCH_MOD,
+    hamming_max: int = AUDIO_CONTAM_HAMMING,
+) -> rd.Dataset:
+    """Train/eval contamination scan for the AUDIO payload — the audio
+    twin of ``text_analysis.contamination_docs`` (don't train on eval
+    recordings, including re-encoded/re-leveled copies). Eval slice =
+    clips whose numeric ``doc-clip-%012d`` suffix is divisible by
+    ``bench_mod`` (same membership convention as the text scan's
+    ``doc_id % MOD``). Two signals per non-eval clip:
+
+    - ``exact_hit``: its spectral content fingerprint
+      (``fingerprint_clips`` kernel — gain-invariant) appears in the
+      eval set;
+    - ``min_hamming``: distance of its 64-bit robust signature to the
+      NEAREST eval signature (64 = unsignable or empty eval side);
+      ``contaminated`` = exact or ``min_hamming <= hamming_max``.
+
+    Scale shape: the eval side is SMALL by construction (an eval set,
+    not the corpus), so its fingerprints + signatures are a bounded
+    collect → ``ray.put`` broadcast — document'd cap: O(|eval|) driver
+    memory and O(|eval|) vectorized XOR/popcount work per corpus clip.
+    The corpus side streams through ONE map_batches (one decode per
+    clip); no shuffle at all. Each clip is decoded exactly once across
+    the two passes (pass 1 decodes only eval clips, pass 2 only
+    non-eval)."""
+    return contamination_audio_over(
+        read_derived_clips(sf_dir), bench_mod=bench_mod, hamming_max=hamming_max
+    )
+
+
+def contamination_audio_over(
+    ds: rd.Dataset,
+    bench_mod: int = AUDIO_CONTAM_BENCH_MOD,
+    hamming_max: int = AUDIO_CONTAM_HAMMING,
+) -> rd.Dataset:
+    """``audio_contamination`` over any clips Dataset with
+    ``doc-clip-%012d`` ids (see that docstring for semantics and the
+    scale shape)."""
+    from ..kernels.audio import (
+        band_energy_frames,
+        decode_view,
+        fingerprint_words,
+        robust_sig64_from_energies,
+    )
+    from ..kernels.text import fnv1a_64_varlen_np
+
+    def _suffix_ids(ids: list[str]) -> np.ndarray:
+        return np.array([int(s[9:21]) for s in ids], dtype=np.int64)
+
+    def _fp_sig(pcm: np.ndarray | None) -> tuple[int, int, bool]:
+        """(fingerprint, robust signature, signable). fp=0 means
+        undecodable/too-short; signable is the FRAME-COUNT gate (a
+        legal all-zero signature must not read as unsignable —
+        robust_sig64 docstring)."""
+        if pcm is None:
+            return 0, 0, False
+        w = fingerprint_words(pcm)
+        if w.size:
+            mat = w.reshape(1, -1)
+            fp = int(fnv1a_64_varlen_np(mat, np.array([w.size]))[0])
+        else:
+            fp = 0
+        e = band_energy_frames(pcm)
+        if e.shape[0] < 9:
+            return fp, 0, False
+        return fp, int(robust_sig64_from_energies(e)), True
+
+    def eval_side(batch: pa.Table) -> pa.Table:
+        ids, codecs, offs, data = _payload_arrays(batch)
+        nums = _suffix_ids(ids)
+        idx = np.nonzero(nums % bench_mod == 0)[0]
+        fps = np.zeros(idx.size, np.uint64)
+        sigs = np.zeros(idx.size, np.uint64)
+        signable = np.zeros(idx.size, bool)
+        for j, i in enumerate(idx):
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            fps[j], sigs[j], signable[j] = _fp_sig(pcm)
+        return pa.table({
+            "fp": pa.array(fps.view(np.int64), pa.int64()),
+            "sig": pa.array(sigs.view(np.int64), pa.int64()),
+            "signable": pa.array(signable, pa.bool_()),
+        })
+
+    import ray
+
+    ev = ds.map_batches(
+        eval_side, batch_format="pyarrow", batch_size=256, zero_copy_batch=True
+    ).to_pandas()
+    fp_all = ev["fp"].to_numpy().view(np.uint64)
+    ev_fps = np.unique(fp_all[fp_all != 0])
+    ev_sigs = np.unique(ev["sig"].to_numpy().view(np.uint64)[ev["signable"].to_numpy()])
+    ev_ref = ray.put((ev_fps, ev_sigs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        efps, esigs = ray.get(ev_ref)
+        ids, codecs, offs, data = _payload_arrays(batch)
+        nums = _suffix_ids(ids)
+        keep = np.nonzero(nums % bench_mod != 0)[0]
+        o_id: list[str] = []
+        fps = np.zeros(keep.size, np.uint64)
+        sigs = np.zeros(keep.size, np.uint64)
+        signable = np.zeros(keep.size, bool)
+        for j, i in enumerate(keep):
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            fps[j], sigs[j], signable[j] = _fp_sig(pcm)
+            o_id.append(ids[i])
+        exact = np.zeros(keep.size, bool)
+        if efps.size:
+            pos = np.clip(np.searchsorted(efps, fps), 0, efps.size - 1)
+            exact = (efps[pos] == fps) & (fps != 0)
+        ham = np.full(keep.size, 64, np.int64)
+        if esigs.size and signable.any():
+            # vectorized min-Hamming: XOR against every eval sig, then
+            # the shared u64 popcount idiom (unpack bytes → bit sum)
+            xor = sigs[signable][:, None] ^ esigs[None, :]
+            ham[signable] = (
+                np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1)
+                .sum(axis=1).reshape(xor.shape).min(axis=1)
+            )
+        return pa.table({
+            "clip_id": pa.array(o_id, pa.string()),
+            "exact_hit": pa.array(exact, pa.bool_()),
+            "min_hamming": pa.array(ham, pa.int64()),
+            "contaminated": pa.array(exact | (ham <= hamming_max), pa.bool_()),
+        })
+
+    return ds.map_batches(
+        score, batch_format="pyarrow", batch_size=256, zero_copy_batch=True
+    )
+
+
 PACK_CAP_MS = 60_000  # one training shard ≈ one minute of audio
 PACK_RANGE_SIZE = 512
 

@@ -432,3 +432,58 @@ def test_pack_clips_by_duration_matches_sequential_reference():
     d = got.sort_values("clip_id")
     csum = d["dur_ms"].cumsum().shift(fill_value=0)
     assert ((csum // 30_000) == d["pack_id"]).all()
+
+
+def test_audio_contamination_planted_exact_near_and_clean():
+    """Planted eval/train relationships resolve correctly: an exact
+    payload copy of an eval clip flags exact_hit, a noisy re-recording
+    flags near (hamming <= 3), unrelated content and unsignable clips
+    stay clean, and eval clips never appear in the output."""
+    import ray.data as rd
+
+    from longqc_ray.kernels.audio import pcm16_encode
+    from longqc_ray.pipelines.multimodal import contamination_audio_over
+
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 16000
+    x = (np.sin(2 * np.pi * 440 * t)
+         + 0.3 * np.sin(2 * np.pi * 1200 * t) * np.sin(2 * np.pi * 3 * t)).astype(np.float32)
+    noisy = (x + 0.01 * rng.standard_normal(x.size)).astype(np.float32)
+    other = (0.5 * rng.standard_normal(x.size)).astype(np.float32)
+    rows = [
+        ("doc-clip-000000000000", pcm16_encode(x), "pcm_s16le", 16000),       # EVAL (0 % 97)
+        ("doc-clip-000000000001", pcm16_encode(x), "pcm_s16le", 16000),       # exact copy
+        ("doc-clip-000000000002", pcm16_encode(noisy), "pcm_s16le", 16000),   # near copy
+        ("doc-clip-000000000003", pcm16_encode(other), "pcm_s16le", 16000),   # unrelated
+        ("doc-clip-000000000004", pcm16_encode(_tone(440, secs=0.05)),        # unsignable
+         "pcm_s16le", 16000),
+    ]
+    got = (
+        contamination_audio_over(rd.from_arrow(_clips_table(rows)))
+        .to_pandas().set_index("clip_id")
+    )
+    assert "doc-clip-000000000000" not in got.index  # eval slice excluded
+    assert set(got.index) == {f"doc-clip-{i:012d}" for i in (1, 2, 3, 4)}
+    r1 = got.loc["doc-clip-000000000001"]
+    assert r1.exact_hit and r1.min_hamming == 0 and r1.contaminated
+    r2 = got.loc["doc-clip-000000000002"]
+    assert not r2.exact_hit and r2.min_hamming <= 3 and r2.contaminated
+    r3 = got.loc["doc-clip-000000000003"]
+    assert not r3.exact_hit and r3.min_hamming >= 10 and not r3.contaminated
+    r4 = got.loc["doc-clip-000000000004"]
+    assert not r4.contaminated and r4.min_hamming == 64
+
+
+def test_audio_contamination_e2e_over_derived_clips():
+    """Over the derived sf0.001 clips: one row per non-eval clip, eval
+    slice = suffix % 97 == 0; the planted payload-dup pairs are both
+    non-eval so they cannot flag, and the column contract holds."""
+    from longqc_ray.pipelines.multimodal import audio_contamination
+
+    df = audio_contamination(SF001).to_pandas()
+    suffixes = df["clip_id"].str[9:].astype(int)
+    assert (suffixes % 97 != 0).all()
+    assert len(df) == 500 - len([i for i in range(500) if i % 97 == 0])
+    assert set(df.columns) == {"clip_id", "exact_hit", "min_hamming", "contaminated"}
+    # contaminated is exactly (exact | near)
+    assert (df["contaminated"] == (df["exact_hit"] | (df["min_hamming"] <= 3))).all()
