@@ -1302,10 +1302,10 @@ def audio_contamination(
     not the corpus), so its fingerprints + signatures are a bounded
     collect → ``ray.put`` broadcast — document'd cap: O(|eval|) driver
     memory and O(|eval|) vectorized XOR/popcount work per corpus clip.
-    The corpus side streams through ONE map_batches (one decode per
-    clip); no shuffle at all. Each clip is decoded exactly once across
-    the two passes (pass 1 decodes only eval clips, pass 2 only
-    non-eval)."""
+    The payload is read and decoded EXACTLY ONCE (one streaming
+    featurize pass emitting ~34 B/clip narrow rows, materialized with
+    the payload projected away); both the eval collect and the scoring
+    pass run over the narrow features. No shuffle at all."""
     return contamination_audio_over(
         read_derived_clips(sf_dir), bench_mod=bench_mod, hamming_max=hamming_max
     )
@@ -1348,17 +1348,21 @@ def contamination_audio_over(
             return fp, 0, False
         return fp, int(robust_sig64_from_energies(e)), True
 
-    def eval_side(batch: pa.Table) -> pa.Table:
+    def featurize(batch: pa.Table) -> pa.Table:
+        """ONE payload pass for BOTH sides — (clip_id, is_eval, fp,
+        sig, signable), ~34 B/row; the payload is never read again."""
         ids, codecs, offs, data = _payload_arrays(batch)
         nums = _suffix_ids(ids)
-        idx = np.nonzero(nums % bench_mod == 0)[0]
-        fps = np.zeros(idx.size, np.uint64)
-        sigs = np.zeros(idx.size, np.uint64)
-        signable = np.zeros(idx.size, bool)
-        for j, i in enumerate(idx):
+        n = len(ids)
+        fps = np.zeros(n, np.uint64)
+        sigs = np.zeros(n, np.uint64)
+        signable = np.zeros(n, bool)
+        for i in range(n):
             pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
-            fps[j], sigs[j], signable[j] = _fp_sig(pcm)
+            fps[i], sigs[i], signable[i] = _fp_sig(pcm)
         return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "is_eval": pa.array(nums % bench_mod == 0, pa.bool_()),
             "fp": pa.array(fps.view(np.int64), pa.int64()),
             "sig": pa.array(sigs.view(np.int64), pa.int64()),
             "signable": pa.array(signable, pa.bool_()),
@@ -1366,8 +1370,13 @@ def contamination_audio_over(
 
     import ray
 
-    ev = ds.map_batches(
-        eval_side, batch_format="pyarrow", batch_size=256, zero_copy_batch=True
+    feats = ds.map_batches(
+        featurize, batch_format="pyarrow", batch_size=256, zero_copy_batch=True
+    ).materialize()  # narrow — payload projected away before the fork
+
+    # eval side: SMALL by construction — bounded collect + broadcast
+    ev = feats.map_batches(
+        lambda t: t.filter(t.column("is_eval")), batch_format="pyarrow"
     ).to_pandas()
     fp_all = ev["fp"].to_numpy().view(np.uint64)
     ev_fps = np.unique(fp_all[fp_all != 0])
@@ -1376,22 +1385,17 @@ def contamination_audio_over(
 
     def score(batch: pa.Table) -> pa.Table:
         efps, esigs = ray.get(ev_ref)
-        ids, codecs, offs, data = _payload_arrays(batch)
-        nums = _suffix_ids(ids)
-        keep = np.nonzero(nums % bench_mod != 0)[0]
-        o_id: list[str] = []
-        fps = np.zeros(keep.size, np.uint64)
-        sigs = np.zeros(keep.size, np.uint64)
-        signable = np.zeros(keep.size, bool)
-        for j, i in enumerate(keep):
-            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
-            fps[j], sigs[j], signable[j] = _fp_sig(pcm)
-            o_id.append(ids[i])
-        exact = np.zeros(keep.size, bool)
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.invert(batch.column("is_eval")))
+        fps = batch.column("fp").to_numpy(zero_copy_only=False).view(np.uint64)
+        sigs = batch.column("sig").to_numpy(zero_copy_only=False).view(np.uint64)
+        signable = batch.column("signable").to_numpy(zero_copy_only=False)
+        exact = np.zeros(fps.size, bool)
         if efps.size:
             pos = np.clip(np.searchsorted(efps, fps), 0, efps.size - 1)
             exact = (efps[pos] == fps) & (fps != 0)
-        ham = np.full(keep.size, 64, np.int64)
+        ham = np.full(fps.size, 64, np.int64)
         if esigs.size and signable.any():
             # vectorized min-Hamming: XOR against every eval sig, then
             # the shared u64 popcount idiom (unpack bytes → bit sum)
@@ -1401,15 +1405,13 @@ def contamination_audio_over(
                 .sum(axis=1).reshape(xor.shape).min(axis=1)
             )
         return pa.table({
-            "clip_id": pa.array(o_id, pa.string()),
+            "clip_id": batch.column("clip_id"),
             "exact_hit": pa.array(exact, pa.bool_()),
             "min_hamming": pa.array(ham, pa.int64()),
             "contaminated": pa.array(exact | (ham <= hamming_max), pa.bool_()),
         })
 
-    return ds.map_batches(
-        score, batch_format="pyarrow", batch_size=256, zero_copy_batch=True
-    )
+    return feats.map_batches(score, batch_format="pyarrow", batch_size=4096)
 
 
 PACK_CAP_MS = 60_000  # one training shard ≈ one minute of audio
