@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from longqc_ray.pipelines import dedup, relational, similarity, text_analysis
     from longqc_ray.pipelines.multimodal import (
         audio_feature_table,
+        audio_augment_profile,
         audio_contamination,
         audio_dup_verdicts,
         audio_fingerprint_dedup,
@@ -254,6 +255,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast, exact + near (Hamming<=3) hits per train clip
         # (r5; gate = pytest planted exact/near/clean/unsignable pins) ---
         "audio_contamination": audio_contamination,
+        # --- waveform augmentation (speed/gain/noise at target SNR,
+        # per-row seeded determinism) — training-data expansion (r5;
+        # gate = pytest variant-contract + byte-determinism pins) ---
+        "audio_augment_profile": audio_augment_profile,
     }
 
 

@@ -253,6 +253,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "audio_segment_clips",
         "pack_clips_by_duration",
         "audio_contamination",
+        "audio_augment_profile",
     ]
     out: dict[str, float] = {}
     for name in names:

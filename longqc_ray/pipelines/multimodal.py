@@ -1275,6 +1275,104 @@ def audio_segment_clips(sf_dir: str, **kwargs) -> rd.Dataset:
     return segment_clips_over(read_derived_clips(sf_dir), **kwargs)
 
 
+AUDIO_AUG_VARIANTS = ("speed:0.9", "speed:1.1", "noise:20")
+
+
+def augment_clips_over(
+    ds: rd.Dataset,
+    variants: tuple[str, ...] = AUDIO_AUG_VARIANTS,
+    emit_payload: bool = False,
+) -> rd.Dataset:
+    """Waveform augmentation — the standard speech training-data
+    expansion (Kaldi-style speed perturbation, gain shifts, additive
+    noise at a target SNR). One output row per (clip, variant):
+
+    - ``speed:F`` — resample by 1/F and reinterpret at the original
+      rate (duration scales by 1/F, pitch shifts with it);
+    - ``gain:DB`` — scale by 10^(DB/20), clipped to [-1, 1];
+    - ``noise:SNRDB`` — additive Gaussian sized so signal/noise power
+      = SNRDB; the noise is seeded by FNV(clip_id | variant), so the
+      augmentation is DETERMINISTIC per row across runs and workers
+      (resumable exports stay exact — the lineage contract).
+
+    Profile mode (default) emits narrow rows (clip_id, variant,
+    aug_sr_hz, aug_dur_ms, aug_rms); ``emit_payload`` ships pcm_s16le
+    re-encodes for the export path. Shape at scale: ONE streaming
+    map_batches, decode once per clip (all variants share the decode),
+    fan-out = len(variants), no shuffle, no driver materialization.
+    Undecodable clips emit zero rows."""
+    from ..kernels.audio import decode_view, pcm16_encode, resample_linear
+    from ..kernels.text import fnv1a_64
+
+    specs: list[tuple[str, str, float]] = []
+    for v in variants:
+        kind, _, arg = v.partition(":")
+        if kind not in ("speed", "gain", "noise"):
+            raise ValueError(f"unknown augmentation variant {v!r}")
+        specs.append((v, kind, float(arg)))
+
+    def augment(pcm: np.ndarray, clip_id: str, sr: int, kind: str, arg: float) -> np.ndarray:
+        if kind == "speed":
+            # resample as if recorded at sr*arg, played back at the
+            # ORIGINAL rate → duration scales by 1/arg (Kaldi sp)
+            return resample_linear(pcm, int(round(sr * arg)), sr)
+        if kind == "gain":
+            g = 10.0 ** (arg / 20.0)
+            return np.clip(pcm * np.float32(g), -1.0, 1.0)
+        # noise at target SNR; seeded per (clip, variant) for exact
+        # determinism across runs/workers
+        p_sig = float(np.mean(pcm.astype(np.float64) ** 2))
+        seed = fnv1a_64(f"{clip_id}|noise:{arg}".encode())
+        rng = np.random.default_rng(seed)
+        p_noise = p_sig / (10.0 ** (arg / 10.0)) if p_sig > 0 else 0.0
+        noise = rng.standard_normal(pcm.size) * np.sqrt(p_noise)
+        return np.clip(pcm + noise.astype(np.float32), -1.0, 1.0)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, codecs, offs, data = _payload_arrays(batch)
+        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False).astype(np.int64)
+        o_id: list[str] = []
+        o_var: list[str] = []
+        o_sr: list[int] = []
+        o_ms: list[float] = []
+        o_rms: list[float] = []
+        o_pl: list[bytes] = []
+        for i in range(len(ids)):
+            if srs[i] <= 0:
+                continue
+            pcm = decode_view(data[offs[i] : offs[i + 1]], codecs[i])
+            if pcm is None:
+                continue
+            for vname, kind, arg in specs:
+                y = augment(pcm, ids[i], int(srs[i]), kind, arg)
+                o_id.append(ids[i])
+                o_var.append(vname)
+                o_sr.append(int(srs[i]))
+                o_ms.append(y.size / srs[i] * 1000.0)
+                o_rms.append(float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+                             if y.size else 0.0)
+                if emit_payload:
+                    o_pl.append(pcm16_encode(y))
+        cols = {
+            "clip_id": pa.array(o_id, pa.string()),
+            "variant": pa.array(o_var, pa.string()),
+            "aug_sr_hz": pa.array(o_sr, pa.int64()),
+            "aug_dur_ms": pa.array(o_ms, pa.float64()),
+            "aug_rms": pa.array(o_rms, pa.float64()),
+        }
+        if emit_payload:
+            cols["bytes"] = pa.array(o_pl, pa.binary())
+        return pa.table(cols)
+
+    bs = 64 if emit_payload else 256
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=bs, zero_copy_batch=True)
+
+
+def audio_augment_profile(sf_dir: str, **kwargs) -> rd.Dataset:
+    """Derived-clips entry point for ``augment_clips_over``."""
+    return augment_clips_over(read_derived_clips(sf_dir), **kwargs)
+
+
 AUDIO_CONTAM_BENCH_MOD = 97  # eval membership: clip suffix % MOD == 0
 AUDIO_CONTAM_HAMMING = 3
 

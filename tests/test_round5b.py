@@ -487,3 +487,54 @@ def test_audio_contamination_e2e_over_derived_clips():
     assert set(df.columns) == {"clip_id", "exact_hit", "min_hamming", "contaminated"}
     # contaminated is exactly (exact | near)
     assert (df["contaminated"] == (df["exact_hit"] | (df["min_hamming"] <= 3))).all()
+
+
+def test_augment_clips_semantics_and_determinism():
+    """Per-variant contracts: speed scales duration by 1/F, gain
+    scales RMS by 10^(dB/20) (below clip), noise lands within ~1 dB of
+    the target SNR; every variant is byte-deterministic across runs;
+    undecodable clips emit zero rows."""
+    import ray.data as rd
+
+    from longqc_ray.kernels.audio import pcm16_encode
+    from longqc_ray.pipelines.multimodal import augment_clips_over
+
+    x = _tone(440, secs=1.0, amp=0.3)
+    rows = [
+        ("doc-clip-000000000000", pcm16_encode(x), "pcm_s16le", 16000),
+        ("doc-clip-000000000001", b"\x00" * 100, "opus_unknown", 16000),  # undecodable
+    ]
+    ds = rd.from_arrow(_clips_table(rows))
+    got = augment_clips_over(
+        ds, variants=("speed:0.9", "speed:1.1", "gain:-6", "noise:20"),
+        emit_payload=True,
+    ).to_pandas().set_index("variant")
+    assert set(got.index) == {"speed:0.9", "speed:1.1", "gain:-6", "noise:20"}
+    assert (got["clip_id"] == "doc-clip-000000000000").all()  # undecodable dropped
+    base_ms = x.size / 16000 * 1000
+    assert abs(got.loc["speed:0.9", "aug_dur_ms"] - base_ms / 0.9) < 1.0
+    assert abs(got.loc["speed:1.1", "aug_dur_ms"] - base_ms / 1.1) < 1.0
+    rms0 = float(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+    assert abs(got.loc["gain:-6", "aug_rms"] / rms0 - 10 ** (-6 / 20)) < 1e-3
+    # noise variant: measured SNR near 20 dB
+    ny = np.frombuffer(got.loc["noise:20", "bytes"], "<i2").astype(np.float32) / 32767.0
+    noise = ny - x
+    snr = 10 * np.log10(np.mean(x.astype(np.float64) ** 2) / np.mean(noise.astype(np.float64) ** 2))
+    assert abs(snr - 20.0) < 1.0
+    # byte-determinism across a fresh execution
+    again = augment_clips_over(
+        ds, variants=("speed:0.9", "speed:1.1", "gain:-6", "noise:20"),
+        emit_payload=True,
+    ).to_pandas().set_index("variant")
+    for v in got.index:
+        assert got.loc[v, "bytes"] == again.loc[v, "bytes"]
+
+
+def test_audio_augment_profile_e2e():
+    from longqc_ray.pipelines.multimodal import audio_augment_profile
+
+    df = audio_augment_profile(SF001).to_pandas()
+    # 3 default variants per decodable clip with sane sr
+    per = df.groupby("clip_id").size()
+    assert (per == 3).all() and len(per) > 400
+    assert set(df.columns) == {"clip_id", "variant", "aug_sr_hz", "aug_dur_ms", "aug_rms"}
