@@ -244,7 +244,15 @@ def fingerprint_words(
     the signal by g scales every band energy by g^2 and cannot flip a
     delta's sign. Clips with fewer than 2 complete frames yield an
     empty sequence."""
-    e = band_energy_frames(pcm, frame_len, n_bands)
+    return fingerprint_words_from_energies(band_energy_frames(pcm, frame_len, n_bands))
+
+
+def fingerprint_words_from_energies(e: np.ndarray) -> np.ndarray:
+    """``fingerprint_words`` from PRECOMPUTED (n_frames, n_bands) band
+    energies — stages that also need the robust signature compute
+    ``band_energy_frames`` once and feed BOTH derivations (the rFFT
+    dominates per-clip cost; same split as
+    ``robust_sig64_from_energies``)."""
     if e.shape[0] < 2:
         return np.empty(0, dtype=np.uint8)
     bits = (np.diff(e, axis=0) > 0.0).astype(np.uint8)  # (n_frames-1, n_bands)

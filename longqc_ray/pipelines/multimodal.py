@@ -1306,12 +1306,18 @@ def augment_clips_over(
 
     specs: list[tuple[str, str, float]] = []
     for v in variants:
-        kind, _, arg = v.partition(":")
+        kind, _, arg_s = v.partition(":")
         if kind not in ("speed", "gain", "noise"):
             raise ValueError(f"unknown augmentation variant {v!r}")
-        specs.append((v, kind, float(arg)))
+        try:
+            arg = float(arg_s)
+        except ValueError:
+            raise ValueError(f"augmentation variant {v!r}: unparsable argument")
+        if not np.isfinite(arg) or (kind == "speed" and arg <= 0):
+            raise ValueError(f"augmentation variant {v!r}: argument out of range")
+        specs.append((v, kind, arg))
 
-    def augment(pcm: np.ndarray, clip_id: str, sr: int, kind: str, arg: float) -> np.ndarray:
+    def augment(pcm: np.ndarray, clip_id: str, sr: int, vname: str, kind: str, arg: float) -> np.ndarray:
         if kind == "speed":
             # resample as if recorded at sr*arg, played back at the
             # ORIGINAL rate → duration scales by 1/arg (Kaldi sp)
@@ -1319,10 +1325,12 @@ def augment_clips_over(
         if kind == "gain":
             g = 10.0 ** (arg / 20.0)
             return np.clip(pcm * np.float32(g), -1.0, 1.0)
-        # noise at target SNR; seeded per (clip, variant) for exact
-        # determinism across runs/workers
+        # noise at target SNR; seeded per (clip, VARIANT STRING) for
+        # exact determinism across runs/workers — the variant column
+        # is the documented seed key, so external consumers can
+        # reconstruct the stream from the output row alone
         p_sig = float(np.mean(pcm.astype(np.float64) ** 2))
-        seed = fnv1a_64(f"{clip_id}|noise:{arg}".encode())
+        seed = fnv1a_64(f"{clip_id}|{vname}".encode())
         rng = np.random.default_rng(seed)
         p_noise = p_sig / (10.0 ** (arg / 10.0)) if p_sig > 0 else 0.0
         noise = rng.standard_normal(pcm.size) * np.sqrt(p_noise)
@@ -1344,7 +1352,7 @@ def augment_clips_over(
             if pcm is None:
                 continue
             for vname, kind, arg in specs:
-                y = augment(pcm, ids[i], int(srs[i]), kind, arg)
+                y = augment(pcm, ids[i], int(srs[i]), vname, kind, arg)
                 o_id.append(ids[i])
                 o_var.append(vname)
                 o_sr.append(int(srs[i]))
@@ -1420,7 +1428,7 @@ def contamination_audio_over(
     from ..kernels.audio import (
         band_energy_frames,
         decode_view,
-        fingerprint_words,
+        fingerprint_words_from_energies,
         robust_sig64_from_energies,
     )
     from ..kernels.text import fnv1a_64_varlen_np
@@ -1432,16 +1440,17 @@ def contamination_audio_over(
         """(fingerprint, robust signature, signable). fp=0 means
         undecodable/too-short; signable is the FRAME-COUNT gate (a
         legal all-zero signature must not read as unsignable —
-        robust_sig64 docstring)."""
+        robust_sig64 docstring). ONE rFFT per clip: the band-energy
+        matrix feeds both derivations."""
         if pcm is None:
             return 0, 0, False
-        w = fingerprint_words(pcm)
+        e = band_energy_frames(pcm)
+        w = fingerprint_words_from_energies(e)
         if w.size:
             mat = w.reshape(1, -1)
             fp = int(fnv1a_64_varlen_np(mat, np.array([w.size]))[0])
         else:
             fp = 0
-        e = band_energy_frames(pcm)
         if e.shape[0] < 9:
             return fp, 0, False
         return fp, int(robust_sig64_from_energies(e)), True
@@ -1496,12 +1505,20 @@ def contamination_audio_over(
         ham = np.full(fps.size, 64, np.int64)
         if esigs.size and signable.any():
             # vectorized min-Hamming: XOR against every eval sig, then
-            # the shared u64 popcount idiom (unpack bytes → bit sum)
-            xor = sigs[signable][:, None] ^ esigs[None, :]
-            ham[signable] = (
-                np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1)
-                .sum(axis=1).reshape(xor.shape).min(axis=1)
-            )
+            # the shared u64 popcount idiom (unpack bytes → bit sum).
+            # CHUNK the clip axis: the unpacked bit matrix is 72 B per
+            # (clip, eval) pair — unchunked, a 4096-row batch against a
+            # 5k-sig eval side is a ~1.3 GB temporary per task
+            ssig = sigs[signable]
+            mins = np.empty(ssig.size, np.int64)
+            step = max(1, (1 << 20) // max(esigs.size, 1))  # ~67 MB unpacked per chunk
+            for lo in range(0, ssig.size, step):
+                xor = ssig[lo : lo + step][:, None] ^ esigs[None, :]
+                mins[lo : lo + step] = (
+                    np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1)
+                    .sum(axis=1).reshape(xor.shape).min(axis=1)
+                )
+            ham[signable] = mins
         return pa.table({
             "clip_id": batch.column("clip_id"),
             "exact_hit": pa.array(exact, pa.bool_()),

@@ -538,3 +538,24 @@ def test_audio_augment_profile_e2e():
     per = df.groupby("clip_id").size()
     assert (per == 3).all() and len(per) > 400
     assert set(df.columns) == {"clip_id", "variant", "aug_sr_hz", "aug_dur_ms", "aug_rms"}
+
+
+def test_augment_variant_validation_and_seed_contract():
+    """Malformed variants fail at construction, and the noise seed is
+    the VARIANT STRING (two spellings of the same SNR give independent
+    streams, reconstructible from the output row)."""
+    import ray.data as rd
+
+    from longqc_ray.kernels.audio import pcm16_encode
+    from longqc_ray.pipelines.multimodal import augment_clips_over
+
+    ds = rd.from_arrow(_clips_table(
+        [("doc-clip-000000000000", pcm16_encode(_tone(440)), "pcm_s16le", 16000)]
+    ))
+    for bad in ("speed:0", "speed:-1", "gain", "noise:nan", "warp:2"):
+        with pytest.raises(ValueError):
+            augment_clips_over(ds, variants=(bad,))
+    got = augment_clips_over(
+        ds, variants=("noise:20", "noise:20.0"), emit_payload=True
+    ).to_pandas().set_index("variant")
+    assert got.loc["noise:20", "bytes"] != got.loc["noise:20.0", "bytes"]
