@@ -1482,15 +1482,28 @@ def contamination_audio_over(
     ).materialize()  # narrow — payload projected away before the fork
 
     # eval side: SMALL by construction — bounded collect + broadcast
-    ev = feats.map_batches(
-        lambda t: t.filter(t.column("is_eval")), batch_format="pyarrow"
-    ).to_pandas()
+    from .util import ensure_columns
+
+    ev = ensure_columns(
+        feats.map_batches(
+            lambda t: t.filter(t.column("is_eval")), batch_format="pyarrow"
+        ).to_pandas(),
+        {"fp": np.int64, "sig": np.int64, "signable": bool},
+    )
     fp_all = ev["fp"].to_numpy().view(np.uint64)
     ev_fps = np.unique(fp_all[fp_all != 0])
     ev_sigs = np.unique(ev["sig"].to_numpy().view(np.uint64)[ev["signable"].to_numpy()])
     ev_ref = ray.put((ev_fps, ev_sigs))
 
+    _OUT_SCHEMA = pa.schema([
+        ("clip_id", pa.string()), ("exact_hit", pa.bool_()),
+        ("min_hamming", pa.int64()), ("contaminated", pa.bool_()),
+    ])
+
     def score(batch: pa.Table) -> pa.Table:
+        # an empty corpus loses block schema through the UDF boundary
+        if batch.num_rows == 0 or "is_eval" not in batch.column_names:
+            return _OUT_SCHEMA.empty_table()
         efps, esigs = ray.get(ev_ref)
         import pyarrow.compute as pc
 
