@@ -102,6 +102,20 @@ def cmd_segment(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_augment(args: argparse.Namespace) -> int:
+    _init_ray(args.cpus, args.address)
+    from .sources.lineage import run_augment_resumable
+
+    summary = run_augment_resumable(
+        args.input,
+        args.out,
+        shards_per_unit=args.shards_per_unit,
+        variants=tuple(args.variants.split(",")),
+    )
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_report(args: argparse.Namespace) -> int:
     _init_ray(args.cpus, args.address)
     from .pipelines.quality_filter import label_clips
@@ -182,6 +196,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--address", default=None,
                    help="Ray address (default: $RAY_ADDRESS or a local session)")
     s.set_defaults(fn=cmd_segment)
+
+    a = sub.add_parser(
+        "augment", help="resumable waveform-augmentation export (speed/gain/noise)"
+    )
+    a.add_argument("--input", required=True, help="directory of parquet clip shards")
+    a.add_argument("--out", required=True, help="output directory (manifest + parts)")
+    a.add_argument("--shards-per-unit", type=int, default=4)
+    a.add_argument("--variants", default="speed:0.9,speed:1.1,noise:20",
+                   help="comma-separated variant specs (speed:F|gain:DB|noise:SNRDB)")
+    a.add_argument("--cpus", type=int, default=None)
+    a.add_argument("--address", default=None,
+                   help="Ray address (default: $RAY_ADDRESS or a local session)")
+    a.set_defaults(fn=cmd_augment)
 
     r = sub.add_parser("report", help="QC summary JSON (runqc analogue)")
     r.add_argument("--input", required=True)

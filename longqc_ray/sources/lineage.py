@@ -312,3 +312,82 @@ def run_segments_resumable(
         shards_per_unit=shards_per_unit, max_units=max_units,
         summary_key="segments_out",
     )
+
+
+AUG_HASH_SCHEME = "aug-fnv1a64-v1"
+
+
+def _augment_hash_column(batch: pa.Table) -> pa.Table:
+    """Order-insensitive per-row hash over (clip_id, variant,
+    aug_dur_ms) — same composed-column + Arrow-buffer FNV discipline
+    as the other manifest hashes. The augmented payload is
+    deliberately NOT hashed: it is a pure deterministic function of
+    (parent payload, variant) — the noise stream is seeded by
+    FNV(clip_id|variant), pinned byte-deterministic in test_round5b —
+    so row identity ⇒ payload identity and the manifest pass stays
+    payload-free."""
+    import pyarrow.compute as pc
+
+    from ..kernels.text import fnv1a_64_arrow
+
+    composed = pc.binary_join_element_wise(
+        batch.column("clip_id").cast(pa.string()),
+        batch.column("variant"),
+        batch.column("aug_dur_ms").cast(pa.string()),
+        "|",
+    )
+    h = fnv1a_64_arrow(composed)
+    return batch.append_column("row_hash", pa.array(h, pa.uint64()))
+
+
+def run_augment_resumable(
+    input_dir: str,
+    out_dir: str,
+    shards_per_unit: int = 4,
+    max_units: int | None = None,
+    **aug_kwargs,
+) -> dict:
+    """Resumable augmentation EXPORT — the third consumer of the
+    shared lineage surface (``run_units_resumable``): per shard-group
+    unit → ``augment_clips_over(..., emit_payload=True)`` (one
+    streaming map_batches, per-row-seeded deterministic variants, no
+    shuffle) → hash column → tmp-write + rename publish + manifest
+    record (clips_in / rows_out / total augmented ms / hash / wall).
+    Determinism of the augmentation makes the export exactly
+    resumable: a redone unit reproduces byte-identical payloads."""
+    from ..pipelines.multimodal import augment_clips_over
+    from ..pipelines.util import read_wide_parquet
+
+    def process_unit(files: list[str], tmp: str) -> dict:
+        import pyarrow.parquet as pq
+
+        ds = read_wide_parquet(files)
+        clips_in = ds.count()
+        aug = augment_clips_over(ds, emit_payload=True, **aug_kwargs)
+        aug = aug.map_batches(_augment_hash_column, batch_format="pyarrow")
+        aug.write_parquet(tmp)
+
+        narrow = (
+            pq.read_table(tmp, columns=["row_hash", "aug_dur_ms"])
+            if glob.glob(os.path.join(tmp, "*.parquet"))
+            else pa.table({"row_hash": pa.array([], pa.uint64()),
+                           "aug_dur_ms": pa.array([], pa.float64())})
+        )
+        rows_out = narrow.num_rows
+        xor_hash = int(np.bitwise_xor.reduce(
+            narrow.column("row_hash").to_numpy().astype(np.uint64), initial=np.uint64(0)
+        ))
+        total_ms = float(np.sum(narrow.column("aug_dur_ms").to_numpy())) if rows_out else 0.0
+        return {
+            "clips_in": clips_in,
+            "rows_out": rows_out,
+            "total_augmented_ms": round(total_ms, 3),
+            "content_hash_xor": xor_hash,
+            "hash_scheme": AUG_HASH_SCHEME,
+        }
+
+    return run_units_resumable(
+        input_dir, out_dir, process_unit,
+        shards_per_unit=shards_per_unit, max_units=max_units,
+        summary_key="rows_out",
+    )

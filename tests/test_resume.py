@@ -169,3 +169,32 @@ def test_resume_rejects_changed_unit_grouping(clips_dir, tmp_path_factory):
     # same grouping still resumes cleanly
     s = run_filter_resumable(clips_dir, out, shards_per_unit=1)
     assert s["units_skipped"] == 1 and s["units_run"] >= 1
+
+
+def test_augment_export_interrupt_then_resume_equals_fresh(clips_dir, tmp_path_factory):
+    """Kill-and-resume for the augmentation export: interrupted run +
+    resume produces the same manifest totals and byte-identical unit
+    hashes as one uninterrupted run (augmentation is per-row seeded,
+    so redone units reproduce exactly)."""
+    import json as _json
+
+    from longqc_ray.sources.lineage import manifest_path, run_augment_resumable
+
+    fresh = str(tmp_path_factory.mktemp("aug_fresh"))
+    full = run_augment_resumable(clips_dir, fresh, shards_per_unit=1)
+    assert full["units_run"] >= 3 and full["rows_out"] > 0
+
+    part_dir = str(tmp_path_factory.mktemp("aug_resume"))
+    part = run_augment_resumable(clips_dir, part_dir, shards_per_unit=1, max_units=2)
+    assert part["units_run"] == 2
+    rest = run_augment_resumable(clips_dir, part_dir, shards_per_unit=1)
+    assert rest["units_skipped"] == 2
+    assert part["rows_out"] + rest["rows_out"] == full["rows_out"]
+
+    def unit_hashes(d):
+        return {
+            r["unit"]: (r["content_hash_xor"], r["rows_out"], r["hash_scheme"])
+            for r in map(_json.loads, open(manifest_path(d)))
+        }
+
+    assert unit_hashes(fresh) == unit_hashes(part_dir)
