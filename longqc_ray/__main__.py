@@ -6,6 +6,12 @@ for the Ray engine:
         resumable flagship quality filter (sampleqc analogue): reads
         parquet clip shards, writes kept+scrubbed rows per unit with a
         lineage manifest; re-running skips finished units.
+    python -m longqc_ray segment --input DIR --out DIR
+        resumable VAD utterance-segment export (long audio -> clips),
+        same unit/manifest/resume discipline as filter.
+    python -m longqc_ray augment --input DIR --out DIR [--variants S]
+        resumable waveform-augmentation export (speed/gain/seeded
+        noise; per-row deterministic, so redone units are exact).
     python -m longqc_ray report --input DIR [--preset NAME]
         QC summary JSON to stdout (runqc/platform-QC analogue).
     python -m longqc_ray query NAME [--sf DIR]

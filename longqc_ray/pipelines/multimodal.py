@@ -1304,6 +1304,10 @@ def augment_clips_over(
     from ..kernels.audio import decode_view, pcm16_encode, resample_linear
     from ..kernels.text import fnv1a_64
 
+    if len(set(variants)) != len(variants):
+        # duplicates would emit byte-identical rows whose hashes
+        # XOR-cancel in the lineage manifest — reject loudly
+        raise ValueError(f"duplicate augmentation variants in {variants!r}")
     specs: list[tuple[str, str, float]] = []
     for v in variants:
         kind, _, arg_s = v.partition(":")

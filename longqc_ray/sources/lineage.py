@@ -44,18 +44,12 @@ def _content_hash_column(batch: pa.Table) -> pa.Table:
     (clip_id, keep, scrubbed_transcript) — one composed string column
     (pc.binary_join_element_wise) hashed straight off its Arrow value
     buffer (kernels/text.fnv1a_64_arrow), no per-row Python."""
-    import pyarrow.compute as pc
-
-    from ..kernels.text import fnv1a_64_arrow
-
-    composed = pc.binary_join_element_wise(
+    return _hash_composed(
+        batch,
         batch.column("clip_id").cast(pa.string()),
         batch.column("keep").cast(pa.int8()).cast(pa.string()),
         batch.column("scrubbed_transcript"),
-        "|",
     )
-    h = fnv1a_64_arrow(composed)
-    return batch.append_column("row_hash", pa.array(h, pa.uint64()))
 
 
 def manifest_path(out_dir: str) -> str:
@@ -227,30 +221,84 @@ def run_filter_resumable(
     )
 
 
+def _hash_composed(batch: pa.Table, *cols) -> pa.Table:
+    """Append the order-insensitive ``row_hash`` column: the given
+    (already string-cast) arrays composed with "|" and hashed straight
+    off the Arrow value buffer (``fnv1a_64_arrow``) — the ONE
+    compose-and-FNV helper behind every manifest hash scheme. Each
+    scheme keeps its own cast list (cast rules are part of the scheme:
+    e.g. the flagship casts keep via int8 → "0"/"1", which a generic
+    to-string cast would silently change to "true"/"false")."""
+    import pyarrow.compute as pc
+
+    from ..kernels.text import fnv1a_64_arrow
+
+    composed = pc.binary_join_element_wise(*cols, "|")
+    h = fnv1a_64_arrow(composed)
+    return batch.append_column("row_hash", pa.array(h, pa.uint64()))
+
+
+def _payload_export_unit(
+    files: list[str],
+    tmp: str,
+    transform,
+    hash_column,
+    dur_col: str,
+    rows_key: str,
+    ms_key: str,
+    scheme: str,
+) -> dict:
+    """The shared payload-export unit body (segments + augmentation):
+    read the shard group → ``transform(ds)`` (payload-emitting, no
+    shuffle) → ``hash_column`` → write to ``tmp``; manifest reductions
+    re-read ONLY the narrow (row_hash, dur) columns of the written
+    unit. Publish/skip/manifest: ``run_units_resumable``."""
+    import pyarrow.parquet as pq
+
+    from ..pipelines.util import read_wide_parquet
+
+    ds = read_wide_parquet(files)
+    clips_in = ds.count()
+    out = transform(ds).map_batches(hash_column, batch_format="pyarrow")
+    out.write_parquet(tmp)
+
+    narrow = (
+        pq.read_table(tmp, columns=["row_hash", dur_col])
+        if glob.glob(os.path.join(tmp, "*.parquet"))
+        else pa.table({"row_hash": pa.array([], pa.uint64()),
+                       dur_col: pa.array([], pa.float64())})
+    )
+    rows_out = narrow.num_rows
+    xor_hash = int(np.bitwise_xor.reduce(
+        narrow.column("row_hash").to_numpy().astype(np.uint64), initial=np.uint64(0)
+    ))
+    total_ms = float(np.sum(narrow.column(dur_col).to_numpy())) if rows_out else 0.0
+    return {
+        "clips_in": clips_in,
+        rows_key: rows_out,
+        ms_key: round(total_ms, 3),
+        "content_hash_xor": xor_hash,
+        "hash_scheme": scheme,
+    }
+
+
 SEG_HASH_SCHEME = "seg-fnv1a64-v1"
 
 
 def _segment_hash_column(batch: pa.Table) -> pa.Table:
     """Order-insensitive per-segment hash: xor-reducible uint64 over
-    (clip_id, seg_idx, start_sample, end_sample) — same composed-column
-    + Arrow-buffer FNV discipline as ``_content_hash_column``. The
-    payload bytes are deliberately NOT hashed: they are a pure
+    (clip_id, seg_idx, start_sample, end_sample) via ``_hash_composed``.
+    The payload bytes are deliberately NOT hashed: they are a pure
     function of (parent payload, bounds) (byte-slice, pinned in
     test_round5b), so bounds identity ⇒ payload identity, and hashing
     the narrow columns keeps the manifest pass payload-free."""
-    import pyarrow.compute as pc
-
-    from ..kernels.text import fnv1a_64_arrow
-
-    composed = pc.binary_join_element_wise(
+    return _hash_composed(
+        batch,
         batch.column("clip_id").cast(pa.string()),
         batch.column("seg_idx").cast(pa.string()),
         batch.column("start_sample").cast(pa.string()),
         batch.column("end_sample").cast(pa.string()),
-        "|",
     )
-    h = fnv1a_64_arrow(composed)
-    return batch.append_column("row_hash", pa.array(h, pa.uint64()))
 
 
 def run_segments_resumable(
@@ -277,35 +325,15 @@ def run_segments_resumable(
     reductions re-read only the NARROW columns of the written unit.
     Unit partitioning / skip / publish: ``run_units_resumable``."""
     from ..pipelines.multimodal import segment_clips_over
-    from ..pipelines.util import read_wide_parquet
 
     def process_unit(files: list[str], tmp: str) -> dict:
-        import pyarrow.parquet as pq
-
-        ds = read_wide_parquet(files)
-        clips_in = ds.count()
-        segs = segment_clips_over(ds, emit_payload=True, **seg_kwargs)
-        segs = segs.map_batches(_segment_hash_column, batch_format="pyarrow")
-        segs.write_parquet(tmp)
-
-        narrow = (
-            pq.read_table(tmp, columns=["row_hash", "seg_dur_ms"])
-            if glob.glob(os.path.join(tmp, "*.parquet"))
-            else pa.table({"row_hash": pa.array([], pa.uint64()),
-                           "seg_dur_ms": pa.array([], pa.float64())})
+        return _payload_export_unit(
+            files, tmp,
+            transform=lambda ds: segment_clips_over(ds, emit_payload=True, **seg_kwargs),
+            hash_column=_segment_hash_column,
+            dur_col="seg_dur_ms", rows_key="segments_out",
+            ms_key="total_segment_ms", scheme=SEG_HASH_SCHEME,
         )
-        segs_out = narrow.num_rows
-        xor_hash = int(np.bitwise_xor.reduce(
-            narrow.column("row_hash").to_numpy().astype(np.uint64), initial=np.uint64(0)
-        ))
-        total_ms = float(np.sum(narrow.column("seg_dur_ms").to_numpy())) if segs_out else 0.0
-        return {
-            "clips_in": clips_in,
-            "segments_out": segs_out,
-            "total_segment_ms": round(total_ms, 3),
-            "content_hash_xor": xor_hash,
-            "hash_scheme": SEG_HASH_SCHEME,
-        }
 
     return run_units_resumable(
         input_dir, out_dir, process_unit,
@@ -326,18 +354,12 @@ def _augment_hash_column(batch: pa.Table) -> pa.Table:
     FNV(clip_id|variant), pinned byte-deterministic in test_round5b —
     so row identity ⇒ payload identity and the manifest pass stays
     payload-free."""
-    import pyarrow.compute as pc
-
-    from ..kernels.text import fnv1a_64_arrow
-
-    composed = pc.binary_join_element_wise(
+    return _hash_composed(
+        batch,
         batch.column("clip_id").cast(pa.string()),
         batch.column("variant"),
         batch.column("aug_dur_ms").cast(pa.string()),
-        "|",
     )
-    h = fnv1a_64_arrow(composed)
-    return batch.append_column("row_hash", pa.array(h, pa.uint64()))
 
 
 def run_augment_resumable(
@@ -356,35 +378,15 @@ def run_augment_resumable(
     Determinism of the augmentation makes the export exactly
     resumable: a redone unit reproduces byte-identical payloads."""
     from ..pipelines.multimodal import augment_clips_over
-    from ..pipelines.util import read_wide_parquet
 
     def process_unit(files: list[str], tmp: str) -> dict:
-        import pyarrow.parquet as pq
-
-        ds = read_wide_parquet(files)
-        clips_in = ds.count()
-        aug = augment_clips_over(ds, emit_payload=True, **aug_kwargs)
-        aug = aug.map_batches(_augment_hash_column, batch_format="pyarrow")
-        aug.write_parquet(tmp)
-
-        narrow = (
-            pq.read_table(tmp, columns=["row_hash", "aug_dur_ms"])
-            if glob.glob(os.path.join(tmp, "*.parquet"))
-            else pa.table({"row_hash": pa.array([], pa.uint64()),
-                           "aug_dur_ms": pa.array([], pa.float64())})
+        return _payload_export_unit(
+            files, tmp,
+            transform=lambda ds: augment_clips_over(ds, emit_payload=True, **aug_kwargs),
+            hash_column=_augment_hash_column,
+            dur_col="aug_dur_ms", rows_key="rows_out",
+            ms_key="total_augmented_ms", scheme=AUG_HASH_SCHEME,
         )
-        rows_out = narrow.num_rows
-        xor_hash = int(np.bitwise_xor.reduce(
-            narrow.column("row_hash").to_numpy().astype(np.uint64), initial=np.uint64(0)
-        ))
-        total_ms = float(np.sum(narrow.column("aug_dur_ms").to_numpy())) if rows_out else 0.0
-        return {
-            "clips_in": clips_in,
-            "rows_out": rows_out,
-            "total_augmented_ms": round(total_ms, 3),
-            "content_hash_xor": xor_hash,
-            "hash_scheme": AUG_HASH_SCHEME,
-        }
 
     return run_units_resumable(
         input_dir, out_dir, process_unit,

@@ -559,3 +559,15 @@ def test_augment_variant_validation_and_seed_contract():
         ds, variants=("noise:20", "noise:20.0"), emit_payload=True
     ).to_pandas().set_index("variant")
     assert got.loc["noise:20", "bytes"] != got.loc["noise:20.0", "bytes"]
+
+
+def test_augment_rejects_duplicate_variants():
+    """Duplicate variants would emit byte-identical rows whose hashes
+    XOR-cancel in the lineage manifest — rejected at construction."""
+    import ray.data as rd
+
+    from longqc_ray.pipelines.multimodal import augment_clips_over
+
+    ds = rd.from_arrow(_clips_table([]))
+    with pytest.raises(ValueError, match="duplicate"):
+        augment_clips_over(ds, variants=("noise:20", "noise:20"))
