@@ -1387,6 +1387,9 @@ def audio_augment_profile(sf_dir: str, **kwargs) -> rd.Dataset:
 
 AUDIO_CONTAM_BENCH_MOD = 97  # eval membership: clip suffix % MOD == 0
 AUDIO_CONTAM_HAMMING = 3
+# unpacked-bit budget per min-Hamming chunk (~67 MB); module-level so
+# tests can shrink it to force the multi-chunk path at small scale
+AUDIO_CONTAM_CHUNK_BITS = 1 << 20
 
 
 def audio_contamination(
@@ -1425,10 +1428,15 @@ def contamination_audio_over(
     ds: rd.Dataset,
     bench_mod: int = AUDIO_CONTAM_BENCH_MOD,
     hamming_max: int = AUDIO_CONTAM_HAMMING,
+    chunk_bits: int | None = None,
 ) -> rd.Dataset:
     """``audio_contamination`` over any clips Dataset with
     ``doc-clip-%012d`` ids (see that docstring for semantics and the
-    scale shape)."""
+    scale shape). ``chunk_bits`` overrides the per-chunk unpacked-bit
+    budget of the min-Hamming kernel (captured into the worker
+    closure; the test pin forces the multi-chunk path with it)."""
+    if chunk_bits is None:
+        chunk_bits = AUDIO_CONTAM_CHUNK_BITS
     from ..kernels.audio import (
         band_energy_frames,
         decode_view,
@@ -1528,7 +1536,7 @@ def contamination_audio_over(
             # 5k-sig eval side is a ~1.3 GB temporary per task
             ssig = sigs[signable]
             mins = np.empty(ssig.size, np.int64)
-            step = max(1, (1 << 20) // max(esigs.size, 1))  # ~67 MB unpacked per chunk
+            step = max(1, chunk_bits // max(esigs.size, 1))
             for lo in range(0, ssig.size, step):
                 xor = ssig[lo : lo + step][:, None] ^ esigs[None, :]
                 mins[lo : lo + step] = (
