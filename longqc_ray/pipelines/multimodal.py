@@ -135,13 +135,19 @@ def clips_from_documents(sf_dir: str, cache_root: str | None = None) -> str:
     return publish_cached_dir(os.path.join(cache_root, f"clips-{key}"), build)
 
 
-def read_derived_clips(sf_dir: str) -> rd.Dataset:
+def _read_cached_dir(d: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Read a published cache directory's parquet parts (the one
+    list-files + wide-read expression behind every cache reader)."""
     from .util import read_wide_parquet
 
-    d = clips_from_documents(sf_dir)
     return read_wide_parquet(
-        [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")],
+        columns=columns,
     )
+
+
+def read_derived_clips(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return _read_cached_dir(clips_from_documents(sf_dir), columns)
 
 
 def container_audit(sf_dir: str) -> rd.Dataset:
@@ -355,12 +361,7 @@ def _payload_table_cached(sf_dir: str, kind: str, synth_fn, version: str = "v1")
 
 
 def _read_payload_table(sf_dir: str, kind: str, synth_fn) -> rd.Dataset:
-    from .util import read_wide_parquet
-
-    d = _payload_table_cached(sf_dir, kind, synth_fn)
-    return read_wide_parquet(
-        [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    )
+    return _read_cached_dir(_payload_table_cached(sf_dir, kind, synth_fn))
 
 
 def image_features(sf_dir: str) -> rd.Dataset:
@@ -1574,11 +1575,9 @@ def pack_clips_by_duration(
     Order key: the numeric suffix of the derived ``doc-clip-%012d``
     ids (unique, monotone — the two_level_pack contract); arbitrary
     id schemes need an explicit order column instead."""
-    from .util import read_wide_parquet, two_level_pack
+    from .util import two_level_pack
 
-    d = clips_from_documents(sf_dir)
-    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    ds = read_wide_parquet(files, columns=["clip_id", "dur_ms"])
+    ds = read_derived_clips(sf_dir, columns=["clip_id", "dur_ms"])
 
     def narrow(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1600,9 +1599,13 @@ def pack_clips_by_duration(
     )
 
     def restore_id(t: pa.Table) -> pa.Table:
-        ids = t.column("ord_id").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        # vectorized "doc-clip-%012d" rebuild (a per-row format loop
+        # here would run over the WHOLE corpus)
+        padded = pc.ascii_lpad(pc.cast(t.column("ord_id"), pa.string()), 12, "0")
         return pa.table({
-            "clip_id": pa.array([f"doc-clip-{int(i):012d}" for i in ids], pa.string()),
+            "clip_id": pc.binary_join_element_wise("doc-clip-", padded, ""),
             "dur_ms": t.column("dur_ms"),
             "pack_id": t.column("pack_id"),
         })

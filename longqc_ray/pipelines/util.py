@@ -144,8 +144,6 @@ def publish_cached_dir(final: str, build, marker_name: str = "_DONE",
     # same-name tmp from a failed earlier attempt must never receive a
     # second build's files alongside the first's
     tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
     build(tmp)
     with open(os.path.join(tmp, marker_name), "w") as f:
         f.write(marker_text)
